@@ -1,0 +1,45 @@
+"""Exception types (reference: maria/errors/__init__.py:8-38)."""
+
+from __future__ import annotations
+
+from ..constants import MAX_NU_HZ, MIN_NU_HZ
+
+
+class PointingError(Exception):
+    pass
+
+
+class ShapeError(Exception):
+    pass
+
+
+class MissingCalibrationKwargsError(Exception):
+    def __init__(self, missing):
+        super().__init__(f"Missing required calibration kwargs {missing}.")
+
+
+class IncompatibleQuantityError(Exception):
+    pass
+
+
+class InvalidRegionError(Exception):
+    def __init__(self, region, valid=None):
+        hint = f" Valid regions are {sorted(valid)}." if valid else ""
+        super().__init__(f"Invalid region '{region}'.{hint}")
+
+
+class FrequencyOutOfBoundsError(Exception):
+    def __init__(self, nu=None, center_and_width=None):
+        if center_and_width is not None:
+            detail = f"band with center {center_and_width[0]:.3e} Hz and width {center_and_width[1]:.3e} Hz"
+        else:
+            detail = f"frequencies {nu}"
+        super().__init__(
+            f"The {detail} fall outside the supported range "
+            f"[{MIN_NU_HZ:.0e}, {MAX_NU_HZ:.0e}] Hz.",
+        )
+
+
+class NoSuitablePlansError(Exception):
+    def __init__(self, message="Could not find any plans satisfying the given constraints."):
+        super().__init__(message)

@@ -1,0 +1,23 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so that multi-chip sharding
+logic is exercised without TPU hardware (the driver's dryrun does the
+same). This must happen before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+os.environ.setdefault("MARIA_TPU_CACHE_DIR", "/tmp/maria-tpu-data")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
