@@ -1,0 +1,49 @@
+"""I/O: config loading, data cache, repr helpers
+(reference: maria/io/__init__.py, io/parsing.py, io/logging.py)."""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import yaml
+
+from .caching import fetch, get_cache_dir, register_generator, set_cache_dir  # noqa: F401
+
+logger = logging.getLogger("maria_tpu")
+
+DEFAULT_TIME_FORMAT = "YYYY-MM-DD HH:mm:ss"
+DEFAULT_BAR_FORMAT = "{desc}: |{bar}| {n_fmt}/{total_fmt} {rate_fmt} {elapsed}<{remaining}"
+
+
+def read_yaml(path: str) -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def flatten_config(config: dict, delimiter: str = "/") -> dict:
+    """Flatten one level of nesting into namespaced keys, e.g.
+    {'m2': {'f093': {...}}} -> {'m2/f093': {...}}
+    (reference: maria/io/parsing.py)."""
+    flat = {}
+    for outer_key, entry in config.items():
+        if isinstance(entry, dict) and all(isinstance(v, dict) for v in entry.values()) and entry:
+            for inner_key, inner in entry.items():
+                flat[f"{outer_key}{delimiter}{inner_key}"] = inner
+        else:
+            flat[outer_key] = entry
+    return flat
+
+
+def repr_phi_theta(phi, theta, frame_name: str = "az/el") -> str:
+    return f"{np.degrees(float(phi)):.02f}°/{np.degrees(float(theta)):.02f}° ({frame_name})"
+
+
+def repr_lat_lon(lat, lon) -> str:
+    lat_deg, lon_deg = np.degrees(float(lat)), np.degrees(float(lon))
+    ns = "N" if lat_deg >= 0 else "S"
+    ew = "E" if lon_deg >= 0 else "W"
+    return f"{abs(lat_deg):.03f}°{ns} {abs(lon_deg):.03f}°{ew}"
+
+
+from ..utils import humanize_time  # noqa: E402,F401

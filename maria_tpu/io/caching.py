@@ -1,0 +1,103 @@
+"""Data cache.
+
+The reference fetches heavy data products (atmospheric spectra, weather
+quantiles, CMB spectra, example maps) from the `maria-data` GitHub repo
+into a local cache (reference: maria/io/caching.py:20-169). This
+framework keeps the same fetch/cache surface but adds a *generator*
+fallback: data products that can be synthesized locally (spectra,
+weather climatology) are generated into the cache when the network is
+unavailable, so the framework is fully functional offline.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pathlib
+import time
+
+logger = logging.getLogger("maria_tpu")
+
+DEFAULT_CACHE_BASE = os.environ.get("MARIA_TPU_CACHE_DIR", "/tmp/maria-tpu-data")
+SOURCE_BASE = "https://github.com/thomaswmorris/maria-data/raw/master"
+
+_cache_state = {"base": DEFAULT_CACHE_BASE}
+
+# registered offline generators: path prefix -> callable(relative_path, destination)
+_GENERATORS: dict[str, callable] = {}
+
+
+def set_cache_dir(directory: str):
+    _cache_state["base"] = str(directory)
+
+
+def get_cache_dir() -> str:
+    return _cache_state["base"]
+
+
+def register_generator(prefix: str, fn):
+    """Register an offline generator for cache paths starting with `prefix`."""
+    _GENERATORS[prefix] = fn
+
+
+def cache_status(path: str, max_age: float = 30 * 86400) -> str:
+    p = pathlib.Path(path)
+    if not p.exists() or p.stat().st_size == 0:
+        return "missing"
+    if time.time() - p.stat().st_mtime > max_age:
+        return "stale"
+    return "ok"
+
+
+def _download(url: str, destination: str, timeout: float = 10.0) -> bool:
+    try:
+        import requests
+
+        r = requests.get(url, timeout=timeout, stream=True)
+        r.raise_for_status()
+        with open(destination, "wb") as f:
+            for chunk in r.iter_content(chunk_size=1 << 20):
+                f.write(chunk)
+        return True
+    except Exception as e:  # noqa: BLE001 — any network failure falls back
+        logger.debug(f"download of {url} failed: {e}")
+        return False
+
+
+def fetch(
+    source_path: str,
+    cache_path: str = None,
+    max_age: float = 30 * 86400,
+    refresh: bool = False,
+    url_base: str = SOURCE_BASE,
+) -> str:
+    """Return a local path for a data product, downloading or generating it.
+
+    Resolution order: fresh cache hit → network download → registered
+    offline generator → stale cache fallback → error.
+    """
+    destination = cache_path or os.path.join(get_cache_dir(), source_path)
+    os.makedirs(os.path.dirname(destination), exist_ok=True)
+
+    status = cache_status(destination, max_age=max_age)
+    if status == "ok" and not refresh:
+        return destination
+
+    url = f"{url_base}/{source_path}"
+    if _download(url, destination):
+        logger.info(f"fetched {source_path} from {url_base}")
+        return destination
+
+    for prefix, generator in _GENERATORS.items():
+        if source_path.startswith(prefix):
+            logger.info(f"generating {source_path} locally (offline)")
+            generator(source_path, destination)
+            return destination
+
+    if status == "stale":
+        logger.warning(f"using stale cache for {source_path}")
+        return destination
+
+    raise FileNotFoundError(
+        f"Could not fetch '{source_path}': network unavailable and no offline generator registered.",
+    )

@@ -1,0 +1,118 @@
+"""Linear-algebra helpers: pointing-matrix ingredients, PSD inverse,
+spatial noise basis.
+
+The pointing "matrix" never materializes on TPU: sampling a map is a
+bilinear gather and binning a TOD is a segment-sum scatter, both expressed
+here as (pixel index, weight) pairs over a Cartesian product of grids
+(reference: maria/utils/linalg.py:9-58 builds the same ingredients to feed
+a scipy CSR matrix).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import scipy as sp
+
+from ..functions import matern_five_halves
+
+__all__ = [
+    "pointing_indices_and_weights",
+    "fast_psd_inverse",
+    "generate_spatial_basis",
+]
+
+
+def _dim_indices_and_weights(x, side, bilinear: bool):
+    """Per-dimension (2 or 1, ...) pixel indices and weights.
+
+    `side` are the pixel-center coordinates (ascending). Nearest mode
+    snaps to the closest center; bilinear mode splits between the two
+    neighbors. Pure jnp; safe under jit with static `side`.
+    """
+    side = jnp.asarray(side)
+    n = side.shape[0]
+    if bilinear:
+        # fractional index on the center grid
+        lo = jnp.searchsorted(side, x, side="right") - 1
+        lo = jnp.clip(lo, 0, n - 2)
+        p = (x - side[lo]) / (side[lo + 1] - side[lo])
+        inside = (p >= 0) & (p <= 1)
+        p = jnp.clip(p, 0.0, 1.0)
+        idx = jnp.stack([lo, lo + 1], axis=0)
+        wgt = jnp.stack([1 - p, p], axis=0) * inside[None]
+        return idx, wgt
+    else:
+        edges = 0.5 * (side[1:] + side[:-1])
+        idx = jnp.searchsorted(edges, x, side="right")
+        half = jnp.diff(side).mean() / 2
+        inside = (x >= side[0] - half) & (x <= side[-1] + half)
+        return idx[None], inside[None].astype(x.dtype)
+
+
+def pointing_indices_and_weights(x_list, side_list, bilinear=True):
+    """Flattened pixel indices and weights for samples over an N-D grid.
+
+    Returns (pixels, weights, n_pixels): `pixels` has shape
+    (2^n_bilinear_dims, *sample_shape) of flattened (row-major) pixel
+    indices, `weights` the matching bilinear weights (zero for samples
+    that fall off the grid). Equivalent information to the reference's
+    compute_pointing_matrix_ingredients (utils/linalg.py:9).
+    """
+    if isinstance(bilinear, bool):
+        bilinear = len(x_list) * [bilinear]
+
+    pixels = None
+    weights = None
+    n_pixels = 1
+    for x, side, dim_bilinear in zip(x_list, side_list, bilinear):
+        x = jnp.asarray(x)
+        side = np.atleast_1d(side)
+        if side.size == 1:
+            continue
+        dim_idx, dim_wgt = _dim_indices_and_weights(x, side, dim_bilinear)
+        n_pixels *= side.size
+        if pixels is None:
+            pixels, weights = dim_idx, dim_wgt
+        else:
+            # outer product over the leading "corner" axis
+            k_prev, k_dim = pixels.shape[0], dim_idx.shape[0]
+            pixels = (pixels[:, None] * side.size + dim_idx[None]).reshape(
+                k_prev * k_dim, *dim_idx.shape[1:]
+            )
+            weights = (weights[:, None] * dim_wgt[None]).reshape(
+                k_prev * k_dim, *dim_wgt.shape[1:]
+            )
+    if pixels is None:
+        raise ValueError("at least one dimension must have more than one pixel")
+    return pixels, weights, n_pixels
+
+
+def fast_psd_inverse(M: np.ndarray) -> np.ndarray:
+    """Cholesky-based inverse for PSD matrices (host, float64).
+
+    Same LAPACK route as the reference (utils/linalg.py:95-102).
+    """
+    chol, info = sp.linalg.lapack.dpotrf(M)
+    if info != 0:
+        raise np.linalg.LinAlgError(f"dpotrf failed with info={info}")
+    inv, info = sp.linalg.lapack.dpotri(chol)
+    if info != 0:
+        raise np.linalg.LinAlgError(f"dpotri failed with info={info}")
+    return np.where(inv, inv, inv.T)
+
+
+def generate_spatial_basis(offsets, k: int = 5, n_side: int = 8, scale: float = 1):
+    """Low-rank Matérn-5/2 eigenbasis over the focal plane for correlated
+    detector noise (reference: utils/linalg.py:105-126)."""
+    x = np.linspace(offsets[..., 0].min(), offsets[..., 0].max(), n_side)
+    y = np.linspace(offsets[..., 1].min(), offsets[..., 1].max(), n_side)
+    X, Y = np.meshgrid(x, y)
+    sample_offsets = np.stack([X.ravel(), Y.ravel()], axis=-1)
+    D_eff = np.sqrt(np.square(sample_offsets - sample_offsets[:, None]).sum(axis=-1)) / max(scale, 1e-16)
+    C = matern_five_halves(D_eff)
+    u, s, _ = np.linalg.svd(C)
+    basis = (u[:, :k] * np.sqrt(s[:k])).reshape(n_side, n_side, k)
+    B = sp.interpolate.RegularGridInterpolator((x, y), basis.transpose(1, 0, 2), method="cubic")(offsets)
+    B *= np.sign(B[:, 0].mean() or 1.0)
+    return B

@@ -1,0 +1,126 @@
+import numpy as np
+import pytest
+
+from maria_tpu.coords import (
+    Coordinates,
+    EarthLocation,
+    offsets_to_phi_theta,
+    phi_theta_to_offsets,
+)
+from maria_tpu.coords import ephemeris as eph
+
+
+def test_offsets_roundtrip():
+    rng = np.random.default_rng(0)
+    cphi, ctheta = 1.2, 0.6
+    dX = 0.1 * rng.standard_normal((100, 2))
+    pt = np.asarray(offsets_to_phi_theta(dX, cphi, ctheta))
+    back = np.asarray(phi_theta_to_offsets(pt, cphi, ctheta))
+    assert np.allclose(back, dX, atol=1e-6)
+
+
+def test_offsets_small_limit():
+    # phi ≈ cphi - dx/cos(ctheta), theta ≈ ctheta + dy
+    cphi, ctheta = 0.5, 0.8
+    eps = 1e-5
+    pt = np.asarray(offsets_to_phi_theta(np.array([eps, 0.0]), cphi, ctheta))
+    assert np.isclose(pt[0], cphi - eps / np.cos(ctheta), atol=1e-9)
+    pt = np.asarray(offsets_to_phi_theta(np.array([0.0, eps]), cphi, ctheta))
+    assert np.isclose(pt[1], ctheta + eps, atol=1e-9)
+
+
+def test_galactic_north_pole():
+    # the ICRS->galactic matrix maps the NGP (J2000) to b = 90 deg
+    ra, dec = np.radians(192.85948), np.radians(27.12825)
+    v = np.array([np.cos(ra) * np.cos(dec), np.sin(ra) * np.cos(dec), np.sin(dec)])
+    v_gal = eph.ICRS_TO_GAL @ v
+    assert np.degrees(np.arcsin(v_gal[2])) > 89.999
+
+
+def test_precession_magnitude():
+    # general precession is ~50.29 arcsec/yr; check the 26-year rotation angle
+    T = 26 / 100
+    P = eph.precession_matrix(np.array([T]))[0]
+    angle = np.degrees(np.arccos((np.trace(P) - 1) / 2)) * 3600
+    assert np.isclose(angle, 50.29 * 26, rtol=0.02)
+
+
+def test_era_rate():
+    # the earth rotates by 2pi * 1.0027379... per day
+    t0 = 1.7e9
+    rate = (eph.earth_rotation_angle(t0 + 86400) - eph.earth_rotation_angle(t0)) % (2 * np.pi)
+    assert np.isclose(rate, 2 * np.pi * 0.00273781191135448, atol=1e-9)
+
+
+def test_azel_icrs_roundtrip():
+    loc = EarthLocation(lat_deg=38.433, lon_deg=-79.84, height_m=807)  # green bank
+    t = 1.75e9 + np.arange(100) * 0.1
+    az = np.full(100, 1.0) + 0.001 * np.arange(100)
+    el = np.full(100, 1.0)
+    c = Coordinates(phi=az, theta=el, t=t, earth_location=loc, frame="az/el")
+    ra, dec = c.ra, c.dec
+    c2 = Coordinates(phi=ra, theta=dec, t=t, earth_location=loc, frame="ra/dec")
+    assert np.allclose(c2.az, az, atol=1e-8)
+    assert np.allclose(c2.el, el, atol=1e-8)
+
+
+def test_gmst_at_j2000():
+    # GMST at 2000-01-01 12:00 UTC is 18h41m50.55s ≈ 280.4606 deg (published)
+    t_j2000 = 946728000.0
+    assert abs(np.degrees(eph.gmst(t_j2000)) - 280.4606) < 2e-3
+
+
+def test_zenith_points_near_latitude():
+    # ICRS dec of the zenith ≈ geodetic latitude within the ~26 yr
+    # precession budget (~22 arcmin); true-of-date dec matches to ~20"
+    loc = EarthLocation(lat_deg=38.433, lon_deg=-79.84)
+    t = np.array([1.75e9])
+    c = Coordinates(phi=[0.0], theta=[np.pi / 2], t=t, earth_location=loc, frame="az/el")
+    assert abs(np.degrees(c.dec[0]) - 38.433) < 0.5
+
+
+def test_aberration_magnitude():
+    beta = eph.earth_velocity_over_c(np.array([1.75e9]))
+    mag_arcsec = np.degrees(np.linalg.norm(beta[0])) * 3600
+    assert 20.0 < mag_arcsec < 21.0
+
+
+def test_sidereal_drift():
+    # a fixed az/el stare drifts in RA at the sidereal rate
+    loc = EarthLocation(lat_deg=0.0, lon_deg=0.0)
+    t = 1.75e9 + np.array([0.0, 3600.0])
+    c = Coordinates(phi=[np.pi / 2, np.pi / 2], theta=[0.8, 0.8], t=t, frame="az/el", earth_location=loc)
+    dra = (c.ra[1] - c.ra[0]) % (2 * np.pi)
+    expected = 2 * np.pi * 1.00273781 * 3600 / 86400
+    assert np.isclose(dra, expected, rtol=1e-4)
+
+
+def test_broadcast_and_offsets():
+    loc = EarthLocation(lat_deg=-23.0, lon_deg=-67.7, height_m=5000)
+    n_t = 50
+    t = 1.75e9 + np.arange(n_t) * 0.01
+    boresight = Coordinates(phi=np.full(n_t, 2.0), theta=np.full(n_t, 1.0), t=t, earth_location=loc)
+    offsets = np.radians(0.1) * np.random.default_rng(1).standard_normal((7, 2))
+    dets = boresight.broadcast(offsets, frame="az/el")
+    assert dets.shape == (7, n_t)
+    recovered = dets.offsets(frame="az/el", center=(2.0, 1.0))
+    assert np.allclose(recovered, offsets[:, None, :], atol=1e-7)
+
+
+def test_project():
+    loc = EarthLocation(lat_deg=0.0, lon_deg=0.0)
+    c = Coordinates(phi=[0.0], theta=[np.pi / 4], t=[1.75e9], earth_location=loc)
+    p = c.project(z=1000.0)
+    # at 45 deg elevation pointing north, the LOS crosses 1 km height 1 km north
+    assert np.allclose(p[..., 0], 0.0, atol=1e-6)
+    assert np.allclose(p[..., 1], 1000.0, rtol=1e-6)
+    assert np.allclose(p[..., 2], 1000.0)
+
+
+def test_downsample():
+    n_t = 1000
+    t = 1.75e9 + np.arange(n_t) * 0.01
+    c = Coordinates(phi=np.linspace(0, 0.1, n_t), theta=np.full(n_t, 1.0), t=t)
+    ds = c.downsample(timestep=0.1)
+    assert abs(ds.timestep - 0.1) < 1e-3
+    assert ds.shape[-1] < n_t
