@@ -1,0 +1,307 @@
+"""Detector arrays (reference: maria/array/array.py:111-660).
+
+An Array is a pandas table of per-detector properties (focal-plane
+offsets xi/eta, polarization angle gamma, band, aperture, baselines) plus
+its BandList. The table is host-side; the sim engine extracts static jnp
+arrays (offsets, Mueller weights, band masks) from it at program-build
+time.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+
+from ..band import Band, BandList, parse_band
+from ..beam import compute_angular_fwhm
+from ..io import flatten_config, read_yaml
+from ..units import Angle, Quantity
+from ..utils import compute_diameter
+from .generation import PACKINGS, SHAPES, generate_2d_pattern  # noqa: F401
+
+here = os.path.dirname(__file__)
+logger = logging.getLogger("maria_tpu")
+
+ARRAY_CONFIGS = {}
+for path in sorted(glob.glob(f"{here}/configs/*.yml")):
+    key = os.path.splitext(os.path.basename(path))[0]
+    ARRAY_CONFIGS[key] = read_yaml(path)
+ARRAY_CONFIGS = flatten_config(ARRAY_CONFIGS)
+
+all_arrays = sorted(ARRAY_CONFIGS)
+
+DET_COLUMNS = [
+    "array_name", "base_det_index", "band_name", "xi", "eta",
+    "baseline_x", "baseline_y", "baseline_z", "gamma", "pol_label",
+    "primary_size", "bath_temp", "time_constant",
+]
+
+
+def get_array(key: str, **kwargs) -> "Array":
+    if key not in ARRAY_CONFIGS:
+        raise KeyError(f"'{key}' is not a valid array name. See maria_tpu.all_arrays.")
+    return Array.from_config({"name": key, **ARRAY_CONFIGS[key], **kwargs})
+
+
+class Array:
+    def __init__(self, name: str, dets: pd.DataFrame, bands: BandList):
+        self.name = name
+        self.dets = dets.reset_index(drop=True)
+        self.dets["array_name"] = name
+        self.bands = BandList([b for b in bands if b.name in set(self.dets.band_name)])
+
+    # -- construction ----------------------------------------------------------
+    @classmethod
+    def from_config(cls, config: dict) -> "Array":
+        c = dict(config)
+        degrees = c.pop("degrees", True)
+        name = c.pop("name", str(uuid.uuid4())[:8])
+        c.pop("description", None)
+
+        bands = BandList([parse_band(b) for b in c.pop("bands")]) if "bands" in c else None
+        if bands is None and "band" in c:
+            bands = BandList([parse_band(c.pop("band"))])
+        if bands is None:
+            raise ValueError("Missing array parameter 'bands'.")
+
+        primary_size = c.pop("primary_size", None)
+        if primary_size is None:
+            raise ValueError("Missing array parameter 'primary_size'.")
+
+        if degrees:
+            for param in ("xi", "eta", "field_of_view", "gamma", "rotation"):
+                if param in c:
+                    c[param] = np.radians(np.asarray(c[param], dtype=float))
+
+        if "xi" in c and "eta" in c:
+            offsets = np.stack(
+                [np.atleast_1d(c.pop("xi")), np.atleast_1d(c.pop("eta"))], axis=-1
+            )
+        else:
+            max_resolution = max(
+                compute_angular_fwhm(primary_size, z=np.inf, nu=band.center) for band in bands
+            )
+            pattern_kwargs = {}
+            if c.get("n") is not None:
+                pattern_kwargs["n"] = int(c.pop("n"))
+                if pattern_kwargs["n"] == 1:
+                    pattern_kwargs["spacing"] = 0.0
+            if "field_of_view" in c:
+                pattern_kwargs["max_diameter"] = float(c.pop("field_of_view"))
+            if "beam_spacing" in c and "max_diameter" in pattern_kwargs and "n" not in pattern_kwargs:
+                pattern_kwargs["spacing"] = float(c.pop("beam_spacing")) * max_resolution
+            elif "beam_spacing" in c and "n" in pattern_kwargs and "max_diameter" not in pattern_kwargs:
+                pattern_kwargs["spacing"] = float(c.pop("beam_spacing")) * max_resolution
+            else:
+                c.pop("beam_spacing", None)
+            if "n" not in pattern_kwargs and "spacing" not in pattern_kwargs:
+                pattern_kwargs["spacing"] = 1.5 * max_resolution
+            offsets = generate_2d_pattern(
+                **pattern_kwargs,
+                shape=c.pop("shape", "hexagon"),
+                packing=c.pop("packing", "triangular"),
+                rotation=float(c.pop("rotation", 0.0)),
+            )
+
+        n = len(offsets)
+        dets = pd.DataFrame(
+            {
+                "base_det_index": np.arange(n),
+                "xi": offsets[:, 0],
+                "eta": offsets[:, 1],
+                "baseline_x": np.zeros(n),
+                "baseline_y": np.zeros(n),
+                "baseline_z": np.zeros(n),
+                "primary_size": float(np.mean(primary_size)) * np.ones(n),
+                "bath_temp": float(c.pop("bath_temp", 0.0)) * np.ones(n),
+            }
+        )
+
+        focal_plane_offset = c.pop("focal_plane_offset", (0.0, 0.0))
+        dets["xi"] += np.radians(focal_plane_offset[0])
+        dets["eta"] += np.radians(focal_plane_offset[1])
+
+        # polarization doubles detectors with orthogonal gammas
+        # (reference: array/array.py:481-491)
+        if "gamma" in c:
+            dets["gamma"] = np.broadcast_to(c.pop("gamma"), (n,))
+            dets["pol_label"] = "A"
+        elif c.pop("polarized", False):
+            rng = np.random.default_rng(int.from_bytes(name.encode()[:4].ljust(4, b"x"), "little"))
+            dets["gamma"] = rng.uniform(0, np.pi, size=n)
+            dets["pol_label"] = "A"
+            other = dets.copy()
+            other["gamma"] = (dets.gamma + np.pi / 2) % np.pi
+            other["pol_label"] = "B"
+            dets = pd.concat([dets, other], ignore_index=True)
+        else:
+            dets["gamma"] = np.nan
+            dets["pol_label"] = "none"
+
+        # per-band replication (reference: array/array.py:496-502)
+        band_dets = []
+        for band in bands:
+            bd = dets.copy()
+            bd["band_name"] = band.name
+            bd["time_constant"] = band.time_constant
+            band_dets.append(bd)
+        dets = pd.concat(band_dets, ignore_index=True)
+        dets = dets.sort_values(["band_name", "base_det_index"], ignore_index=True)
+        return cls(name=name, dets=dets, bands=bands)
+
+    @classmethod
+    def from_kwargs(cls, **kwargs) -> "Array":
+        return cls.from_config(kwargs)
+
+    # -- structure ---------------------------------------------------------------
+    @property
+    def n(self) -> int:
+        return len(self.dets)
+
+    def __len__(self):
+        return self.n
+
+    def __getattr__(self, attr):
+        dets = self.__dict__.get("dets")
+        if dets is not None and attr in dets.columns:
+            return dets[attr].values
+        raise AttributeError(attr)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.mask(band_name=key)
+        return Array(name=self.name, dets=self.dets.iloc[np.atleast_1d(key)] if np.ndim(key) else self.dets.iloc[[key]], bands=self.bands)
+
+    def subset(self, mask) -> "Array":
+        return Array(name=self.name, dets=self.dets.loc[np.asarray(mask)], bands=self.bands)
+
+    def mask(self, **kwargs) -> np.ndarray:
+        mask = np.ones(self.n, dtype=bool)
+        for key, value in kwargs.items():
+            mask &= self.dets[key].values == value
+        return mask
+
+    def one_detector_from_each_band(self) -> "Array":
+        index = [int(np.argmax(self.band_name == band.name)) for band in self.bands]
+        return Array(name=self.name, dets=self.dets.iloc[index], bands=self.bands)
+
+    def outer(self) -> "Array":
+        """The convex-hull subset of detectors (reference: array.py:156)."""
+        import scipy as sp
+
+        offsets = self.offsets
+        if len(offsets) < 4 or compute_diameter(offsets) == 0:
+            return self
+        hull = sp.spatial.ConvexHull(offsets)
+        return Array(name=self.name, dets=self.dets.iloc[hull.vertices], bands=self.bands)
+
+    # -- physics ----------------------------------------------------------------
+    @property
+    def offsets(self) -> np.ndarray:
+        return np.stack([self.dets.xi.values, self.dets.eta.values], axis=-1)
+
+    @property
+    def field_of_view(self) -> Angle:
+        return Angle(compute_diameter(self.offsets), "rad")
+
+    @property
+    def max_baseline(self) -> float:
+        return compute_diameter(
+            np.stack([self.baseline_x, self.baseline_y, self.baseline_z], axis=-1)
+        )
+
+    @property
+    def band_center(self) -> np.ndarray:
+        values = np.zeros(self.n)
+        for band in self.bands:
+            values[self.band_name == band.name] = band.center
+        return values
+
+    def mueller(self) -> np.ndarray:
+        """Per-detector Mueller matrices from gamma
+        (reference: array/array.py:204-218); NaN gamma = unpolarized."""
+        a = self.gamma
+        m = np.stack(
+            [
+                np.where(np.isnan(a), np.sqrt(2), 1),
+                np.where(np.isnan(a), 0, np.cos(2 * a)),
+                np.where(np.isnan(a), 0, np.sin(2 * a)),
+                np.zeros_like(a),
+            ],
+            axis=1,
+        )
+        return 0.5 * m[..., None] * m[..., None, :]
+
+    def stokes_weight(self) -> np.ndarray:
+        return self.mueller()[:, 0]
+
+    def angular_fwhm(self, z=np.inf) -> Quantity:
+        return Quantity(
+            compute_angular_fwhm(z=z, fwhm_0=self.primary_size, n=1, nu=self.band_center), "rad"
+        )
+
+    def physical_fwhm(self, z) -> Quantity:
+        return Quantity(np.asarray(z) * self.angular_fwhm(z).rad, "m")
+
+    def passband(self, nu) -> np.ndarray:
+        nu = np.atleast_1d(nu)
+        out = np.zeros((self.n, len(nu)))
+        for band in self.bands:
+            out[self.band_name == band.name] = band.passband(nu)
+        return out
+
+    def __repr__(self):
+        return (
+            f"Array({self.name}: n={self.n}, bands={self.bands.names}, "
+            f"fov={self.field_of_view!r})"
+        )
+
+
+class ArrayList:
+    """Concatenating façade over multiple arrays
+    (reference: maria/array/array.py:609-660)."""
+
+    def __init__(self, arrays):
+        if isinstance(arrays, ArrayList):
+            arrays = arrays.arrays
+        if isinstance(arrays, Array):
+            arrays = [arrays]
+        if isinstance(arrays, dict):
+            arrays = [
+                Array.from_config({"name": name, **cfg}) if not isinstance(cfg, Array) else cfg
+                for name, cfg in arrays.items()
+            ]
+        self.arrays = list(arrays)
+
+    def combine(self) -> Array:
+        dets = pd.concat([a.dets for a in self.arrays], ignore_index=True)
+        bands = []
+        seen = set()
+        for a in self.arrays:
+            for band in a.bands:
+                if band.name not in seen:
+                    bands.append(band)
+                    seen.add(band.name)
+        name = "+".join(a.name for a in self.arrays)
+        combined = Array(name=name, dets=dets, bands=BandList(bands))
+        combined.dets["array_name"] = np.concatenate(
+            [np.full(a.n, a.name) for a in self.arrays]
+        )
+        return combined
+
+    def __iter__(self):
+        return iter(self.arrays)
+
+    def __len__(self):
+        return len(self.arrays)
+
+    def __getitem__(self, i):
+        return self.arrays[i]
+
+    def __repr__(self):
+        return f"ArrayList({[a.name for a in self.arrays]})"

@@ -1,0 +1,113 @@
+"""Instruments: detector arrays + telescope kinematics
+(reference: maria/instrument/instrument.py:67-171, instrument/__init__.py:23-69)."""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+
+import numpy as np
+
+from ..array import Array, ArrayList
+from ..io import read_yaml
+from ..units import Quantity
+
+here = os.path.dirname(__file__)
+logger = logging.getLogger("maria_tpu")
+
+INSTRUMENT_CONFIGS = {}
+for path in sorted(glob.glob(f"{here}/configs/*.yml")):
+    INSTRUMENT_CONFIGS.update(read_yaml(path))
+
+all_instruments = sorted(INSTRUMENT_CONFIGS)
+test_instruments = ["test/1deg"]
+
+
+class Instrument:
+    def __init__(
+        self,
+        arrays,
+        name: str = None,
+        description: str = "",
+        documentation: str = "",
+        az_vel_limit: float = 3.0,  # deg/s
+        az_acc_limit: float = 1.0,  # deg/s^2
+        el_vel_limit: float = 2.0,
+        el_acc_limit: float = 1.0,
+        min_elevation: float = 20.0,  # deg
+        max_elevation: float = 90.0,
+    ):
+        self.arrays = ArrayList(arrays)
+        self.name = name or "+".join(a.name for a in self.arrays)
+        self.description = description
+        self.documentation = documentation
+        self.az_vel_limit = Quantity(az_vel_limit, "deg/s")
+        self.az_acc_limit = Quantity(az_acc_limit, "deg/s^2")
+        self.el_vel_limit = Quantity(el_vel_limit, "deg/s")
+        self.el_acc_limit = Quantity(el_acc_limit, "deg/s^2")
+        self.min_elevation = Quantity(min_elevation, "deg")
+        self.max_elevation = Quantity(max_elevation, "deg")
+        self._dets = None
+
+    @classmethod
+    def from_config(cls, config: dict, name: str = None) -> "Instrument":
+        c = dict(config)
+        c.pop("aliases", None)
+        array_configs = {}
+        if "array" in c:
+            array_configs[name or "array"] = c.pop("array")
+        if "arrays" in c:
+            array_configs.update(c.pop("arrays"))
+        arrays = [
+            cfg if isinstance(cfg, Array) else Array.from_config({"name": key, **cfg})
+            for key, cfg in array_configs.items()
+        ]
+        return cls(arrays=arrays, name=name, **c)
+
+    @property
+    def dets(self) -> Array:
+        if self._dets is None:
+            self._dets = self.arrays.combine()
+        return self._dets
+
+    @property
+    def bands(self):
+        return self.dets.bands
+
+    @property
+    def n_dets(self) -> int:
+        return self.dets.n
+
+    @property
+    def field_of_view(self):
+        return self.dets.field_of_view
+
+    def __getattr__(self, attr):
+        dets = self.__dict__.get("_dets")
+        if attr.startswith("_"):
+            raise AttributeError(attr)
+        try:
+            return getattr(self.dets, attr)
+        except AttributeError:
+            raise AttributeError(attr) from None
+
+    def __repr__(self):
+        band_summary = ", ".join(self.bands.names)
+        return (
+            f"Instrument({self.name}):\n"
+            f"  n_dets: {self.n_dets}\n"
+            f"  field of view: {self.field_of_view!r}\n"
+            f"  bands: [{band_summary}]\n"
+            f"  arrays: {[a.name for a in self.arrays]}"
+        )
+
+
+def get_instrument(name: str, **kwargs) -> Instrument:
+    for key, config in INSTRUMENT_CONFIGS.items():
+        if name == key or name in config.get("aliases", []):
+            merged = {**config, **kwargs}
+            return Instrument.from_config(merged, name=key)
+    raise ValueError(
+        f"'{name}' is not a valid instrument name. Valid instruments are {all_instruments}.",
+    )

@@ -22,16 +22,17 @@ def read_yaml(path: str) -> dict:
 
 
 def flatten_config(config: dict, delimiter: str = "/") -> dict:
-    """Flatten one level of nesting into namespaced keys, e.g.
-    {'m2': {'f093': {...}}} -> {'m2/f093': {...}}
+    """Recursively flatten nested namespaces into delimited keys, e.g.
+    {'act': {'pa4': {'f150': {...}}}} -> {'act/pa4/f150': {...}}.
+    A node is a namespace (not a leaf config) iff all its values are dicts
     (reference: maria/io/parsing.py)."""
     flat = {}
-    for outer_key, entry in config.items():
-        if isinstance(entry, dict) and all(isinstance(v, dict) for v in entry.values()) and entry:
-            for inner_key, inner in entry.items():
-                flat[f"{outer_key}{delimiter}{inner_key}"] = inner
+    for key, entry in config.items():
+        if isinstance(entry, dict) and entry and all(isinstance(v, dict) for v in entry.values()):
+            for inner_key, inner in flatten_config(entry, delimiter).items():
+                flat[f"{key}{delimiter}{inner_key}"] = inner
         else:
-            flat[outer_key] = entry
+            flat[key] = entry
     return flat
 
 

@@ -1,0 +1,116 @@
+"""Regular-grid interpolation in pure jnp.
+
+Replaces jax.scipy's RegularGridInterpolator objects in the reference's
+hot paths (maria/spectrum/atmosphere.py:92, band/band.py:283) with a
+closed-form multilinear gather that fuses into surrounding XLA programs:
+grid coordinates -> fractional indices -> 2^d corner gathers with
+bilinear weights. All shapes static; safe under jit/vmap/shard_map.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["interp_1d", "RegularGridInterpolator", "interp_bilinear_grid"]
+
+
+def _fractional_index(side, x):
+    """Fractional index of x on the (ascending) grid `side`, clipped to the domain."""
+    side = jnp.asarray(side)
+    n = side.shape[0]
+    i = jnp.clip(jnp.searchsorted(side, x, side="right") - 1, 0, n - 2)
+    return i + (x - side[i]) / (side[i + 1] - side[i])
+
+
+def interp_1d(x, side, values, axis=-1):
+    """Linear interpolation of `values` along `axis` at points x (clipped)."""
+    values = jnp.asarray(values)
+    axis = axis % values.ndim
+    f = jnp.clip(_fractional_index(side, x), 0.0, values.shape[axis] - 1.0)
+    lo = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, values.shape[axis] - 2)
+    w = (f - lo)[(...,) + (None,) * (values.ndim - 1 - axis)]
+    v_lo = jnp.take(values, lo, axis=axis)
+    v_hi = jnp.take(values, lo + 1, axis=axis)
+    return v_lo * (1 - w) + v_hi * w
+
+
+class RegularGridInterpolator:
+    """Multilinear interpolation on a d-dimensional regular grid.
+
+    `points` is a tuple of d ascending 1-D arrays; `values` has shape
+    (*[len(p) for p in points], *trailing). Evaluation clips to the domain
+    (constant extrapolation). The call is pure jnp and can be jitted with
+    the instance closed over as a constant.
+    """
+
+    def __init__(self, points, values):
+        self.points = tuple(jnp.asarray(p) for p in points)
+        self.values = jnp.asarray(values)
+        self.ndim = len(self.points)
+        grid_shape = tuple(len(p) for p in self.points)
+        if self.values.shape[: self.ndim] != grid_shape:
+            raise ValueError(
+                f"values shape {self.values.shape} does not start with grid shape {grid_shape}",
+            )
+        # flatten the grid dims for a single gather
+        self._strides = np.cumprod((1,) + grid_shape[::-1][:-1])[::-1].tolist()
+        self._flat = self.values.reshape((-1,) + self.values.shape[self.ndim:])
+
+    def __call__(self, xi):
+        """xi: tuple of d broadcastable coordinate arrays."""
+        if not isinstance(xi, (tuple, list)):
+            xi = (xi,)
+        if len(xi) != self.ndim:
+            raise ValueError(f"expected {self.ndim} coordinate arrays, got {len(xi)}")
+        xi = jnp.broadcast_arrays(*[jnp.asarray(x) for x in xi])
+
+        los, weights = [], []
+        for d, x in enumerate(xi):
+            side = self.points[d]
+            f = jnp.clip(_fractional_index(side, x), 0.0, side.shape[0] - 1.0)
+            lo = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, side.shape[0] - 2)
+            los.append(lo)
+            weights.append(f - lo)
+
+        out = 0.0
+        for corner in range(1 << self.ndim):
+            idx = 0
+            w = 1.0
+            for d in range(self.ndim):
+                hi = (corner >> d) & 1
+                idx = idx + (los[d] + hi) * self._strides[d]
+                w = w * jnp.where(hi, weights[d], 1 - weights[d])
+            vals = jnp.take(self._flat, idx.reshape(-1), axis=0).reshape(
+                idx.shape + self._flat.shape[1:]
+            )
+            out = out + vals * w.reshape(w.shape + (1,) * (self._flat.ndim - 1))
+        return out
+
+
+def interp_bilinear_grid(values, x, y, x_side, y_side, fill_value=0.0):
+    """Bilinear sample of a 2-D field `values` (ny, nx) at points (x, y).
+
+    Out-of-domain points get `fill_value`. Used by the turbulence
+    line-of-sight sampler.
+    """
+    values = jnp.asarray(values)
+    fx = _fractional_index(x_side, x)
+    fy = _fractional_index(y_side, y)
+    inside = (
+        (x >= x_side[0]) & (x <= x_side[-1]) & (y >= y_side[0]) & (y <= y_side[-1])
+    )
+    ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, values.shape[1] - 2)
+    iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, values.shape[0] - 2)
+    wx, wy = fx - ix, fy - iy
+    v00 = values[iy, ix]
+    v01 = values[iy, ix + 1]
+    v10 = values[iy + 1, ix]
+    v11 = values[iy + 1, ix + 1]
+    out = (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+    return jnp.where(inside, out, fill_value)

@@ -1,0 +1,38 @@
+"""Scan plans (reference: maria/plan/__init__.py:43-80)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from ..io import read_yaml
+from .patterns import SCAN_PATTERNS, all_patterns, get_scan_pattern_generator  # noqa: F401
+from .plan import Plan, PlanList  # noqa: F401
+from .planner import Planner  # noqa: F401
+
+here = os.path.dirname(__file__)
+
+PLAN_CONFIGS = {}
+for path in sorted(glob.glob(f"{here}/configs/*.yml")):
+    PLAN_CONFIGS.update(read_yaml(path))
+
+all_plans = sorted(PLAN_CONFIGS)
+
+
+class UnsupportedPlanError(Exception):
+    def __init__(self, plan_name):
+        super().__init__(
+            f"'{plan_name}' is not a supported plan. Supported plans are {all_plans}.",
+        )
+
+
+def get_plan_config(plan_name: str = "ten_second_zenith_stare", **kwargs) -> dict:
+    if plan_name not in PLAN_CONFIGS:
+        raise UnsupportedPlanError(plan_name)
+    config = dict(PLAN_CONFIGS[plan_name])
+    config.update(kwargs)
+    return config
+
+
+def get_plan(plan_name: str = "ten_second_zenith_stare", **kwargs) -> Plan:
+    return Plan.generate(**get_plan_config(plan_name, **kwargs))

@@ -1,0 +1,89 @@
+"""Observing sites (reference: maria/site/site.py:21-92, site/sites/*.yml)."""
+
+from __future__ import annotations
+
+from ..coords.earth import EarthLocation
+from ..errors import InvalidRegionError
+from ..units import Quantity
+from .regions import REGIONS, all_regions
+
+__all__ = ["Site", "REGIONS", "all_regions", "all_sites", "get_site", "InvalidRegionError"]
+
+# named sites: telescope facilities mapped to regions, with any overrides
+SITE_CONFIGS = {
+    "ACT": {"aliases": ["act"], "region": "chajnantor", "altitude": 5190, "description": "Atacama Cosmology Telescope"},
+    "ALMA": {"aliases": ["alma"], "region": "chajnantor", "altitude": 5040, "description": "Atacama Large Millimeter Array"},
+    "AMT": {"aliases": ["amt"], "region": "chajnantor", "altitude": 5040, "description": "Africa Millimetre Telescope (placeholder region)"},
+    "APEX": {"aliases": ["apex"], "region": "chajnantor", "altitude": 5064, "description": "Atacama Pathfinder Experiment"},
+    "GBT": {"aliases": ["gbt", "green_bank"], "region": "green_bank", "altitude": 807, "description": "Green Bank Telescope"},
+    "IRAM30m": {"aliases": ["iram", "pico_veleta"], "region": "pico_veleta", "altitude": 2850, "description": "IRAM 30m Telescope"},
+    "JCMT": {"aliases": ["jcmt", "mauna_kea"], "region": "mauna_kea", "altitude": 4092, "description": "James Clerk Maxwell Telescope"},
+    "LLAMA": {"aliases": ["llama"], "region": "chajnantor", "altitude": 4825, "description": "Large Latin American Millimeter Array"},
+    "LMT": {"aliases": ["lmt", "sierra_negra"], "region": "sierra_negra", "altitude": 4640, "description": "Large Millimeter Telescope"},
+    "NOEMA": {"aliases": ["noema", "pic_de_bure"], "region": "pic_de_bure", "altitude": 2552, "description": "Northern Extended Millimeter Array"},
+    "SMA": {"aliases": ["sma"], "region": "mauna_kea", "altitude": 4080, "description": "Submillimeter Array"},
+    "SPT": {"aliases": ["spt", "south_pole"], "region": "south_pole", "altitude": 2835, "description": "South Pole Telescope"},
+    "SRT": {"aliases": ["srt", "san_basilio"], "region": "san_basilio", "altitude": 600, "description": "Sardinia Radio Telescope"},
+    "effelsberg": {"aliases": [], "region": "effelsberg", "altitude": 319, "description": "Effelsberg 100m Radio Telescope"},
+    "hoagie_haven": {"aliases": ["princeton"], "region": "princeton", "altitude": 58, "description": "Hoagie Haven (test site)"},
+    "meerkat": {"aliases": [], "region": "meerkat", "altitude": 1075, "description": "MeerKAT"},
+    "summit_camp": {"aliases": ["summit_station"], "region": "summit_camp", "altitude": 3202, "description": "Summit Station, Greenland"},
+    "teide": {"aliases": [], "region": "teide", "altitude": 2390, "description": "Teide Observatory"},
+}
+
+all_sites = sorted(SITE_CONFIGS)
+
+
+class Site:
+    """Earth location + region (reference: maria/site/site.py:39)."""
+
+    def __init__(
+        self,
+        region: str,
+        altitude: float = None,
+        latitude: float = None,
+        longitude: float = None,
+        description: str = "",
+        documentation: str = "",
+        name: str = None,
+        **extra,
+    ):
+        if region not in all_regions:
+            raise InvalidRegionError(region, valid=all_regions)
+        self.name = name or region
+        self.region = region
+        self.description = description
+        self.documentation = documentation
+        entry = REGIONS.loc[region]
+        self.latitude = Quantity(latitude if latitude is not None else entry.latitude, "deg")
+        self.longitude = Quantity(longitude if longitude is not None else entry.longitude, "deg")
+        self.altitude = Quantity(altitude if altitude is not None else entry.altitude, "m")
+
+    @property
+    def earth_location(self) -> EarthLocation:
+        return EarthLocation(
+            lat_deg=float(self.latitude.deg),
+            lon_deg=float(self.longitude.deg),
+            height_m=float(self.altitude.m),
+        )
+
+    def __repr__(self):
+        return (
+            f"Site({self.name}):\n"
+            f"  region: {self.region}\n"
+            f"  location: {self.earth_location}\n"
+            f"  altitude: {self.altitude}"
+        )
+
+
+def get_site(site_name: str, **kwargs) -> Site:
+    for name, config in SITE_CONFIGS.items():
+        if site_name == name or site_name in config.get("aliases", []):
+            cfg = {k: v for k, v in config.items() if k != "aliases"}
+            cfg.update(kwargs)
+            return Site(name=name, **cfg)
+    if site_name in all_regions:
+        return Site(region=site_name, **kwargs)
+    raise ValueError(
+        f"'{site_name}' is not a valid site name. Valid sites are {all_sites} (or any region in {all_regions}).",
+    )

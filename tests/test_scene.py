@@ -1,0 +1,118 @@
+import numpy as np
+import pytest
+
+from maria_tpu.array import Array, generate_2d_pattern, get_array
+from maria_tpu.band import Band, get_band
+from maria_tpu.calibration import Calibration
+from maria_tpu.instrument import get_instrument
+from maria_tpu.plan import Plan, Planner, get_plan
+from maria_tpu.site import get_site
+
+
+def test_pattern_generation():
+    for packing in ("triangular", "square", "sunflower"):
+        offsets = generate_2d_pattern(n=100, spacing=1.0, packing=packing, shape="circle")
+        assert offsets.shape == (100, 2)
+    # implicit n: hit a target diameter
+    offsets = generate_2d_pattern(max_diameter=10.0, spacing=1.0)
+    from maria_tpu.utils import compute_diameter
+
+    assert abs(np.log(compute_diameter(offsets) / 10.0)) < 0.05
+
+
+def test_mustang2():
+    m2 = get_instrument("MUSTANG-2")
+    assert m2.n_dets == 217
+    assert abs(m2.field_of_view.deg - 0.07) < 0.01
+    assert m2.dets.primary_size[0] == 100
+    fwhm = m2.dets.angular_fwhm(z=np.inf)
+    # ~9 arcsec beam at 90 GHz on a 100 m dish
+    assert 5 < np.degrees(fwhm.rad.min()) * 3600 < 15
+
+
+def test_polarized_array():
+    arr = Array.from_config(
+        {"name": "polarized", "n": 50, "field_of_view": 0.5, "primary_size": 10,
+         "polarized": True, "bands": ["test/f150"]}
+    )
+    assert arr.n == 100  # doubled
+    sw = arr.stokes_weight()
+    assert np.allclose(sw[:, 0], 0.5)  # polarized I weight
+    assert np.allclose(np.abs(sw[:, 1] ** 2 + sw[:, 2] ** 2), 0.25, atol=1e-12)
+
+
+def test_unpolarized_stokes():
+    arr = Array.from_config(
+        {"name": "unpol", "n": 10, "field_of_view": 0.1, "primary_size": 10, "bands": ["test/f150"]}
+    )
+    sw = arr.stokes_weight()
+    assert np.allclose(sw[:, 0], 1.0)
+    assert np.allclose(sw[:, 1:], 0.0)
+
+
+def test_atlast_sz_scale():
+    sz = get_instrument("AtLAST-SZ")
+    assert sz.n_dets > 20000  # ~50k detectors
+
+
+def test_plan_generation():
+    plan = get_plan("ten_second_zenith_stare")
+    assert plan.n == 500
+    assert np.allclose(np.degrees(plan.el), 90.0, atol=1e-10)
+
+    daisy = get_plan("daisy_2deg_3min")
+    assert daisy.n == 9000
+    offsets = np.degrees(daisy.offsets())
+    assert 1.5 < np.abs(offsets).max() < 2.5
+    # daisy speed normalization: peak speed ~ requested
+    assert abs(np.log(np.degrees(daisy.scan_speed.value.max()) / 0.5)) < 0.1
+
+
+def test_plan_concatenation():
+    p1 = get_plan("ten_second_zenith_stare", start_time=1.75e9)
+    p2 = get_plan("ten_second_zenith_stare", start_time=1.75e9 + 20)
+    both = p1 + p2
+    assert both.n == p1.n + p2.n
+
+
+def test_planner():
+    planner = Planner(target=(150.0, -20.0), site="ALMA", constraints={"el_range": (40, 80)})
+    plans = planner.generate_plans(
+        start_time=1.75e9, horizon_days=2.0, total_duration=1200.0, chunk_duration=600.0,
+        scan_options={"radius": 0.5},
+    )
+    assert len(plans) >= 1
+    for plan in plans:
+        el = np.degrees(plan.coords.el)
+        assert el.min() > 35  # scan offsets can push slightly past the constraint
+
+
+def test_calibration_roundtrip():
+    band = get_band("test/f150")
+    cal = Calibration("K_RJ -> pW", band=band)
+    inv = Calibration("pW -> K_RJ", band=band)
+    x = 1.5e-3
+    assert np.isclose(inv(cal(x)), x, rtol=1e-10)
+
+
+def test_calibration_prefix_scaling():
+    band = get_band("test/f150")
+    a = Calibration("K_RJ -> pW", band=band)(1.0)
+    b = Calibration("mK_RJ -> pW", band=band)(1000.0)
+    assert np.isclose(a, b, rtol=1e-12)
+
+
+def test_calibration_cmb_vs_rj():
+    # at 150 GHz, 1 K_CMB is less than ~1.2 K_RJ of power
+    band = get_band("test/f150")
+    p_rj = Calibration("K_RJ -> W", band=band)(1.0)
+    p_cmb = Calibration("K_CMB -> W", band=band)(1.0)
+    assert 0.2 < p_cmb / p_rj < 1.0
+
+
+def test_site():
+    site = get_site("green_bank")
+    assert site.region == "green_bank"
+    assert abs(site.earth_location.lat_deg - 38.433) < 0.01
+    gbt = get_site("GBT")
+    assert gbt.region == "green_bank"

@@ -1,0 +1,52 @@
+import numpy as np
+import pytest
+
+from maria_tpu.weather import Weather
+
+T_SUMMER_N = 1.75e9  # 2025-06-17ish
+T_WINTER_N = 1.7656e9  # ~6 months later
+
+
+def test_basic_fields():
+    w = Weather(region="chajnantor", time=T_SUMMER_N)
+    assert w.pwv > 0
+    assert 180 < w.temperature.min() < w.temperature.max() < 320
+    assert (w.wind_speed >= 0).all()
+    assert np.allclose(w.wind_speed, np.hypot(w.wind_east, w.wind_north))
+
+
+def test_dry_site_vs_wet_site():
+    dry = Weather(region="chajnantor", time=T_SUMMER_N)
+    wet = Weather(region="green_bank", time=T_SUMMER_N)
+    assert dry.pwv < wet.pwv
+
+
+def test_pwv_quantiles_monotone():
+    pwvs = [Weather(region="chajnantor", time=T_SUMMER_N, quantiles={"pwv": q}).pwv for q in (0.1, 0.5, 0.9)]
+    assert pwvs[0] < pwvs[1] < pwvs[2]
+
+
+def test_pwv_override():
+    w = Weather(region="chajnantor", time=T_SUMMER_N, override={"pwv": 3.0})
+    assert abs(w.pwv - 3.0) < 0.1
+
+
+def test_seasonal_cycle():
+    # northern-hemisphere site is warmer in northern summer
+    summer = Weather(region="green_bank", time=T_SUMMER_N)
+    winter = Weather(region="green_bank", time=T_WINTER_N)
+    assert summer.temperature[0] > winter.temperature[0]
+
+
+def test_altitude_call():
+    w = Weather(region="chajnantor", time=T_SUMMER_N)
+    vals = w(altitude=w.base_altitude + np.array([100.0, 1000.0, 5000.0]))
+    assert vals["temperature"][0] > vals["temperature"][2]
+    assert vals["absolute_humidity"][0] > vals["absolute_humidity"][2]
+
+
+def test_layers_pwv_consistent():
+    w = Weather(region="mauna_kea", time=T_SUMMER_N)
+    layers = w.layers()
+    assert np.isclose(layers.total_water.sum(), w.pwv, rtol=1e-6)
+    assert (layers.altitude > w.base_altitude).all()
