@@ -222,6 +222,24 @@ class Array:
             values[self.band_name == band.name] = band.center
         return values
 
+    def _per_det_band_attr(self, attr: str) -> np.ndarray:
+        values = np.zeros(self.n)
+        for band in self.bands:
+            values[self.band_name == band.name] = getattr(band, attr)
+        return values
+
+    @property
+    def gain_error(self) -> np.ndarray:
+        return self._per_det_band_attr("gain_error")
+
+    @property
+    def knee(self) -> np.ndarray:
+        return self._per_det_band_attr("knee")
+
+    @property
+    def efficiency(self) -> np.ndarray:
+        return self._per_det_band_attr("efficiency")
+
     def mueller(self) -> np.ndarray:
         """Per-detector Mueller matrices from gamma
         (reference: array/array.py:204-218); NaN gamma = unpolarized."""

@@ -1,0 +1,319 @@
+"""Correlated atmospheric emission
+(reference: maria/atmosphere/atmosphere.py:31-380; arXiv:2111.01319).
+
+`Atmosphere.initialize(obs)` does the host-side geometry: layer table,
+per-process wind, the closed-form aligning rotation (PCA replaces the
+reference's SLSQP search), and static screen grids. `simulate_pwv(key)`
+is a single jit-compiled program: per layer, draw a Matérn screen (FFT
+path, beam smoothing fused into the spectral weights) or run the AR
+extrusion, then bilinear-gather it at the wind-advected line-of-sight
+positions of every (detector, coarse-time) sample and accumulate into
+zenith-scaled PWV.
+"""
+
+from __future__ import annotations
+
+import logging
+import time as _time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coords.transforms import offsets_to_phi_theta_jit
+from ..ops.interp import interp_bilinear_grid
+from ..spectrum import AtmosphericSpectrum
+from ..units import Quantity
+from ..weather import Weather
+from .fourier import field_spectral_weights_2d, good_fft_size, synthesize_matern_field_2d
+from .layers import generate_layers
+from .process import AutoregressiveProcess
+
+logger = logging.getLogger("maria_tpu")
+
+SUPPORTED_MODELS = ["2d", "3d"]
+SUPPORTED_METHODS = ["fourier", "ar"]
+
+
+@dataclass
+class LayerScreen:
+    """Static per-layer synthesis geometry (host-built)."""
+
+    h: float
+    z: float
+    res: float
+    pwv_rms: float
+    angle: float  # rotation of the extrusion frame
+    vx: float  # wind east, m/s
+    vy: float  # wind north, m/s
+    tx_min: float
+    ty_min: float
+    nx: int  # extrusion-axis points (padded fft size)
+    ny: int  # cross-axis points
+    W: np.ndarray = None  # spectral weights (fourier path)
+    process: AutoregressiveProcess = None  # ar path
+    ar_columns: slice = None  # this layer's columns in the process cross-section
+    ty_res: float = None  # cross-axis spacing (may differ from res)
+    beam_sigma: float = 0.0
+
+
+class Atmosphere:
+    def __init__(
+        self,
+        model: str = "2d",
+        timestamp: float = None,
+        region: str = "princeton",
+        altitude: float = None,
+        weather: dict = {},
+        weather_quantiles: dict = {},
+        weather_source: str = "synthetic",
+        spectrum_source: str = "synthetic/v1",
+        pwv_rms_frac: float = 0.03,
+        max_height: float = 5e3,
+        timestep: float = None,
+        method: str = "fourier",
+        seed: int = None,
+        disable_progress_bars: bool = True,
+    ):
+        if model not in SUPPORTED_MODELS:
+            raise ValueError(f"Invalid model '{model}'. Supported models are {SUPPORTED_MODELS}.")
+        if method not in SUPPORTED_METHODS:
+            raise ValueError(f"Invalid method '{method}'. Supported methods are {SUPPORTED_METHODS}.")
+
+        self.model = model
+        self.method = method
+        self.spectrum = AtmosphericSpectrum(region=region, source=spectrum_source)
+        self.weather = Weather(
+            time=timestamp if timestamp is not None else _time.time(),
+            region=region,
+            altitude=altitude,
+            override=weather,
+            quantiles=weather_quantiles,
+            source=weather_source,
+        )
+        self.pwv_rms_frac = pwv_rms_frac
+        self.max_height = max_height
+        self.timestep = timestep
+        self.seed = seed
+        self._initialized = False
+
+    def initialize(self, obs):
+        init_s = _time.monotonic()
+        self.layers = generate_layers(
+            instrument=obs.instrument,
+            boresight=obs.boresight,
+            weather=self.weather,
+            site=obs.site,
+            mode=self.model,
+            max_height=self.max_height,
+            pwv_rms_frac=self.pwv_rms_frac,
+        )
+
+        if self.timestep is None:
+            min_fwhm = float(obs.instrument.dets.angular_fwhm(z=self.max_height).rad.min())
+            max_wind = float((self.layers.wind_speed / self.layers.h).max())
+            self.timestep = max(1e-1, min_fwhm / max_wind)
+
+        self.boresight = obs.boresight.downsample(timestep=self.timestep)
+        n_t = self.boresight.shape[-1]
+        dt = self.timestep
+
+        offsets = obs.instrument.dets.offsets  # (n_det, 2)
+        outer_offsets = obs.instrument.dets.outer().offsets
+
+        # coarse boresight az/el (host float64, cheap)
+        bs_az = np.asarray(self.boresight.az)
+        bs_el = np.asarray(self.boresight.el)
+
+        # outer-detector pointing for hull bounds
+        pt = np.asarray(
+            offsets_to_phi_theta_jit(
+                jnp.asarray(outer_offsets[:, None, :]), jnp.asarray(bs_az), jnp.asarray(bs_el)
+            )
+        )
+        hull_az, hull_el = pt[..., 0], pt[..., 1]
+        # unit-height projection: x=East, y=North
+        cot_el = 1 / np.tan(np.clip(hull_el, np.radians(5), None))
+        hull_px = np.sin(hull_az) * cot_el  # (n_outer, n_t)
+        hull_py = np.cos(hull_az) * cot_el
+
+        self.screens: list[LayerScreen] = []
+
+        w = (self.layers.total_water * self.layers.temperature).values
+        t_rel = dt * np.arange(n_t)
+
+        for process_index in sorted(np.unique(self.layers.process_index)):
+            in_process = self.layers.process_index == process_index
+            process_layers = self.layers.loc[in_process]
+
+            # mass-weighted process wind (constant in time; reference
+            # atmosphere.py:128-151 with angular=False)
+            wp = w[in_process.values]
+            vx = float((process_layers.wind_east * wp).sum() / wp.sum())
+            vy = float((process_layers.wind_north * wp).sum() / wp.sum())
+
+            # hull of wind-advected LOS points at the extreme layer heights
+            hs = [process_layers.h.iloc[0], process_layers.h.iloc[-1]]
+            pts = []
+            for h in {hs[0], hs[-1]}:
+                px = h * hull_px + vx * t_rel
+                py = h * hull_py + vy * t_rel
+                pts.append(np.stack([px.ravel(), py.ravel()], axis=-1))
+            pts = np.concatenate(pts, axis=0)
+
+            # closed-form aligning rotation: extrusion axis = principal axis
+            from ..utils import principal_angle_2d
+
+            angle = float(principal_angle_2d(pts))
+            ca, sa = np.cos(angle), np.sin(angle)
+            tx = ca * pts[:, 0] + sa * pts[:, 1]
+            ty = -sa * pts[:, 0] + ca * pts[:, 1]
+
+            outer_scale = max(1e3, 300 + float(process_layers.h.mean()) / 10)
+            nu = 5 / 6 if self.model == "2d" else 1 / 3
+
+            if self.method == "fourier" or self.model == "2d":
+                # one independent 2-D screen per layer
+                for _, layer in process_layers.iterrows():
+                    res = float(layer.res)
+                    margin = 2 * res
+                    tx_min, tx_max = tx.min() - margin, tx.max() + margin
+                    ty_min, ty_max = ty.min() - margin, ty.max() + margin
+                    nx_needed = int((tx_max - tx_min) / res) + 2
+                    ny_needed = int((ty_max - ty_min) / res) + 2
+                    nx = good_fft_size(int(1.3 * nx_needed) + 8)
+                    ny = good_fft_size(int(1.3 * ny_needed) + 8)
+
+                    beam_fwhm = float(obs.instrument.dets.physical_fwhm(layer.z).m.mean())
+                    beam_sigma = beam_fwhm / 2.355
+
+                    W = field_spectral_weights_2d(
+                        ny, nx, res, res, nu=nu, r0=outer_scale, beam_sigma=beam_sigma
+                    )
+                    self.screens.append(
+                        LayerScreen(
+                            h=float(layer.h), z=float(layer.z), res=res,
+                            pwv_rms=float(layer.pwv_rms), angle=angle, vx=vx, vy=vy,
+                            tx_min=tx_min, ty_min=ty_min, nx=nx, ny=ny, W=W,
+                        )
+                    )
+            else:
+                # 3d AR: one conditional-Gaussian process over the stacked
+                # cross-section (reference atmosphere.py:203-257)
+                res_min = float(process_layers.res.min())
+                extrusion = np.arange(tx.min() - 2 * res_min, tx.max() + 2 * res_min, res_min)
+                cross_list, col_slices = [], []
+                start = 0
+                for _, layer in process_layers.iterrows():
+                    n_cross = max(2, int((ty.max() - ty.min() + 2 * layer.res) / layer.res))
+                    cross_side = np.linspace(ty.min() - layer.res, ty.max() + layer.res, n_cross)
+                    cross_list.append(
+                        np.stack([cross_side, np.full(n_cross, layer.h)], axis=-1)
+                    )
+                    col_slices.append(slice(start, start + n_cross))
+                    start += n_cross
+                process = AutoregressiveProcess(
+                    cross_section=np.concatenate(cross_list, axis=0),
+                    extrusion=extrusion,
+                    callback_kwargs={"nu": nu, "r0": outer_scale},
+                )
+                for (_, layer), cols, cross in zip(process_layers.iterrows(), col_slices, cross_list):
+                    beam_fwhm = float(obs.instrument.dets.physical_fwhm(layer.z).m.mean())
+                    self.screens.append(
+                        LayerScreen(
+                            h=float(layer.h), z=float(layer.z), res=res_min,
+                            pwv_rms=float(layer.pwv_rms), angle=angle, vx=vx, vy=vy,
+                            tx_min=float(extrusion[0]), ty_min=float(cross[0, 0]),
+                            nx=len(extrusion), ny=cols.stop - cols.start,
+                            process=process, ar_columns=cols,
+                            ty_res=float(cross[1, 0] - cross[0, 0]),
+                            beam_sigma=beam_fwhm / 2.355,
+                        )
+                    )
+
+        self._det_offsets = jnp.asarray(offsets, dtype=jnp.float32)
+        self._bs_az = jnp.asarray(bs_az, dtype=jnp.float32)
+        self._bs_el = jnp.asarray(bs_el, dtype=jnp.float32)
+        self._t_rel = jnp.asarray(t_rel, dtype=jnp.float32)
+        self._initialized = True
+        logger.debug(f"Initialized atmosphere ({len(self.screens)} screens) in {_time.monotonic() - init_s:.2f} s")
+
+    # -- device program ---------------------------------------------------------
+    @staticmethod
+    def _gaussian_blur_2d(values, sigma_y, sigma_x, res_y, res_x):
+        """Periodic FFT Gaussian blur (AR-path analogue of the reference's
+        scipy gaussian_filter, atmosphere.py:341-344)."""
+        ny, nx = values.shape
+        ky = 2 * jnp.pi * jnp.fft.fftfreq(ny, d=res_y)
+        kx = 2 * jnp.pi * jnp.fft.rfftfreq(nx, d=res_x)
+        G = jnp.exp(-0.5 * (sigma_y**2 * ky[:, None] ** 2 + sigma_x**2 * kx[None, :] ** 2))
+        return jnp.fft.irfft2(jnp.fft.rfft2(values) * G, s=(ny, nx))
+
+    def _sample_screens(self, key, det_az, det_el, ar_screens):
+        """Accumulate pwv over layers; pure jnp, called under jit."""
+        cot_el = 1 / jnp.tan(jnp.clip(det_el, jnp.radians(5.0), None))
+        px = jnp.sin(det_az) * cot_el  # (n_det, n_t), unit height
+        py = jnp.cos(det_az) * cot_el
+
+        pwv = jnp.full(det_az.shape, jnp.float32(self.weather.pwv))
+        keys = jax.random.split(key, len(self.screens))
+        for i, screen in enumerate(self.screens):
+            if screen.W is not None:
+                values = synthesize_matern_field_2d(keys[i], jnp.asarray(screen.W), screen.ny, screen.nx)
+                ty_res = screen.res
+            else:
+                values = ar_screens[i]
+                ty_res = screen.ty_res
+                if screen.beam_sigma > 0:
+                    values = self._gaussian_blur_2d(
+                        values, screen.beam_sigma, screen.beam_sigma, ty_res, screen.res
+                    )
+
+            x = screen.h * px + screen.vx * self._t_rel
+            y = screen.h * py + screen.vy * self._t_rel
+            ca, sa = np.cos(screen.angle), np.sin(screen.angle)
+            tx = ca * x + sa * y
+            ty = -sa * x + ca * y
+
+            # grid coordinates: field axis 0 = cross (ty), axis 1 = extrusion (tx)
+            x_side = screen.tx_min + screen.res * jnp.arange(screen.nx)
+            y_side = screen.ty_min + ty_res * jnp.arange(screen.ny)
+            sample = interp_bilinear_grid(values, tx, ty, x_side, y_side)
+            pwv = pwv + screen.pwv_rms * sample
+        return pwv
+
+    def simulate_pwv(self, instrument=None, key=None) -> jnp.ndarray:
+        """Zenith-scaled PWV per (detector, coarse time), in mm."""
+        if not self._initialized:
+            raise RuntimeError("Atmosphere must be initialized with an observation.")
+        key = key if key is not None else jax.random.key(
+            self.seed if self.seed is not None else np.random.randint(2**31)
+        )
+
+        # AR processes (if any) run their sequential scans first
+        ar_screens = {}
+        ran = {}
+        for i, screen in enumerate(self.screens):
+            if screen.process is not None:
+                if id(screen.process) not in ran:
+                    key, sub = jax.random.split(key)
+                    ran[id(screen.process)] = screen.process.run(sub)
+                values = ran[id(screen.process)]  # (n_extrusion, n_cross_total)
+                ar_screens[i] = values[:, screen.ar_columns].T  # (ny, nx)
+
+        pt = offsets_to_phi_theta_jit(self._det_offsets[:, None, :], self._bs_az, self._bs_el)
+        det_az, det_el = pt[..., 0], pt[..., 1]
+
+        self.zenith_scaled_pwv = self._sample_screens(key, det_az, det_el, ar_screens)
+        self.det_el = det_el
+        return self.zenith_scaled_pwv
+
+    def __repr__(self):
+        n_screens = len(getattr(self, "screens", []))
+        return (
+            f"Atmosphere(model={self.model}, method={self.method}, {n_screens} screens):\n"
+            f"  spectrum region: {self.spectrum.region}\n"
+            f"  weather: {self.weather!r}\n"
+            f"  pwv rms frac: {self.pwv_rms_frac}"
+        )

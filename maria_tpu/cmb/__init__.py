@@ -1,0 +1,100 @@
+"""CMB skies (reference: maria/cmb/cmb.py:29-60, cmb/generation.py:36-104)."""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import T_CMB  # noqa: F401
+from ..healpix import alm2map, synalm
+from ..map.healpix import HEALPixMap
+from ..map.projection import ProjectionMap
+from .spectra import get_cmb_spectrum
+
+logger = logging.getLogger("maria_tpu")
+
+__all__ = ["CMB", "generate_cmb", "get_cmb", "generate_cmb_patch", "get_cmb_spectrum"]
+
+
+class CMB(HEALPixMap):
+    """An IQU CMB sky in K_CMB, galactic frame."""
+
+
+def generate_cmb(nside: int = 256, lmax: int = None, seed: int = None, **kwargs) -> CMB:
+    """Synthesize an IQU CMB realization from the embedded ΛCDM spectra.
+
+    T comes from the scalar SHT. Spin-2 synthesis (E/B -> Q/U) is not yet
+    implemented, so Q and U are zero for now — polarized detectors see an
+    unpolarized CMB. (reference: cmb/generation.py:36 uses healpy synalm
+    with TT/EE/BB/TE.)
+    """
+    lmax = lmax if lmax is not None else min(3 * nside - 1, 2500)
+    spectra = get_cmb_spectrum(lmax=lmax)
+    alm_T = synalm(spectra["TT"], lmax=lmax, seed=seed)
+    T = alm2map(alm_T, nside)
+    data = np.zeros((3, 1, 1, len(T)), dtype=np.float32)
+    data[0, 0, 0] = T
+    logger.info(f"Generated CMB realization (nside={nside}, lmax={lmax}).")
+    return CMB(data=data, stokes="IQU", units="K_CMB", frame="galactic", nu=[150e9])
+
+
+def get_cmb(nside: int = 256, **kwargs) -> CMB:
+    """The observed (Planck) CMB sky.
+
+    The real Planck map cannot be downloaded in an offline environment;
+    fall back to a seeded realization of the best-fit spectra so code
+    paths relying on `cmb='planck'` still run (clearly logged).
+    """
+    from ..io.caching import _download, get_cache_dir  # noqa: F401
+
+    logger.warning(
+        "Planck CMB maps are unavailable offline; using a deterministic "
+        "(seed=777) realization of the ΛCDM spectra instead.",
+    )
+    return generate_cmb(nside=nside, seed=777)
+
+
+def generate_cmb_patch(
+    width: float = 5.0,  # degrees
+    resolution: float = None,  # degrees
+    center=(0.0, 0.0),  # degrees
+    frame: str = "ra/dec",
+    nu: float = 150e9,
+    seed: int = None,
+    pad_factor: float = 1.5,
+) -> ProjectionMap:
+    """Flat-sky FFT realization of the TT spectrum
+    (reference: cmb/generation.py:60-104)."""
+    resolution = resolution if resolution is not None else width / 512
+    n = int(round(width / resolution))
+    n_pad = int(n * pad_factor)
+
+    res_rad = np.radians(resolution)
+    kx = 2 * np.pi * np.fft.fftfreq(n_pad, d=res_rad)
+    ky = 2 * np.pi * np.fft.rfftfreq(n_pad, d=res_rad)
+    ell = np.sqrt(kx[:, None] ** 2 + ky[None, :] ** 2)
+
+    spectra = get_cmb_spectrum(lmax=int(min(ell.max() + 2, 20000)))
+    cl = np.interp(ell, spectra["ell"], spectra["TT"])
+
+    pixel_area = res_rad**2
+    W = np.sqrt(np.clip(cl, 0, None) / pixel_area)
+
+    rng = np.random.default_rng(seed)
+    white = rng.standard_normal((n_pad, n_pad))
+    field = np.fft.irfft2(np.fft.rfft2(white)[:, : len(ky)] * W, s=(n_pad, n_pad))
+
+    lo = (n_pad - n) // 2
+    patch = field[lo : lo + n, lo : lo + n].astype(np.float32)
+
+    return ProjectionMap(
+        data=patch[None, None, None],
+        center=center,
+        width=width,
+        frame=frame,
+        nu=[nu],
+        units="K_CMB",
+        degrees=True,
+    )

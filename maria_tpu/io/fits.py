@@ -1,0 +1,175 @@
+"""Minimal FITS reader/writer, written from scratch.
+
+No astropy in this environment; the FITS format (2880-byte cards/blocks,
+big-endian data) is simple enough to implement directly for the subset
+the framework needs: primary image HDUs with WCS for maps, and binary
+tables for TODs.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+logger = logging.getLogger("maria_tpu")
+
+BLOCK = 2880
+
+_BITPIX_DTYPES = {
+    8: np.dtype(">u1"),
+    16: np.dtype(">i2"),
+    32: np.dtype(">i4"),
+    64: np.dtype(">i8"),
+    -32: np.dtype(">f4"),
+    -64: np.dtype(">f8"),
+}
+
+
+def _format_card(key: str, value, comment: str = "") -> bytes:
+    if isinstance(value, bool):
+        v = "T" if value else "F"
+        card = f"{key:<8}= {v:>20}"
+    elif isinstance(value, (int, np.integer)):
+        card = f"{key:<8}= {value:>20}"
+    elif isinstance(value, (float, np.floating)):
+        card = f"{key:<8}= {value:>20.13E}"
+    elif value is None:
+        card = f"{key:<8}"
+    else:
+        card = f"{key:<8}= '{str(value):<8}'"
+    if comment:
+        card += f" / {comment}"
+    return card[:80].ljust(80).encode("ascii")
+
+
+def _parse_header(block_bytes: bytes) -> dict:
+    header = {}
+    for i in range(0, len(block_bytes), 80):
+        card = block_bytes[i : i + 80].decode("ascii", errors="replace")
+        key = card[:8].strip()
+        if key == "END":
+            break
+        if "=" not in card[8:10]:
+            continue
+        raw = card[10:].split("/")[0].strip()
+        if raw.startswith("'"):
+            value = raw.strip("'").strip()
+        elif raw in ("T", "F"):
+            value = raw == "T"
+        else:
+            try:
+                value = int(raw)
+            except ValueError:
+                try:
+                    value = float(raw)
+                except ValueError:
+                    value = raw
+        header[key] = value
+    return header
+
+
+def read_fits(path: str):
+    """Read all image HDUs: list of (header, data-or-None)."""
+    hdus = []
+    with open(path, "rb") as f:
+        raw = f.read()
+    pos = 0
+    while pos < len(raw):
+        # read header blocks until END
+        header_bytes = b""
+        while True:
+            block = raw[pos : pos + BLOCK]
+            if len(block) < BLOCK:
+                return hdus
+            header_bytes += block
+            pos += BLOCK
+            if b"END     " in block or b"END\x20" in block[:80] or any(
+                block[i : i + 8].rstrip() == b"END" for i in range(0, BLOCK, 80)
+            ):
+                break
+        header = _parse_header(header_bytes)
+        data = None
+        naxis = header.get("NAXIS", 0)
+        if naxis and header.get("BITPIX") in _BITPIX_DTYPES:
+            shape = [header[f"NAXIS{i}"] for i in range(naxis, 0, -1)]
+            dtype = _BITPIX_DTYPES[header["BITPIX"]]
+            n_bytes = int(np.prod(shape)) * dtype.itemsize
+            n_blocks = -(-n_bytes // BLOCK)
+            data = np.frombuffer(raw[pos : pos + n_bytes], dtype=dtype).reshape(shape)
+            data = data * header.get("BSCALE", 1.0) + header.get("BZERO", 0.0)
+            pos += n_blocks * BLOCK
+        hdus.append((header, data))
+    return hdus
+
+
+def write_fits(path: str, header_cards: list, data: np.ndarray = None):
+    """Write a single image HDU."""
+    cards = [_format_card("SIMPLE", True, "conforms to FITS standard")]
+    if data is not None:
+        data = np.ascontiguousarray(data)
+        bitpix = {np.float32: -32, np.float64: -64, np.int32: 32, np.int16: 16}[data.dtype.type]
+        cards.append(_format_card("BITPIX", bitpix))
+        cards.append(_format_card("NAXIS", data.ndim))
+        for i, n in enumerate(reversed(data.shape)):
+            cards.append(_format_card(f"NAXIS{i + 1}", n))
+    else:
+        cards.append(_format_card("BITPIX", 8))
+        cards.append(_format_card("NAXIS", 0))
+    for key, value, *comment in header_cards:
+        cards.append(_format_card(key, value, comment[0] if comment else ""))
+    cards.append("END".ljust(80).encode("ascii"))
+
+    header_bytes = b"".join(cards)
+    header_bytes += b" " * (-len(header_bytes) % BLOCK)
+
+    with open(path, "wb") as f:
+        f.write(header_bytes)
+        if data is not None:
+            payload = data.astype(data.dtype.newbyteorder(">")).tobytes()
+            payload += b"\x00" * (-len(payload) % BLOCK)
+            f.write(payload)
+
+
+def write_fits_map(m, path: str):
+    """Write a ProjectionMap with a gnomonic-ish WCS."""
+    res_deg = np.degrees(m.resolution)
+    cards = [
+        ("CTYPE1", "RA---SIN" if m.frame == "ra/dec" else "AZ---SIN"),
+        ("CTYPE2", "DEC--SIN" if m.frame == "ra/dec" else "EL---SIN"),
+        ("CRVAL1", np.degrees(m.center[0])),
+        ("CRVAL2", np.degrees(m.center[1])),
+        # +x offsets decrease phi in the tangent-plane convention
+        ("CDELT1", -res_deg),
+        ("CDELT2", np.degrees(m.y_res)),
+        ("CRPIX1", (m.n_x + 1) / 2),
+        ("CRPIX2", (m.n_y + 1) / 2),
+        ("BUNIT", m.units),
+        ("RESTFRQ", float(m.nu[0])),
+    ]
+    # store with the FITS x-axis convention (RA increases leftward, i.e.
+    # CDELT1 < 0): flip the tangent-plane dx axis
+    write_fits(path, cards, np.asarray(m.data, dtype=np.float32)[..., ::-1])
+
+
+def read_fits_map(path: str, index: int = 0, **kwargs):
+    """Read a map from FITS (reference: maria/io/fits/map.py:53)."""
+    from ..map.projection import ProjectionMap
+
+    hdus = [h for h in read_fits(path) if h[1] is not None]
+    if not hdus:
+        raise ValueError(f"No image data in '{path}'.")
+    header, data = hdus[index]
+    res = abs(header.get("CDELT1", header.get("CD1_1", np.nan)))
+    center = (header.get("CRVAL1", 0.0), header.get("CRVAL2", 0.0))
+    nu = header.get("RESTFRQ", kwargs.get("nu", 150e9))
+    units = kwargs.get("units", header.get("BUNIT", "K_RJ"))
+    frame = "ra/dec" if str(header.get("CTYPE1", "RA")).startswith("RA") else "az/el"
+    data = np.asarray(data, dtype=np.float32)
+    # flip x so ascending pixel index = ascending tangent-plane dx
+    if header.get("CDELT1", -1) < 0:
+        data = data[..., ::-1]
+    return ProjectionMap(
+        data=data, center=center, resolution=res, frame=frame,
+        nu=np.atleast_1d(nu), units=units, degrees=True,
+    )

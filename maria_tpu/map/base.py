@@ -1,0 +1,136 @@
+"""Map base class (reference: maria/map/base.py:53-560).
+
+A Map is a data cube with *slice dims* (stokes, nu, t) times *map dims*
+(eta/xi for projections, pixel for HEALPix). Data lives as jnp arrays;
+units convert through the calibration graph per frequency channel.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..calibration import Calibration
+from ..units import Quantity, parse_units
+
+logger = logging.getLogger("maria_tpu")
+
+VALID_MAP_QUANTITIES = [
+    "rayleigh_jeans_temperature",
+    "cmb_temperature_anisotropy",
+    "brightness_temperature",
+    "spectral_flux_density_per_pixel",
+    "spectral_flux_density_per_beam",
+    "spectral_radiance",
+    "compton_y",
+]
+
+STOKES_ORDER = "IQUV"
+
+
+class Map:
+    """Base for sky maps; subclasses define the map dims."""
+
+    map_dims: tuple = ()
+
+    def __init__(
+        self,
+        data,
+        stokes: str = None,
+        nu=None,
+        t=None,
+        units: str = "K_RJ",
+        weight=None,
+        dtype=jnp.float32,
+        degrees: bool = True,
+    ):
+        u = parse_units(units)
+        if u.quantity not in VALID_MAP_QUANTITIES:
+            raise ValueError(
+                f"Invalid map units '{units}' (quantity '{u.quantity}')."
+            )
+        self.units = units
+        self.dtype = dtype
+
+        data = jnp.asarray(data, dtype=dtype)
+        n_map_dims = len(self.map_dims)
+
+        # normalize to (stokes, nu, t, *map_dims)
+        while data.ndim < n_map_dims + 3:
+            data = data[None]
+        if data.ndim != n_map_dims + 3:
+            raise ValueError(f"Map data has too many dims ({data.ndim}).")
+        self.data = data
+
+        self.stokes = stokes or STOKES_ORDER[: data.shape[0]]
+        if len(self.stokes) != data.shape[0]:
+            raise ValueError(f"Stokes '{self.stokes}' does not match data shape {data.shape}.")
+
+        self.nu = np.atleast_1d(np.asarray(nu if nu is not None else [150e9], dtype=float))
+        if len(self.nu) != data.shape[1]:
+            raise ValueError(f"nu axis ({len(self.nu)}) does not match data shape {data.shape}.")
+
+        self.t = np.atleast_1d(np.asarray(t if t is not None else [0.0], dtype=float))
+        if len(self.t) != data.shape[2]:
+            raise ValueError(f"t axis ({len(self.t)}) does not match data shape {data.shape}.")
+
+        self.weight = jnp.asarray(weight, dtype=dtype) if weight is not None else jnp.ones_like(self.data)
+
+    # -- structure ----------------------------------------------------------------
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def n_stokes(self):
+        return len(self.stokes)
+
+    @property
+    def n_nu(self):
+        return len(self.nu)
+
+    @property
+    def nu_bin_bounds(self):
+        """Channel boundaries: midpoints between adjacent nu
+        (reference map/base.py nu_bin_bounds)."""
+        if self.n_nu == 1:
+            return [(Quantity(0.0, "Hz"), Quantity(np.inf, "Hz"))]
+        edges = [0.0, *(0.5 * (self.nu[1:] + self.nu[:-1])), np.inf]
+        return [
+            (Quantity(lo, "Hz"), Quantity(hi, "Hz")) for lo, hi in zip(edges[:-1], edges[1:])
+        ]
+
+    # -- units -----------------------------------------------------------------------
+    def _calibration_kwargs(self, **kwargs):
+        return kwargs
+
+    def to(self, units: str, band=None) -> "Map":
+        """Convert per frequency channel (reference map/base.py:392)."""
+        if parse_units(units).dims == parse_units(self.units).dims and parse_units(units).factor == parse_units(self.units).factor:
+            return self
+        new_data = []
+        for i, nu in enumerate(self.nu):
+            cal = Calibration(
+                f"{self.units} -> {units}",
+                nu=nu,
+                band=band,
+                **self._calibration_kwargs(),
+            )
+            if cal.linear():
+                factor = float(np.asarray(cal(1.0)))
+                new_data.append(self.data[:, i] * factor)
+            else:
+                new_data.append(jnp.asarray(cal(np.asarray(self.data[:, i]))))
+        return self._replace(data=jnp.stack(new_data, axis=1), units=units)
+
+    def _replace(self, **kwargs):
+        raise NotImplementedError
+
+    def __repr__(self):
+        rms = float(np.asarray(self.data).std())
+        return (
+            f"{type(self).__name__}(shape={tuple(self.shape)}, stokes='{self.stokes}', "
+            f"nu={[f'{n/1e9:.0f} GHz' for n in self.nu]}, units='{self.units}', rms={rms:.3e})"
+        )

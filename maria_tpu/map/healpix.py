@@ -1,0 +1,123 @@
+"""All-sky HEALPix maps (reference: maria/map/healpix.py:17-150).
+
+Data shape (stokes, nu, t, npix), RING ordering. Sampling along a line
+of sight is an `ang2pix` gather in pure jnp.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..coords import ephemeris as eph
+from ..healpix.core import ang2pix_ring, npix2nside, nside2npix, pix2ang_ring
+from ..units import Quantity
+from .base import Map
+
+logger = logging.getLogger("maria_tpu")
+
+
+class HEALPixMap(Map):
+    map_dims = ("pixel",)
+
+    def __init__(
+        self,
+        data,
+        frame: str = "galactic",
+        stokes: str = None,
+        nu=None,
+        t=None,
+        units: str = "K_CMB",
+        weight=None,
+        dtype=jnp.float32,
+        degrees: bool = True,
+    ):
+        super().__init__(data, stokes=stokes, nu=nu, t=t, units=units, weight=weight, dtype=dtype)
+        self.frame = frame
+        self.nside = npix2nside(self.data.shape[-1])
+
+    def _replace(self, **kwargs):
+        params = dict(
+            data=self.data, frame=self.frame, stokes=self.stokes,
+            nu=self.nu, t=self.t, units=self.units, weight=self.weight,
+        )
+        params.update(kwargs)
+        return HEALPixMap(**params)
+
+    def _calibration_kwargs(self):
+        return {"pixel_area": 4 * np.pi / nside2npix(self.nside)}
+
+    @property
+    def npix(self):
+        return self.data.shape[-1]
+
+    @property
+    def resolution(self) -> float:
+        return float(np.sqrt(4 * np.pi / self.npix))
+
+    # -- device sampling ------------------------------------------------------------
+    def pixel_index(self, phi, theta_lat):
+        """RING pixel of (longitude, latitude) in the map's frame; pure jnp."""
+        return ang2pix_ring(self.nside, jnp.pi / 2 - theta_lat, phi)
+
+    def sample_stokes(self, pointing, stokes_weight, nu_index: int = 0, t_index: int = 0):
+        """Stokes-weighted sample along each line of sight: shape (n_det, n_t).
+
+        `pointing` is a tod.Pointing; coordinates are converted to the
+        map's frame on device (ICRS -> galactic is one 3x3 matmul).
+        """
+        ra, dec = pointing.det_radec()
+        if self.frame == "galactic":
+            R = jnp.asarray(eph.ICRS_TO_GAL, dtype=jnp.float32)
+            cos_d = jnp.cos(dec)
+            v = jnp.stack([jnp.cos(ra) * cos_d, jnp.sin(ra) * cos_d, jnp.sin(dec)], axis=-1)
+            v_gal = jnp.einsum("ij,...j->...i", R, v)
+            phi = jnp.arctan2(v_gal[..., 1], v_gal[..., 0])
+            lat = jnp.arcsin(jnp.clip(v_gal[..., 2], -1, 1))
+        elif self.frame == "ra/dec":
+            phi, lat = ra, dec
+        else:
+            raise ValueError(f"Cannot sample a HEALPixMap in frame '{self.frame}'.")
+
+        pix = self.pixel_index(phi, lat)
+        out = 0.0
+        for s in range(self.n_stokes):
+            w = stokes_weight[:, s][:, None]
+            field = self.data[s, nu_index, t_index]
+            out = out + w * jnp.take(field, pix, axis=0)
+        return out
+
+    def smooth(self, fwhm) -> "HEALPixMap":
+        """Harmonic-space Gaussian smoothing (reference healpix.py:126)."""
+        from ..healpix.sht import alm2map, map2alm
+
+        fwhm_rad = float(np.asarray(Quantity(fwhm, "rad")))
+        sigma = fwhm_rad / (2 * np.sqrt(2 * np.log(2)))
+        lmax = min(3 * self.nside - 1, 1024)
+        ells = np.arange(lmax + 1)
+        beam = np.exp(-0.5 * ells * (ells + 1) * sigma**2)
+        new_data = np.asarray(self.data).copy()
+        for s in range(self.n_stokes):
+            for i in range(self.n_nu):
+                for j in range(len(self.t)):
+                    alm = map2alm(np.asarray(self.data[s, i, j], dtype=float), lmax=lmax)
+                    alm *= beam[:, None]
+                    new_data[s, i, j] = alm2map(alm, self.nside)
+        return self._replace(data=jnp.asarray(new_data, dtype=self.dtype))
+
+    def to_hdf(self, path: str):
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            f.create_dataset("data", data=np.asarray(self.data))
+            f.attrs["stokes"] = self.stokes
+            f.attrs["units"] = self.units
+            f.attrs["frame"] = self.frame
+            f.create_dataset("nu", data=self.nu)
+            f.create_dataset("t", data=self.t)
+
+    def __repr__(self):
+        base = super().__repr__()[:-1]
+        return base + f", nside={self.nside}, frame='{self.frame}')"

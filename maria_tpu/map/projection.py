@@ -1,0 +1,259 @@
+"""Flat-sky projected maps (reference: maria/map/projection.py:28-780).
+
+Data shape (stokes, nu, t, eta, xi). The pointing "matrix" is never
+materialized: `sample` is a (bilinear) gather fused into the simulation
+program, and `bin` (used by the mappers) is a segment-sum scatter —
+the TPU-native equivalents of the reference's scipy CSR matrices
+(projection.py:134-179).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..beam import gaussian_beam_fft_filter
+from ..units import Quantity
+from .base import Map
+
+logger = logging.getLogger("maria_tpu")
+
+
+class ProjectionMap(Map):
+    map_dims = ("eta", "xi")
+
+    def __init__(
+        self,
+        data,
+        center=(0.0, 0.0),
+        width=None,
+        height=None,
+        resolution=None,
+        frame: str = "ra/dec",
+        stokes: str = None,
+        nu=None,
+        t=None,
+        units: str = "K_RJ",
+        weight=None,
+        degrees: bool = True,
+        dtype=jnp.float32,
+    ):
+        super().__init__(data, stokes=stokes, nu=nu, t=t, units=units, weight=weight, dtype=dtype)
+        self.frame = frame
+        n_eta, n_xi = self.data.shape[-2:]
+
+        to_rad = np.pi / 180 if degrees else 1.0
+        self.center = (float(center[0]) * to_rad, float(center[1]) * to_rad)
+
+        # resolve center/width/resolution (reference projection.py:101-132)
+        if resolution is not None:
+            res = float(resolution) * to_rad
+            width = res * n_xi
+            height = res * n_eta
+        elif width is not None:
+            width = float(width) * to_rad
+            height = float(height) * to_rad if height is not None else width * n_eta / n_xi
+            res = width / n_xi
+        else:
+            raise ValueError("Supply either 'width' or 'resolution'.")
+        self.width, self.height, self.resolution = width, height, res
+
+        # pixel centers as tangent-plane offsets from the map center
+        self.x_side = (np.arange(n_xi) - (n_xi - 1) / 2) * res
+        self.y_side = (np.arange(n_eta) - (n_eta - 1) / 2) * (height / n_eta)
+
+    def _replace(self, **kwargs):
+        params = dict(
+            data=self.data,
+            center=np.degrees(self.center),
+            width=np.degrees(self.width),
+            height=np.degrees(self.height),
+            frame=self.frame,
+            stokes=self.stokes,
+            nu=self.nu,
+            t=self.t,
+            units=self.units,
+            weight=self.weight,
+            degrees=True,
+        )
+        if "units" in kwargs and "data" in kwargs:
+            params.update(kwargs)
+        else:
+            params.update(kwargs)
+        return ProjectionMap(**params)
+
+    def _calibration_kwargs(self):
+        return {"pixel_area": self.pixel_area}
+
+    @property
+    def n_x(self):
+        return self.data.shape[-1]
+
+    @property
+    def n_y(self):
+        return self.data.shape[-2]
+
+    @property
+    def pixel_area(self) -> float:
+        return float(self.resolution * (self.height / self.n_y))
+
+    @property
+    def x_res(self) -> float:
+        return float(self.resolution)
+
+    @property
+    def y_res(self) -> float:
+        return float(self.height / self.n_y)
+
+    # -- device sampling / binning -------------------------------------------------
+    def sample(self, dx, dy, stokes_weight=None, nu_index: int = 0, t_index: int = 0, bilinear: bool = True):
+        """Sample the map at tangent-plane offsets (dx, dy) from its center.
+
+        Returns Stokes-weighted values: sum_s w_s * map_s(dx, dy). Pure
+        jnp; out-of-map samples return 0.
+        """
+        from ..ops.interp import interp_bilinear_grid
+
+        x_side = jnp.asarray(self.x_side)
+        y_side = jnp.asarray(self.y_side)
+        out = 0.0
+        for s in range(self.n_stokes):
+            if stokes_weight is None:
+                w = 1.0 if s == 0 else 0.0
+            else:
+                w = stokes_weight[:, s][:, None]
+            if isinstance(w, float) and w == 0.0:
+                continue
+            field = self.data[s, nu_index, t_index]
+            if bilinear:
+                vals = interp_bilinear_grid(field, dx, dy, x_side, y_side)
+            else:
+                ix = jnp.clip(jnp.round((dx - x_side[0]) / self.x_res).astype(jnp.int32), 0, self.n_x - 1)
+                iy = jnp.clip(jnp.round((dy - y_side[0]) / self.y_res).astype(jnp.int32), 0, self.n_y - 1)
+                inside = (
+                    (dx >= x_side[0] - self.x_res / 2) & (dx <= x_side[-1] + self.x_res / 2)
+                    & (dy >= y_side[0] - self.y_res / 2) & (dy <= y_side[-1] + self.y_res / 2)
+                )
+                vals = jnp.where(inside, field[iy, ix], 0.0)
+            out = out + w * vals
+        return out
+
+    def pixel_index(self, dx, dy):
+        """Flattened nearest-pixel index and validity mask for offsets."""
+        ix = jnp.round((dx - self.x_side[0]) / self.x_res).astype(jnp.int32)
+        iy = jnp.round((dy - self.y_side[0]) / self.y_res).astype(jnp.int32)
+        inside = (ix >= 0) & (ix < self.n_x) & (iy >= 0) & (iy < self.n_y)
+        flat = jnp.clip(iy, 0, self.n_y - 1) * self.n_x + jnp.clip(ix, 0, self.n_x - 1)
+        return flat, inside
+
+    # -- image-space ops --------------------------------------------------------------
+    def smooth(self, fwhm) -> "ProjectionMap":
+        """Gaussian beam smoothing as a Fourier multiply
+        (reference projection.py:485, weight-aware)."""
+        fwhm_rad = float(Quantity(fwhm, "rad").rad) if not hasattr(fwhm, "rad") else float(fwhm.rad)
+        F = gaussian_beam_fft_filter((self.n_y, self.n_x), self.y_res, self.x_res, fwhm_rad)
+        flat = self.data.reshape(-1, self.n_y, self.n_x)
+        smoothed = jnp.fft.irfft2(jnp.fft.rfft2(flat) * F, s=(self.n_y, self.n_x))
+        return self._replace(data=smoothed.reshape(self.data.shape))
+
+    def zero_pad(self, factor: float = 1.5) -> "ProjectionMap":
+        new_ny = int(self.n_y * factor)
+        new_nx = int(self.n_x * factor)
+        pad_y = (new_ny - self.n_y) // 2
+        pad_x = (new_nx - self.n_x) // 2
+        padded = jnp.pad(
+            self.data, [(0, 0), (0, 0), (0, 0), (pad_y, new_ny - self.n_y - pad_y), (pad_x, new_nx - self.n_x - pad_x)]
+        )
+        return ProjectionMap(
+            data=padded, center=np.degrees(self.center), resolution=np.degrees(self.resolution),
+            frame=self.frame, stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+        )
+
+    def trim(self) -> "ProjectionMap":
+        """Crop to the bounding box of nonzero weight."""
+        w = np.asarray(self.weight).sum(axis=(0, 1, 2))
+        rows = np.where(w.sum(axis=1) > 0)[0]
+        cols = np.where(w.sum(axis=0) > 0)[0]
+        if len(rows) == 0:
+            return self
+        sl = (slice(None), slice(None), slice(None), slice(rows[0], rows[-1] + 1), slice(cols[0], cols[-1] + 1))
+        return ProjectionMap(
+            data=self.data[sl], center=np.degrees(self.center), resolution=np.degrees(self.resolution),
+            frame=self.frame, stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+            weight=self.weight[sl],
+        )
+
+    def reduce(self, factor: int) -> "ProjectionMap":
+        """Block-average downsample (reference projection.py:427)."""
+        ny = (self.n_y // factor) * factor
+        nx = (self.n_x // factor) * factor
+        d = self.data[..., :ny, :nx].reshape(*self.data.shape[:3], ny // factor, factor, nx // factor, factor)
+        return ProjectionMap(
+            data=d.mean(axis=(-3, -1)), center=np.degrees(self.center),
+            resolution=np.degrees(self.resolution * factor), frame=self.frame,
+            stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+        )
+
+    def resample(self, resolution=None, shape=None) -> "ProjectionMap":
+        from ..ops.interp import interp_bilinear_grid
+
+        if resolution is not None:
+            res = float(resolution)
+            nx = int(self.width / res)
+            ny = int(self.height / res)
+        else:
+            ny, nx = shape
+        new_x = (np.arange(nx) - (nx - 1) / 2) * self.width / nx
+        new_y = (np.arange(ny) - (ny - 1) / 2) * self.height / ny
+        X, Y = np.meshgrid(new_x, new_y)
+        flat = self.data.reshape(-1, self.n_y, self.n_x)
+        out = jnp.stack(
+            [interp_bilinear_grid(f, jnp.asarray(X), jnp.asarray(Y), jnp.asarray(self.x_side), jnp.asarray(self.y_side)) for f in flat]
+        )
+        return ProjectionMap(
+            data=out.reshape(*self.data.shape[:3], ny, nx), center=np.degrees(self.center),
+            width=np.degrees(self.width), height=np.degrees(self.height), frame=self.frame,
+            stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+        )
+
+    # -- i/o -------------------------------------------------------------------------
+    def to_hdf(self, path: str):
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            f.create_dataset("data", data=np.asarray(self.data))
+            f.create_dataset("weight", data=np.asarray(self.weight))
+            f.attrs["stokes"] = self.stokes
+            f.attrs["units"] = self.units
+            f.attrs["frame"] = self.frame
+            f.attrs["center_deg"] = np.degrees(self.center)
+            f.attrs["resolution_deg"] = np.degrees(self.resolution)
+            f.create_dataset("nu", data=self.nu)
+            f.create_dataset("t", data=self.t)
+
+    def to_fits(self, path: str):
+        from ..io.fits import write_fits_map
+
+        write_fits_map(self, path)
+
+    def plot(self, nu_index=0, t_index=0, stokes="I", ax=None, cmap="cmb", **kwargs):
+        from ..plotting.map import plot_projection_map
+
+        return plot_projection_map(self, nu_index=nu_index, t_index=t_index, stokes=stokes, ax=ax, cmap=cmap, **kwargs)
+
+    @property
+    def transfer_function(self):
+        from .transfer import compute_transfer_function
+
+        return lambda other, **kw: compute_transfer_function(self, other, **kw)
+
+    def __repr__(self):
+        base = super().__repr__()[:-1]
+        return (
+            base
+            + f", center=({np.degrees(self.center[0]):.2f}°, {np.degrees(self.center[1]):.2f}°),"
+            f" res={Quantity(self.resolution, 'rad')!r}, frame='{self.frame}')"
+        )

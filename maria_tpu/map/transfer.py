@@ -1,0 +1,102 @@
+"""Map transfer functions (reference: maria/map/transfer.py:27-232).
+
+Cross-spectrum estimate T(k) = Re<F_in* F_out> / <|F_in|^2> with an
+apodizing window and log-spaced radial bins.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import scipy as sp
+
+from ..units import Quantity
+
+logger = logging.getLogger("maria_tpu")
+
+
+class TransferFunction:
+    def __init__(self, k, tf, k_err=None, tf_err=None, input_map=None, output_map=None):
+        self.k = k  # rad^-1
+        self.tf = tf
+        self.tf_err = tf_err
+        self.input_map = input_map
+        self.output_map = output_map
+
+    def __call__(self, k):
+        return np.interp(k, self.k, self.tf)
+
+    def plot(self, ax=None, **kwargs):
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(1, 1)
+        ax.semilogx(self.k, self.tf, **kwargs)
+        if self.tf_err is not None:
+            ax.fill_between(self.k, self.tf - self.tf_err, self.tf + self.tf_err, alpha=0.3)
+        ax.set_xlabel(r"$k$ [rad$^{-1}$]")
+        ax.set_ylabel(r"$T(k)$")
+        ax.axhline(1.0, color="gray", ls=":")
+        return ax
+
+    def __repr__(self):
+        return f"TransferFunction(k=[{self.k.min():.1f}, {self.k.max():.1f}] rad^-1)"
+
+
+def compute_transfer_function(
+    input_map,
+    output_map,
+    window: str = "tukey",
+    n_bins: int = 32,
+    pad_factor: float = 1.0,
+    stokes_index: int = 0,
+    nu_index: int = 0,
+    t_index: int = 0,
+):
+    """(reference transfer.py:27-146)"""
+    d_in = np.asarray(input_map.data[stokes_index, nu_index, t_index], dtype=float)
+    d_out = np.nan_to_num(np.asarray(output_map.data[stokes_index, nu_index, t_index], dtype=float))
+
+    if d_in.shape != d_out.shape:
+        raise ValueError(f"Map shapes differ: {d_in.shape} vs {d_out.shape}.")
+
+    ny, nx = d_in.shape
+    w2d = np.outer(sp.signal.get_window((window, 0.5) if window == "tukey" else window, ny),
+                   sp.signal.get_window((window, 0.5) if window == "tukey" else window, nx))
+
+    valid = np.asarray(output_map.weight[stokes_index, nu_index, t_index]) > 0
+    w2d = w2d * valid
+    d_in = (d_in - d_in[valid].mean() if valid.any() else d_in) * w2d
+    d_out = d_out * w2d
+
+    if pad_factor > 1:
+        py, px = int(ny * (pad_factor - 1) / 2), int(nx * (pad_factor - 1) / 2)
+        d_in = np.pad(d_in, ((py, py), (px, px)))
+        d_out = np.pad(d_out, ((py, py), (px, px)))
+        ny, nx = d_in.shape
+
+    res_y = output_map.y_res
+    res_x = output_map.x_res
+    F_in = np.fft.rfft2(d_in)
+    F_out = np.fft.rfft2(d_out)
+    ky = np.fft.fftfreq(ny, d=res_y)
+    kx = np.fft.rfftfreq(nx, d=res_x)
+    k = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
+
+    cross = np.real(np.conj(F_in) * F_out)
+    auto = np.abs(F_in) ** 2
+
+    k_pos = k[k > 0]
+    bins = np.geomspace(k_pos.min(), k.max(), n_bins + 1)
+    idx = np.digitize(k.ravel(), bins) - 1
+    tf = np.full(n_bins, np.nan)
+    kc = np.sqrt(bins[:-1] * bins[1:])
+    for i in range(n_bins):
+        sel = idx == i
+        denom = auto.ravel()[sel].sum()
+        if denom > 0:
+            tf[i] = cross.ravel()[sel].sum() / denom
+
+    good = np.isfinite(tf)
+    return TransferFunction(k=kc[good], tf=tf[good], input_map=input_map, output_map=output_map)

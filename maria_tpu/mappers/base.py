@@ -1,0 +1,152 @@
+"""Mapper base (reference: maria/mappers/base.py:27-345).
+
+Handles geometry inference from TOD pointing, per-TOD preprocessing,
+Stokes inference from detector Mueller sensitivity, and shared
+postprocessing into a ProjectionMap.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..coords import Frame
+from ..map.projection import ProjectionMap
+from ..units import Quantity
+
+logger = logging.getLogger("maria_tpu")
+
+
+class BaseMapper:
+    def __init__(
+        self,
+        tods,
+        center=None,
+        width=None,
+        height=None,
+        resolution=None,
+        frame: str = "ra/dec",
+        units: str = "K_RJ",
+        degrees: bool = True,
+        tod_preprocessing: dict = {},
+        map_postprocessing: dict = {},
+        t_bins: int = 1,
+    ):
+        self.frame = Frame(frame)
+        self.units = units
+        self.t_bins = t_bins
+        self.map_postprocessing = dict(map_postprocessing)
+
+        tods = tods if isinstance(tods, (list, tuple)) else [tods]
+        self.tods = []
+        for tod in tods:
+            self.add_tod(tod, preprocessing=tod_preprocessing)
+
+        to_rad = np.pi / 180 if degrees else 1.0
+
+        # geometry inference from the TOD boresight + array footprint
+        # (reference base.py:231-274)
+        if center is None or width is None:
+            centers, extents = [], []
+            for tod in self.tods:
+                c = tod.pointing.boresight.center(frame=self.frame)
+                centers.append((float(np.asarray(c[0])), float(np.asarray(c[1]))))
+            center_inferred = (
+                float(np.mean([c[0] for c in centers])),
+                float(np.mean([c[1] for c in centers])),
+            )
+            if center is None:
+                center_rad = center_inferred
+            else:
+                center_rad = (center[0] * to_rad, center[1] * to_rad)
+            max_half = 0.0
+            for tod in self.tods:
+                bs_off = tod.pointing.boresight.offsets(frame=self.frame, center=center_rad)
+                det_r = np.abs(tod.pointing.offsets).max() if tod.pointing.offsets.size else 0.0
+                max_half = max(max_half, np.abs(bs_off).max() + det_r)
+            width_rad = 2.05 * max_half
+            height_rad = width_rad
+        else:
+            center_rad = (center[0] * to_rad, center[1] * to_rad)
+            width_rad = width * to_rad
+            height_rad = (height if height is not None else width) * to_rad
+
+        if resolution is None:
+            raise ValueError("Supply a map 'resolution'.")
+        res_rad = resolution * to_rad
+
+        self.center = center_rad
+        self.n_x = max(int(np.ceil(width_rad / res_rad)), 1)
+        self.n_y = max(int(np.ceil(height_rad / res_rad)), 1)
+        self.res = res_rad
+
+        # Stokes inference from detector sensitivity (reference base.py:80-87)
+        sw = np.concatenate([tod.dets.stokes_weight() for tod in self.tods], axis=0)
+        self.stokes = "".join(s for i, s in enumerate("IQUV") if np.abs(sw[:, i]).max() > 1e-8)
+
+        # one frequency channel per band
+        self.bands = []
+        seen = set()
+        for tod in self.tods:
+            for band in tod.dets.bands:
+                if band.name not in seen:
+                    self.bands.append(band)
+                    seen.add(band.name)
+        self.bands.sort(key=lambda b: b.center)
+        self.nu = np.array([b.center for b in self.bands])
+
+        # time bins across the combined span
+        t_min = min(float(tod.time.min()) for tod in self.tods)
+        t_max = max(float(tod.time.max()) for tod in self.tods) + 1e-6
+        self.t_edges = np.linspace(t_min, t_max, t_bins + 1)
+        self.t_centers = 0.5 * (self.t_edges[1:] + self.t_edges[:-1])
+
+    def add_tod(self, tod, preprocessing: dict = {}):
+        if preprocessing:
+            processed = tod.process(**preprocessing)
+        else:
+            processed = tod
+        if processed.units != self.units:
+            # processing collapses fields into 'signal'; keep dets/pointing
+            processed = processed.to(self.units) if processed.dets is not None else processed
+        self.tods.append(processed)
+
+    def postprocess(self, sums, weights):
+        """Shared postprocessing (reference base.py:164-198): optional
+        Gaussian smoothing of sums and weights, then the zero-mean
+        convention per (stokes, nu, t) slice."""
+        from scipy.ndimage import gaussian_filter
+
+        sums = np.asarray(sums, dtype=np.float64)
+        weights = np.asarray(weights, dtype=np.float64)
+
+        sigma = self.map_postprocessing.get("gaussian_filter", {}).get("sigma", 0)
+        if sigma:
+            sums = gaussian_filter(sums, sigma=(0, 0, 0, sigma, sigma))
+            weights = gaussian_filter(weights, sigma=(0, 0, 0, sigma, sigma))
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = sums / weights
+        if not self.map_postprocessing.get("keep_mean", False):
+            for idx in np.ndindex(m.shape[:3]):
+                valid = weights[idx] > 0
+                if valid.any():
+                    m[idx] -= m[idx][valid].mean()
+        m = np.where(weights > 0, m, np.nan)
+        return m, weights
+
+    def make_map(self, data, weights) -> ProjectionMap:
+        return ProjectionMap(
+            data=jnp.asarray(np.nan_to_num(data), dtype=jnp.float32),
+            weight=jnp.asarray(weights, dtype=jnp.float32),
+            center=np.degrees(self.center),
+            resolution=np.degrees(self.res),
+            frame=self.frame.name,
+            stokes=self.stokes,
+            nu=self.nu,
+            t=self.t_centers,
+            units=self.units,
+            degrees=True,
+        )

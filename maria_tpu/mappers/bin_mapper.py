@@ -1,0 +1,101 @@
+"""Binned map-making (reference: maria/mappers/bin_mapper.py:24-112).
+
+TPU-native: the sparse pointing matrix of the reference becomes a
+jax.ops.segment_sum scatter over flattened pixel ids — one fused program
+per (TOD, band): offsets -> pixel ids -> weighted scatter of data and
+weights. On a device mesh the per-shard partial maps are psum-reduced
+(see maria_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coords.transforms import phi_theta_to_offsets_jit
+from .base import BaseMapper
+
+logger = logging.getLogger("maria_tpu")
+
+
+def _bin_tod_block(data, weight, dx, dy, stokes_w, x0, y0, res, n_x, n_y, n_stokes):
+    """Scatter one block of samples into per-Stokes (sum, wgt) maps.
+
+    Pure jnp: nearest-pixel segment-sum. data/weight/dx/dy are
+    (n_det, n_t); stokes_w is (n_det, n_stokes).
+    """
+    ix = jnp.round((dx - x0) / res).astype(jnp.int32)
+    iy = jnp.round((dy - y0) / res).astype(jnp.int32)
+    inside = (ix >= 0) & (ix < n_x) & (iy >= 0) & (iy < n_y)
+    flat = jnp.where(inside, iy * n_x + ix, n_x * n_y)  # overflow bucket
+
+    sums = []
+    wgts = []
+    for s in range(n_stokes):
+        w_s = stokes_w[:, s][:, None]
+        num = jax.ops.segment_sum(
+            (weight * w_s * data).ravel(), flat.ravel(), num_segments=n_x * n_y + 1
+        )
+        den = jax.ops.segment_sum(
+            (weight * jnp.abs(w_s)).ravel(), flat.ravel(), num_segments=n_x * n_y + 1
+        )
+        sums.append(num[:-1].reshape(n_y, n_x))
+        wgts.append(den[:-1].reshape(n_y, n_x))
+    return jnp.stack(sums), jnp.stack(wgts)
+
+
+_bin_tod_block_jit = jax.jit(_bin_tod_block, static_argnames=("n_x", "n_y", "n_stokes"))
+
+
+class BinMapper(BaseMapper):
+    def run(self):
+        n_s, n_nu, n_t = len(self.stokes), len(self.nu), self.t_bins
+        sums = np.zeros((n_s, n_nu, n_t, self.n_y, self.n_x))
+        wgts = np.zeros_like(sums)
+
+        stokes_idx = ["IQUV".index(s) for s in self.stokes]
+        x0 = -(self.n_x - 1) / 2 * self.res
+        y0 = -(self.n_y - 1) / 2 * self.res
+
+        for tod in self.tods:
+            # detector offsets from the map center in the map frame
+            pointing = tod.pointing
+            if self.frame.name == "ra/dec":
+                ra, dec = pointing.det_radec()
+                pt = jnp.stack([ra, dec], axis=-1)
+            else:
+                az, el = pointing.det_azel()
+                pt = jnp.stack([az, el], axis=-1)
+            offsets = phi_theta_to_offsets_jit(pt, self.center[0], self.center[1])
+            dx, dy = offsets[..., 0], offsets[..., 1]
+
+            t_index = np.digitize(np.asarray(tod.time), self.t_edges) - 1
+            data = tod.signal
+            weight = tod.weight
+
+            for i_nu, band in enumerate(self.bands):
+                band_idx = np.where(tod.dets.band_name == band.name)[0]
+                if len(band_idx) == 0:
+                    continue
+                sw = jnp.asarray(
+                    tod.dets.stokes_weight()[band_idx][:, stokes_idx], dtype=jnp.float32
+                )
+                for i_t in range(n_t):
+                    cols = np.where(t_index == i_t)[0]
+                    if len(cols) == 0:
+                        continue
+                    sl = slice(cols[0], cols[-1] + 1)
+                    s_block, w_block = _bin_tod_block_jit(
+                        data[band_idx, sl], weight[band_idx, sl],
+                        dx[band_idx, sl], dy[band_idx, sl], sw,
+                        x0, y0, self.res, self.n_x, self.n_y, len(stokes_idx),
+                    )
+                    sums[:, i_nu, i_t] += np.asarray(s_block)
+                    wgts[:, i_nu, i_t] += np.asarray(w_block)
+
+        data, weights = self.postprocess(sums, wgts)
+        self.map = self.make_map(data, weights)
+        return self.map

@@ -1,0 +1,67 @@
+"""Detector-noise synthesis (reference: maria/noise/generation.py:11-61).
+
+White + 1/f^beta "pink" noise with a knee, optionally with a spatially
+correlated component projected through a low-rank Matérn focal-plane
+basis. Pure jnp: the pink weighting is one rfft/irfft pair that fuses
+with the rest of the simulation program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["generate_noise_with_knee"]
+
+DEFAULT_NOISE_SIM_KWARGS = {
+    "correlated_noise_proportion": 0.5,
+    "correlated_noise_spatial_scale": 1.0,
+}
+
+
+def _pink_weights(n: int, sample_rate: float, knee: float, beta: float):
+    f = np.fft.rfftfreq(n, d=1 / sample_rate)
+    with np.errstate(divide="ignore"):
+        ps = np.where(f != 0, (knee / 2) / np.abs(f) ** beta, 0.0)
+    return jnp.asarray(np.sqrt(2 * sample_rate * ps), dtype=jnp.float32)
+
+
+def generate_noise_with_knee(
+    key,
+    shape: tuple,
+    sample_rate: float = 1.0,
+    knee: float = 0.0,
+    beta: float = 1.0,
+    basis=None,
+    corr_prop: float = 0.0,
+):
+    """Unit-NEP noise of the given shape (..., n_time).
+
+    The white component has variance sample_rate per sample (so that
+    multiplying by an NEP in W√s gives the right power spectral density);
+    the pink component adds (knee/2)/f^beta to the one-sided PSD.
+    """
+    n = shape[-1]
+    key_white, key_pink, key_modes = jax.random.split(key, 3)
+    noise = jnp.sqrt(sample_rate) * jax.random.normal(key_white, shape, dtype=jnp.float32)
+
+    if knee > 0:
+        weights = _pink_weights(n, sample_rate, knee, beta)
+        pink = jnp.fft.irfft(
+            weights * jnp.fft.rfft(jax.random.normal(key_pink, shape, dtype=jnp.float32), axis=-1),
+            n=n,
+            axis=-1,
+        )
+        if basis is not None and corr_prop > 0:
+            basis = jnp.asarray(basis, dtype=jnp.float32)
+            k = basis.shape[-1]
+            mode_noise = jnp.fft.irfft(
+                weights * jnp.fft.rfft(jax.random.normal(key_modes, (k, n), dtype=jnp.float32), axis=-1),
+                n=n,
+                axis=-1,
+            )
+            pink = jnp.sqrt(corr_prop) * basis @ mode_noise + jnp.sqrt(1 - corr_prop) * pink
+        noise = noise + pink
+
+    return noise

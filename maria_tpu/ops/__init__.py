@@ -1,1 +1,1 @@
-from .interp import RegularGridInterpolator, interp_1d, interp_bilinear_grid  # noqa: F401
+from .interp import RegularGridInterpolator, interp_1d, interp_bilinear_grid, upsample_time  # noqa: F401

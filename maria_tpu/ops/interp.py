@@ -88,6 +88,32 @@ class RegularGridInterpolator:
         return out
 
 
+def upsample_time(values, t_coarse, t_fine, kind: str = "cubic"):
+    """Upsample (..., n_coarse) arrays from a uniform coarse time grid to
+    fine times, with linear or Catmull-Rom cubic interpolation (the
+    reference uses scipy interp1d linear/cubic, maria/sim/atmosphere.py:30-37,72-80).
+    Extrapolation is clamped to the end values."""
+    values = jnp.asarray(values)
+    n = values.shape[-1]
+    t0 = t_coarse[0]
+    dt = (t_coarse[-1] - t_coarse[0]) / max(n - 1, 1)
+    f = (jnp.asarray(t_fine) - t0) / dt
+    if kind == "linear" or n < 4:
+        i = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n - 2)
+        w = jnp.clip(f - i, 0.0, 1.0)
+        return values[..., i] * (1 - w) + values[..., i + 1] * w
+    # Catmull-Rom cubic
+    i = jnp.clip(jnp.floor(f).astype(jnp.int32), 1, n - 3)
+    s = jnp.clip(f - i, 0.0, 1.0)
+    p0, p1, p2, p3 = (values[..., i - 1], values[..., i], values[..., i + 1], values[..., i + 2])
+    return 0.5 * (
+        2 * p1
+        + (-p0 + p2) * s
+        + (2 * p0 - 5 * p1 + 4 * p2 - p3) * s**2
+        + (-p0 + 3 * p1 - 3 * p2 + p3) * s**3
+    )
+
+
 def interp_bilinear_grid(values, x, y, x_side, y_side, fill_value=0.0):
     """Bilinear sample of a 2-D field `values` (ny, nx) at points (x, y).
 

@@ -1,0 +1,2 @@
+from .map import plot_projection_map  # noqa: F401
+from .tod import plot_tod, twinkle_plot  # noqa: F401

@@ -1,0 +1,61 @@
+"""TOD plotting (reference: maria/plotting/tod.py:25-230)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def plot_tod(tod, max_dets: int = 16, fields=None, fig=None):
+    """Per-band time series and binned power spectra."""
+    import matplotlib.pyplot as plt
+
+    fields = fields or tod.fields
+    bands = tod.dets.bands if tod.dets is not None else []
+    n_bands = max(len(bands), 1)
+
+    fig, axes = plt.subplots(n_bands, 2, figsize=(10, 3 * n_bands), squeeze=False, constrained_layout=True)
+    t = tod.time - tod.time[0]
+    fs = tod.fs
+
+    for i, band in enumerate(bands):
+        mask = np.where(tod.dets.band_name == band.name)[0][:max_dets]
+        ts_ax, ps_ax = axes[i]
+        for field in fields:
+            d = np.asarray(tod.data[field][mask])
+            ts_ax.plot(t, d.T, lw=0.5, alpha=0.7)
+            # binned power spectrum
+            ps = np.abs(np.fft.rfft(d - d.mean(axis=-1, keepdims=True), axis=-1)) ** 2
+            f = np.fft.rfftfreq(d.shape[-1], d=1 / fs)
+            ps_ax.loglog(f[1:], ps.mean(axis=0)[1:], lw=0.8, label=field)
+        ts_ax.set_title(f"{band.name}")
+        ts_ax.set_xlabel("time [s]")
+        ts_ax.set_ylabel(f"signal [{tod.units}]")
+        ps_ax.set_xlabel("frequency [Hz]")
+        ps_ax.set_ylabel("power")
+        ps_ax.legend(fontsize=7)
+    return fig
+
+
+def twinkle_plot(tod, n_frames: int = 32, filename: str = None):
+    """Animated focal-plane movie (reference plotting/tod.py:166)."""
+    import matplotlib.animation as animation
+    import matplotlib.pyplot as plt
+
+    offsets = np.degrees(tod.pointing.offsets)
+    sig = np.asarray(tod.signal)
+    frames = np.linspace(0, sig.shape[-1] - 1, n_frames).astype(int)
+
+    fig, ax = plt.subplots(1, 1, figsize=(5, 5))
+    vmin, vmax = np.percentile(sig, [1, 99])
+    scat = ax.scatter(offsets[:, 0], offsets[:, 1], c=sig[:, frames[0]], vmin=vmin, vmax=vmax, s=12)
+    ax.set_xlabel("xi [deg]")
+    ax.set_ylabel("eta [deg]")
+
+    def update(j):
+        scat.set_array(sig[:, frames[j]])
+        return (scat,)
+
+    anim = animation.FuncAnimation(fig, update, frames=n_frames, blit=True)
+    if filename:
+        anim.save(filename, fps=8)
+    return anim

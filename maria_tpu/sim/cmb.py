@@ -1,0 +1,101 @@
+"""CMB simulation mixin (reference: maria/sim/cmb.py:28-140)."""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import T_CMB, k_B
+from ..functions.radiometry import inverse_rayleigh_jeans_spectrum, planck_spectrum
+from ..ops import RegularGridInterpolator, upsample_time
+
+logger = logging.getLogger("maria_tpu")
+
+DEFAULT_CMB_SIM_KWARGS = {"nside": 256}
+
+
+class CMBMixin:
+    def _init_cmb(self, cmb, **cmb_kwargs):
+        from ..cmb import CMB, generate_cmb, get_cmb
+
+        if isinstance(cmb, str) and cmb in ["spectrum", "power_spectrum", "generate", "generated"]:
+            self.cmb = generate_cmb(seed=self.seed, **cmb_kwargs)
+        elif isinstance(cmb, str) and cmb in ["real", "planck"]:
+            self.cmb = get_cmb(**cmb_kwargs)
+        elif hasattr(cmb, "data"):
+            self.cmb = cmb
+        else:
+            raise ValueError(f"Invalid value for cmb '{cmb}'.")
+
+        if self.cmb.units != "K_CMB":
+            self.cmb = self.cmb.to("K_CMB")
+
+    def _cmb_power_grids(self, obs, band, eps: float = 1e-6):
+        """Per-band (P(T_CMB), dP/dT_CMB) over the detector samples.
+
+        The CMB is not a Rayleigh-Jeans source: integrate the Planck
+        spectrum through the passband (and atmospheric transmission if
+        present) at T_CMB and T_CMB + eps (reference sim/cmb.py:63-100).
+        """
+        nu = band.nu  # band's native grid
+        test_T_b = np.array([T_CMB, T_CMB + eps])
+        test_T_RJ = inverse_rayleigh_jeans_spectrum(
+            planck_spectrum(test_T_b[None], nu[:, None]), nu[:, None]
+        )  # (n_nu, 2)
+
+        band_idx = np.where(obs.instrument.dets.band_name == band.name)[0]
+
+        if hasattr(obs, "atmosphere"):
+            spectrum = obs.atmosphere.spectrum
+            # interpolate the opacity grid onto the band's nu grid and do the
+            # two-point bandpass integrals over the (T_base, pwv, el) grid
+            from scipy.interpolate import interp1d
+
+            op = interp1d(spectrum.side_nu, spectrum._opacity, axis=-1)(nu)  # (T_base, pwv, el, n_nu)
+            det_power_grid = (
+                1e12 * k_B * np.trapezoid(
+                    test_T_RJ[None, None, None] * (np.exp(-op) * band.passband(nu))[..., None],
+                    x=nu, axis=-2,
+                )
+            )  # (T_base, pwv, el, 2)
+            interp = RegularGridInterpolator(spectrum.points[:3], det_power_grid)
+            T0 = float(obs.atmosphere.weather.temperature[0])
+            pwv = obs.zenith_scaled_pwv[band_idx]
+            from ..tod.tod import Pointing
+
+            pointing = Pointing(obs.boresight, obs.offsets, obs.q)
+            _, el_full = pointing.det_azel()
+            P = interp((jnp.float32(T0), pwv, jnp.clip(el_full[band_idx], None, jnp.pi / 2)))
+        else:
+            P = 1e12 * k_B * np.trapezoid(
+                test_T_RJ * band.passband(nu)[:, None], x=nu, axis=-2
+            )  # (2,)
+            P = jnp.asarray(P)[None, None, :]
+
+        P0 = P[..., 0]
+        dP_dT = (P[..., 1] - P[..., 0]) / eps
+        return P0, dP_dT
+
+    def _compute_cmb_loading(self, obs):
+        from ..tod.tod import Pointing
+
+        cmb_loading = jnp.zeros(obs.shape, dtype=jnp.float32)
+        stokes_weight = jnp.asarray(obs.instrument.dets.stokes_weight(), dtype=jnp.float32)
+        pointing = Pointing(obs.boresight, obs.offsets, obs.q)
+
+        for band in obs.instrument.dets.bands:
+            band_idx = np.where(obs.instrument.dets.band_name == band.name)[0]
+            if len(band_idx) == 0:
+                continue
+            P0, dP_dT = self._cmb_power_grids(obs, band)
+
+            # sample the CMB map along the line of sight, per Stokes
+            sub_pointing = pointing[band_idx]
+            samples = self.cmb.sample_stokes(sub_pointing, stokes_weight[band_idx])  # K_CMB
+
+            band_loading = P0 * stokes_weight[band_idx, 0][:, None] + dP_dT * samples
+            cmb_loading = cmb_loading.at[band_idx].set(band_loading.astype(jnp.float32))
+        return cmb_loading

@@ -1,0 +1,107 @@
+"""Input-sky simulation mixin (reference: maria/sim/map.py:29-190).
+
+Scanning over a celestial map: per band, beam-smooth the input map,
+calibrate each frequency channel K_RJ -> pW with atmosphere-aware
+transmission, then sample with a Stokes-weighted bilinear gather and a
+final [1/4, 1/2, 1/4] time kernel mimicking continuous integration.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..beam import compute_angular_fwhm
+from ..constants import k_B
+from ..coords.transforms import phi_theta_to_offsets_jit
+from ..map import Map, get
+from ..units import Quantity
+
+logger = logging.getLogger("maria_tpu")
+
+DEFAULT_MAP_SIM_KWARGS = {"bilinear_sampling": True}
+
+
+class MapMixin:
+    def _initialize_map(self, map, **map_kwargs):  # noqa: A002
+        kwargs = {k: v for k, v in map_kwargs.items() if k not in DEFAULT_MAP_SIM_KWARGS}
+        if isinstance(map, str):
+            self.map = get(map, **kwargs)
+        elif isinstance(map, Map):
+            self.map = map
+        else:
+            raise ValueError("'map' must be either a Map or a string.")
+
+    def _map_offsets(self, obs, band_idx):
+        """Tangent-plane offsets of each detector sample from the map
+        center, in the map's frame; pure jnp, shape (n_band, n_t, 2)."""
+        from ..tod.tod import Pointing
+
+        pointing = Pointing(obs.boresight, obs.offsets[band_idx], obs.q)
+        if self.map.frame in ("ra/dec", "icrs"):
+            ra, dec = pointing.det_radec()
+            pt = jnp.stack([ra, dec], axis=-1)
+        else:  # az/el map
+            az, el = pointing.det_azel()
+            pt = jnp.stack([az, el], axis=-1)
+        return phi_theta_to_offsets_jit(pt, self.map.center[0], self.map.center[1])
+
+    def _sample_maps(self, obs):
+        bilinear = self.map_kwargs.get("bilinear_sampling", True)
+        map_loading = jnp.zeros(obs.shape, dtype=jnp.float32)
+        stokes_weight = jnp.asarray(obs.instrument.dets.stokes_weight(), dtype=jnp.float32)
+
+        for band in obs.instrument.dets.bands:
+            band_idx = np.where(obs.instrument.dets.band_name == band.name)[0]
+            if len(band_idx) == 0:
+                continue
+
+            band_fwhm = compute_angular_fwhm(
+                fwhm_0=float(np.mean(obs.instrument.dets.primary_size)), z=np.inf, nu=band.center
+            )
+            smoothed = self.map.smooth(fwhm=Quantity(band_fwhm, "rad"))
+            offsets = self._map_offsets(obs, band_idx)
+
+            band_loading = jnp.zeros((len(band_idx), obs.shape[-1]), dtype=jnp.float32)
+            for channel, (nu_min, nu_max) in enumerate(self.map.nu_bin_bounds):
+                if (band.nu.max() < float(nu_min.Hz)) or (float(nu_max.Hz) < band.nu.min()):
+                    continue
+                channel_map = smoothed.to("K_RJ", band=band)
+
+                spectrum_kwargs = {}
+                if getattr(obs, "atmosphere", None) is not None and hasattr(obs, "zenith_scaled_pwv"):
+                    from ..tod.tod import Pointing
+
+                    _, el = Pointing(obs.boresight, obs.offsets[band_idx], obs.q).det_azel()
+                    spectrum_kwargs = {
+                        "spectrum": obs.atmosphere.spectrum,
+                        "zenith_pwv": obs.zenith_scaled_pwv[band_idx],
+                        "base_temperature": obs.atmosphere.weather.temperature[0],
+                        "elevation": jnp.clip(el, None, jnp.pi / 2),
+                    }
+
+                pW_per_K_RJ = 1e12 * k_B * band.compute_transmission_integral(
+                    nu_min_Hz=float(nu_min.Hz), nu_max_Hz=float(nu_max.Hz), **spectrum_kwargs
+                )
+
+                samples = channel_map.sample(
+                    offsets[..., 0], offsets[..., 1],
+                    stokes_weight=stokes_weight[band_idx],
+                    nu_index=channel, bilinear=bilinear,
+                )
+                band_loading = band_loading + jnp.asarray(pW_per_K_RJ, dtype=jnp.float32) * samples
+
+            map_loading = map_loading.at[band_idx].set(band_loading)
+
+        # triangular time kernel to mimic continuous sampling
+        # (reference sim/map.py:167)
+        kernel = jnp.array([0.25, 0.5, 0.25], dtype=jnp.float32)
+        padded = jnp.pad(map_loading, ((0, 0), (1, 1)), mode="edge")
+        map_loading = (
+            kernel[0] * padded[:, :-2] + kernel[1] * padded[:, 1:-1] + kernel[2] * padded[:, 2:]
+        )
+
+        obs.loading["map"] = map_loading

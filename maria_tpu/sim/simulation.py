@@ -1,0 +1,182 @@
+"""The Simulation engine (reference: maria/sim/simulation.py:67-301).
+
+Builds one Observation per plan, wires the signal models (atmosphere,
+CMB, input maps, noise) and produces TODs. All per-sample math runs on
+device; the host only orchestrates.
+"""
+
+from __future__ import annotations
+
+import logging
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..instrument import Instrument, get_instrument
+from ..plan import Plan, PlanList, get_plan
+from ..site import Site, get_site
+from ..tod import TOD
+from ..tod.tod import Pointing
+from ..units import Quantity
+from .atmosphere import DEFAULT_ATMOSPHERE_SIM_KWARGS, AtmosphereMixin
+from .cmb import DEFAULT_CMB_SIM_KWARGS, CMBMixin
+from .map import DEFAULT_MAP_SIM_KWARGS, MapMixin
+from .noise import NoiseMixin
+from .observation import Observation
+
+logger = logging.getLogger("maria_tpu")
+
+
+class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
+    """What users should touch, primarily."""
+
+    @classmethod
+    def from_config(cls, config: dict = {}, **params):
+        return cls(**{**config, **params})
+
+    def __init__(
+        self,
+        instrument,
+        plans,
+        site,
+        atmosphere=None,
+        atmosphere_kwargs: dict = {},
+        cmb=None,
+        cmb_kwargs: dict = {},
+        map=None,  # noqa: A002
+        map_kwargs: dict = {},
+        noise: bool = True,
+        noise_kwargs: dict = {},
+        progress_bars: bool = False,
+        keep_mean_signal: bool = False,
+        seed: int = None,
+        dtype=jnp.float32,
+    ):
+        from ..noise import DEFAULT_NOISE_SIM_KWARGS
+
+        self.dtype = dtype
+        self.seed = seed
+        self._key = jax.random.key(seed if seed is not None else np.random.randint(2**31))
+        self.keep_mean_signal = keep_mean_signal
+
+        self.instrument = instrument if isinstance(instrument, Instrument) else get_instrument(instrument)
+        self.site = site if isinstance(site, Site) else get_site(site)
+
+        if isinstance(plans, str):
+            plans = [get_plan(plans)]
+        elif isinstance(plans, Plan):
+            plans = [plans]
+        self.plans = PlanList(plans)
+
+        self.atmosphere = atmosphere
+        self.atmosphere_kwargs = {**DEFAULT_ATMOSPHERE_SIM_KWARGS, **atmosphere_kwargs}
+        self.noise = noise
+        self.noise_kwargs = {**DEFAULT_NOISE_SIM_KWARGS, **noise_kwargs}
+
+        self.obs_list = []
+        for obs_index, plan in enumerate(self.plans):
+            obs_s = _time.monotonic()
+            obs = Observation(
+                instrument=self.instrument,
+                plan=plan,
+                site=self.site,
+                atmosphere=self.atmosphere,
+                atmosphere_kwargs=self.atmosphere_kwargs,
+            )
+            if hasattr(obs, "atmosphere"):
+                obs.atmosphere.initialize(obs)
+            self.obs_list.append(obs)
+            logger.debug(f"Initialized observation {obs_index + 1}/{len(self.plans)} in {_time.monotonic() - obs_s:.2f} s")
+
+        if cmb:
+            self.cmb_kwargs = {**DEFAULT_CMB_SIM_KWARGS, **cmb_kwargs}
+            self._init_cmb(cmb, **self.cmb_kwargs)
+
+        if map is not None:
+            self.map_kwargs = {**DEFAULT_MAP_SIM_KWARGS, **map_kwargs}
+            self._initialize_map(map, **self.map_kwargs)
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def run(self, units: str = "K_RJ"):
+        tods = []
+        for obs_index, obs in enumerate(self.obs_list):
+            logger.info(f"Simulating observation {obs_index + 1} of {len(self.obs_list)}")
+            obs_s = _time.monotonic()
+            tods.append(self.run_obs(obs).to(units))
+            logger.info(
+                f"Simulated observation {obs_index + 1}/{len(self.obs_list)} in {_time.monotonic() - obs_s:.2f} s"
+            )
+        return tods
+
+    def run_obs(self, obs: Observation) -> TOD:
+        obs.loading = {}
+
+        if hasattr(obs, "atmosphere"):
+            s = _time.monotonic()
+            self._simulate_atmosphere(obs, self._next_key())
+            obs.loading["atmosphere"] = self._compute_atmospheric_loading(obs)
+            logger.debug(f"Ran atmosphere simulation in {_time.monotonic() - s:.2f} s.")
+
+        if hasattr(self, "cmb"):
+            s = _time.monotonic()
+            obs.loading["cmb"] = self._compute_cmb_loading(obs)
+            logger.debug(f"Ran CMB simulation in {_time.monotonic() - s:.2f} s.")
+
+        if hasattr(self, "map"):
+            s = _time.monotonic()
+            self._sample_maps(obs)
+            logger.debug(f"Ran map simulation in {_time.monotonic() - s:.2f} s.")
+
+        if self.noise:
+            s = _time.monotonic()
+            self._simulate_noise(obs, self._next_key())
+            logger.debug(f"Ran noise simulation in {_time.monotonic() - s:.2f} s.")
+
+        # multiplicative per-detector gain error on all non-noise fields
+        # (reference simulation.py:239-247)
+        gain_error = jnp.exp(
+            jnp.asarray(self.instrument.dets.gain_error)
+            * jax.random.normal(self._next_key(), (self.instrument.dets.n,))
+        ).astype(self.dtype)
+        for field in obs.loading:
+            if field != "noise":
+                obs.loading[field] = obs.loading[field] * gain_error[:, None]
+
+        metadata = {
+            "atmosphere": hasattr(obs, "atmosphere"),
+            "sim_time": _time.time(),
+            "altitude": float(obs.site.altitude.m),
+            "region": obs.site.region,
+        }
+        if hasattr(obs, "atmosphere"):
+            metadata["pwv"] = float(np.round(obs.atmosphere.weather.pwv, 3))
+            metadata["base_temperature"] = float(np.round(obs.atmosphere.weather.temperature[0], 3))
+        if hasattr(self, "map"):
+            metadata["input_map"] = self.map
+
+        return TOD(
+            data=obs.loading,
+            dets=obs.instrument.dets,
+            pointing=Pointing(obs.boresight, obs.offsets, obs.q),
+            units="pW",
+            metadata=metadata,
+        )
+
+    @property
+    def min_time(self):
+        return self.obs_list[0].plan.start_time
+
+    @property
+    def max_time(self):
+        return self.obs_list[-1].plan.end_time
+
+    def __repr__(self):
+        parts = [f"Simulation", f"├ {self.instrument!r}".replace("\n", "\n│ ")]
+        parts.append(f"├ {self.site!r}".replace("\n", "\n│ "))
+        parts.append(f"└ {self.plans!r}".replace("\n", "\n  "))
+        return "\n".join(parts)

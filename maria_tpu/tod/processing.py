@@ -1,0 +1,121 @@
+"""TOD post-processing pipeline (reference: maria/tod/processing.py:91-196).
+
+Ordered, validated operations: slope removal, B-spline baseline removal,
+windowing (into the weights), frequency-domain filtering, and SVD
+common-mode removal. Heavy ops (FFT filters, SVD) run on device.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+import scipy as sp
+
+from ..utils.signal import bandpass, bspline_basis, highpass, lowpass
+
+logger = logging.getLogger("maria_tpu")
+
+PROCESS_ORDER = ["remove_slope", "remove_spline", "window", "filter", "remove_modes", "despline"]
+
+
+def _check_nan(name, data):
+    if bool(jnp.isnan(data).any()):
+        raise RuntimeError(f"Processing op '{name}' introduced NaNs.")
+
+
+def remove_slope(data, **kwargs):
+    n = data.shape[-1]
+    t = jnp.linspace(-1.0, 1.0, n)
+    slope = (data @ t) / (t @ t)
+    mean = data.mean(axis=-1, keepdims=True)
+    return data - mean - slope[..., None] * t
+
+
+def remove_spline(data, sample_rate, knot_spacing: float = 10.0, remove_el_gradient: bool = False, el=None, **kwargs):
+    """Least-squares B-spline baseline removal
+    (reference processing.py:107-130)."""
+    n = data.shape[-1]
+    spacing_samples = max(int(knot_spacing * sample_rate), 2)
+    B = bspline_basis(n, spacing=spacing_samples)  # (k, n)
+    if remove_el_gradient and el is not None:
+        B = np.concatenate([B, np.asarray(el).mean(axis=0, keepdims=True)], axis=0)
+    B = jnp.asarray(B, dtype=data.dtype)
+    # coefficients: data @ B^T @ (B B^T)^-1
+    gram = B @ B.T
+    coeffs = jnp.linalg.solve(gram, B @ data.T).T
+    return data - coeffs @ B
+
+
+def window(data, weight, name: str = "tukey", kwargs: dict = {"alpha": 0.1}, **extra):
+    w = sp.signal.get_window((name, *kwargs.values()) if kwargs else name, data.shape[-1])
+    w = jnp.asarray(w, dtype=data.dtype)
+    return data * w, weight * w
+
+
+def apply_filter(data, sample_rate, f_lower: float = None, f_upper: float = None, order: int = 4, **kwargs):
+    if f_lower is not None and f_upper is not None:
+        return bandpass(data, f_lower, f_upper, sample_rate, order=order)
+    if f_lower is not None:
+        return highpass(data, f_lower, sample_rate, order=order)
+    if f_upper is not None:
+        return lowpass(data, f_upper, sample_rate, order=order)
+    return data
+
+
+def remove_modes(data, n: int = 1, **kwargs):
+    """Remove the strongest SVD common modes (reference processing.py:175)."""
+    u, s, vh = jnp.linalg.svd(data, full_matrices=False)
+    s = s.at[:n].set(0.0)
+    return (u * s) @ vh
+
+
+def process_tod(tod, **config):
+    """Apply ordered processing ops; returns a new TOD
+    (reference: processing.py:91, attached as TOD.process)."""
+    from .tod import TOD
+
+    for key in config:
+        if key not in PROCESS_ORDER:
+            raise ValueError(f"Invalid processing op '{key}' (valid: {PROCESS_ORDER}).")
+
+    data = tod.signal
+    weight = tod.weight
+    fs = tod.fs
+
+    if "remove_slope" in config and config["remove_slope"]:
+        data = remove_slope(data)
+        _check_nan("remove_slope", data)
+
+    if "remove_spline" in config:
+        kw = dict(config["remove_spline"]) if isinstance(config["remove_spline"], dict) else {}
+        if kw.pop("remove_el_gradient", False):
+            kw["remove_el_gradient"] = True
+            kw["el"] = tod.el
+        data = remove_spline(data, sample_rate=fs, **kw)
+        _check_nan("remove_spline", data)
+
+    if "window" in config:
+        kw = config["window"] if isinstance(config["window"], dict) else {}
+        data, weight = window(data, weight, **kw)
+        _check_nan("window", data)
+
+    if "filter" in config:
+        kw = config["filter"] if isinstance(config["filter"], dict) else {}
+        data = apply_filter(data, sample_rate=fs, **kw)
+        _check_nan("filter", data)
+
+    if "remove_modes" in config:
+        kw = config["remove_modes"] if isinstance(config["remove_modes"], dict) else {}
+        data = remove_modes(data, **kw)
+        _check_nan("remove_modes", data)
+
+    return TOD(
+        data={"signal": data},
+        pointing=tod.pointing,
+        weight=weight,
+        units=tod.units,
+        dets=tod.dets,
+        metadata=tod.metadata,
+    )

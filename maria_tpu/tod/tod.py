@@ -1,0 +1,282 @@
+"""Time-ordered data (reference: maria/tod/tod.py:34-470).
+
+Fields are device (jnp) arrays of shape (n_det, n_time); the pointing is
+kept factorized (boresight ⊗ static offsets, see sim/observation.py) and
+full per-detector coordinates are only materialized on demand.
+"""
+
+from __future__ import annotations
+
+import logging
+import time as _time
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..coords import Coordinates
+from ..coords.transforms import offsets_to_phi_theta_jit
+from ..units import Quantity, parse_units
+from ..utils import rotation_matrix_2d
+
+logger = logging.getLogger("maria_tpu")
+
+VALID_TOD_QUANTITIES = ["power", "rayleigh_jeans_temperature", "cmb_temperature_anisotropy", "brightness_temperature"]
+
+
+class Pointing:
+    """Factorized pointing: boresight tracks + detector offsets + the
+    az/el -> ra/dec frame-rotation angle q(t)."""
+
+    def __init__(self, boresight: Coordinates, offsets: np.ndarray, q: np.ndarray):
+        self.boresight = boresight
+        self.offsets = np.asarray(offsets)
+        self.q = np.asarray(q)
+
+    @property
+    def t(self):
+        return self.boresight.t
+
+    @property
+    def shape(self):
+        return (len(self.offsets), len(self.t))
+
+    def det_azel(self):
+        """(az, el) jnp arrays of shape (n_det, n_t)."""
+        pt = offsets_to_phi_theta_jit(
+            jnp.asarray(self.offsets[:, None, :], dtype=jnp.float32),
+            jnp.asarray(np.asarray(self.boresight.az), dtype=jnp.float32),
+            jnp.asarray(np.asarray(self.boresight.el), dtype=jnp.float32),
+        )
+        return pt[..., 0], pt[..., 1]
+
+    def offsets_radec(self):
+        """Detector offsets in the ra/dec frame: R(q(t)) @ offsets, shape
+        (n_det, n_t, 2)."""
+        R = rotation_matrix_2d(self.q)  # (n_t, 2, 2)
+        return np.einsum("tij,dj->dti", R, self.offsets)
+
+    def det_radec(self):
+        """(ra, dec) jnp arrays of shape (n_det, n_t)."""
+        pt = offsets_to_phi_theta_jit(
+            jnp.asarray(self.offsets_radec(), dtype=jnp.float32),
+            jnp.asarray(np.asarray(self.boresight.ra), dtype=jnp.float32),
+            jnp.asarray(np.asarray(self.boresight.dec), dtype=jnp.float32),
+        )
+        return pt[..., 0], pt[..., 1]
+
+    def coordinates(self) -> Coordinates:
+        """Materialized full Coordinates (parity API; memory-heavy)."""
+        return self.boresight.broadcast(self.offsets, frame="az/el")
+
+    def __getitem__(self, idx):
+        return Pointing(self.boresight, self.offsets[idx], self.q)
+
+
+class TOD:
+    def __init__(
+        self,
+        data: dict,
+        pointing: Pointing = None,
+        coords: Coordinates = None,
+        weight=None,
+        units: str = "K_RJ",
+        dets=None,
+        dtype=jnp.float32,
+        metadata: dict = {},
+        abscal: float = 1.0,
+    ):
+        self.pointing = pointing
+        self._coords = coords
+        self.dets = dets
+        self.units = units
+        self.dtype = dtype
+        self.metadata = dict(metadata)
+        self.abscal = abscal
+        self.data = {k: jnp.asarray(v, dtype=dtype) for k, v in sorted(data.items())}
+        self.weight = weight if weight is not None else jnp.ones(self.shape, dtype=dtype)
+
+    # -- structure ---------------------------------------------------------------
+    @property
+    def fields(self):
+        return sorted(self.data)
+
+    @property
+    def signal(self):
+        total = 0
+        for field in self.fields:
+            total = total + self.data[field]
+        return total
+
+    @property
+    def shape(self):
+        return self.data[self.fields[0]].shape
+
+    @property
+    def time(self):
+        return self.pointing.t if self.pointing is not None else None
+
+    @property
+    def duration(self):
+        return float(np.ptp(self.time))
+
+    @property
+    def sample_rate(self):
+        return Quantity(1 / float(np.mean(np.diff(self.time))), "Hz")
+
+    @property
+    def fs(self):
+        return float(self.sample_rate.Hz)
+
+    @property
+    def coords(self) -> Coordinates:
+        if self._coords is None:
+            self._coords = self.pointing.coordinates()
+        return self._coords
+
+    @property
+    def boresight(self):
+        return self.pointing.boresight
+
+    @property
+    def el(self):
+        _, el = self.pointing.det_azel()
+        return np.asarray(el)
+
+    @property
+    def azim(self):
+        return np.asarray(self.pointing.boresight.az)
+
+    @property
+    def elev(self):
+        return np.asarray(self.pointing.boresight.el)
+
+    def __getitem__(self, idx):
+        """Detector subset (reference tod.py:188-222)."""
+        if isinstance(idx, str):
+            idx = self.dets.band_name == idx
+        idx = np.atleast_1d(idx)
+        if idx.dtype == bool:
+            idx = np.where(idx)[0]
+        return TOD(
+            data={k: v[idx] for k, v in self.data.items()},
+            pointing=self.pointing[idx] if self.pointing is not None else None,
+            weight=self.weight[idx],
+            units=self.units,
+            dets=self.dets.subset(np.isin(np.arange(self.dets.n), idx)) if self.dets is not None else None,
+            metadata=self.metadata,
+        )
+
+    def subset(self, det_mask=None, time_range=None):
+        out = self[det_mask] if det_mask is not None else self
+        if time_range is not None:
+            s, e = time_range
+            out = TOD(
+                data={k: v[..., s:e] for k, v in out.data.items()},
+                pointing=out.pointing,
+                weight=out.weight[..., s:e],
+                units=out.units,
+                dets=out.dets,
+                metadata=out.metadata,
+            )
+        return out
+
+    # -- units ---------------------------------------------------------------------
+    @property
+    def spectrum(self):
+        if not hasattr(self, "_spectrum"):
+            if self.metadata.get("atmosphere"):
+                from ..spectrum import AtmosphericSpectrum
+
+                self._spectrum = AtmosphericSpectrum(self.metadata["region"])
+            else:
+                self._spectrum = None
+        return self._spectrum
+
+    def calibration_kwargs(self, band) -> dict:
+        band_mask = self.dets.band_name == band.name
+        kwargs = {"polarized": bool(~np.isnan(self.dets.gamma[band_mask]).all())}
+        if self.metadata.get("atmosphere"):
+            kwargs["spectrum"] = self.spectrum
+            kwargs["zenith_pwv"] = self.metadata["pwv"]
+            kwargs["base_temperature"] = self.metadata["base_temperature"]
+            _, el = self.pointing.det_azel()
+            kwargs["elevation"] = np.asarray(jnp.clip(el[band_mask], None, np.pi / 2))
+        else:
+            kwargs["spectrum"] = None
+        return kwargs
+
+    def to(self, units: str) -> "TOD":
+        u = parse_units(units)
+        if u.quantity not in VALID_TOD_QUANTITIES:
+            raise ValueError(f"Cannot convert TOD to units '{units}' (quantity '{u.quantity}').")
+
+        start_s = _time.monotonic()
+        new_data = {field: jnp.array(v) for field, v in self.data.items()}
+        for band in self.dets.bands:
+            band_mask = np.where(self.dets.band_name == band.name)[0]
+            if len(band_mask) == 0:
+                continue
+            cal = band.cal(f"{self.units} -> {units}", **self.calibration_kwargs(band))
+            if cal.linear():
+                # linear chains are a per-sample multiplicative factor;
+                # evaluate on ones and scale on device
+                factor = jnp.asarray(cal(np.ones(1, dtype=np.float32)), dtype=self.dtype)
+                for field in self.fields:
+                    new_data[field] = new_data[field].at[band_mask].set(
+                        self.data[field][band_mask] * factor
+                    )
+            else:
+                for field in self.fields:
+                    new_data[field] = new_data[field].at[band_mask].set(
+                        jnp.asarray(cal(np.asarray(self.data[field][band_mask])), dtype=self.dtype)
+                    )
+        logger.debug(f"Converted TOD to '{units}' in {_time.monotonic() - start_s:.2f} s")
+        return TOD(
+            data=new_data,
+            pointing=self.pointing,
+            weight=self.weight,
+            units=units,
+            dets=self.dets,
+            metadata=self.metadata,
+        )
+
+    # -- splits ---------------------------------------------------------------------
+    @property
+    def turnarounds(self):
+        import scipy as sp
+
+        azim_grad = sp.ndimage.gaussian_filter(np.gradient(self.azim), sigma=16)
+        return np.where(np.sign(azim_grad[:-1]) != np.sign(azim_grad[1:]))[0]
+
+    def splits(self, target_split_time: float = None):
+        turnarounds = self.turnarounds
+        if len(turnarounds) < 2:
+            turnarounds = np.array([0, self.shape[-1] - 1])
+        if target_split_time is None:
+            return list(zip(turnarounds[:-1], turnarounds[1:]))
+        fs = self.fs
+        out = []
+        for s, e in zip(turnarounds[:-1], turnarounds[1:]):
+            split_time = (e - s) / fs
+            n_splits = int(np.ceil(split_time / target_split_time))
+            n_samples = int(target_split_time * fs)
+            for start in np.linspace(s, max(e - n_samples, s), n_splits).astype(int):
+                out.append((start, min(start + n_samples, e)))
+        return out
+
+    def process(self, **kwargs) -> "TOD":
+        from .processing import process_tod
+
+        return process_tod(self, **kwargs)
+
+    def plot(self, **kwargs):
+        from ..plotting import plot_tod
+
+        return plot_tod(self, **kwargs)
+
+    def __repr__(self):
+        sig = np.asarray(self.signal)
+        return (
+            f"TOD(shape={self.shape}, fields={self.fields}, units='{self.units}', "
+            f"signal_rms={Quantity(float(sig.std()), self.units)!r})"
+        )

@@ -7,12 +7,20 @@ same). This must happen before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the axon TPU plugin registers itself from sitecustomize (before this
+# conftest runs) whenever PALLAS_AXON_POOL_IPS is set, and its register()
+# forces the platform; point jax back at the virtual CPU mesh explicitly
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 os.environ.setdefault("MARIA_TPU_CACHE_DIR", "/tmp/maria-tpu-data")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

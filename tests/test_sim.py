@@ -1,0 +1,150 @@
+"""End-to-end simulation tests (modelled on the reference strategy,
+maria/tests/atmosphere/test_atmosphere.py:21-28 and tests/tod/test_tod.py)."""
+
+import numpy as np
+import pytest
+
+import maria_tpu
+from maria_tpu import Simulation, get_plan
+
+
+@pytest.fixture(scope="module")
+def m2_stare_tod():
+    sim = Simulation(
+        instrument="MUSTANG-2",
+        plans="ten_second_zenith_stare",
+        site="green_bank",
+        atmosphere="2d",
+        noise=True,
+        seed=42,
+    )
+    return sim.run()[0]
+
+
+def test_atmosphere_sim(m2_stare_tod):
+    tod = m2_stare_tod
+    assert tod.shape == (217, 500)
+    sig = np.asarray(tod.signal)
+    assert not np.isnan(sig).any()
+    atm = np.asarray(tod.data["atmosphere"])
+    # plausible sky loading in K_RJ at 93 GHz
+    assert 3 < atm.mean() < 290
+    # turbulence is detector-detector correlated for a stare
+    c = np.corrcoef(atm[::40])
+    assert c.min() > 0.9
+
+
+def test_atmosphere_fluctuations_scale_with_pwv_rms(m2_stare_tod):
+    # the atmosphere field should actually fluctuate in time
+    atm = np.asarray(m2_stare_tod.data["atmosphere"])
+    demeaned = atm - atm.mean(axis=-1, keepdims=True)
+    assert demeaned.std() > 0
+
+
+def test_unit_roundtrip(m2_stare_tod):
+    tod_pw = m2_stare_tod.to("pW")
+    back = tod_pw.to("K_RJ")
+    a = np.asarray(m2_stare_tod.signal)
+    b = np.asarray(back.signal)
+    assert np.allclose(a, b, rtol=1e-5)
+    assert np.abs(np.asarray(tod_pw.signal)).mean() < 1e3  # picowatts are small
+
+
+def test_uK_conversion(m2_stare_tod):
+    tod_uK = m2_stare_tod.to("uK_RJ")
+    ratio = np.asarray(tod_uK.signal).mean() / np.asarray(m2_stare_tod.signal).mean()
+    assert np.isclose(ratio, 1e6, rtol=1e-5)
+
+
+def test_noise_level():
+    sim = Simulation(
+        instrument="test/1deg",
+        plans="ten_second_zenith_stare",
+        site="chajnantor",
+        atmosphere=None,
+        noise=True,
+        noise_kwargs={"correlated_noise_proportion": 0.0},
+        seed=3,
+    )
+    tod = sim.run(units="pW")[0]
+    noise = np.asarray(tod.data["noise"])
+    fs = tod.fs
+    for band in tod.dets.bands:
+        mask = tod.dets.band_name == band.name
+        # white level: PSD at high f should be ~2 NEP^2 (one-sided, pW^2/Hz)
+        d = noise[mask] * 1e-12
+        ps = np.abs(np.fft.rfft(d, axis=-1)) ** 2 / (d.shape[-1] * fs)
+        f = np.fft.rfftfreq(d.shape[-1], 1 / fs)
+        white = 2 * ps[:, f > 4 * band.knee].mean()
+        assert 0.5 < white / (2 * band.NEP**2) < 2.0
+
+
+def test_3d_atmosphere_ar_smoke():
+    sim = Simulation(
+        instrument="test/one_detector",
+        plans=get_plan("five_second_stare"),
+        site="chajnantor",
+        atmosphere="3d",
+        atmosphere_kwargs={"max_height": 1500.0},
+        noise=False,
+        seed=1,
+    )
+    tod = sim.run()[0]
+    assert not np.isnan(np.asarray(tod.signal)).any()
+
+
+def test_fourier_vs_ar_statistics():
+    """The FFT synthesis path and the AR path should produce pwv
+    fluctuations of comparable magnitude (distribution-level parity)."""
+    stds = {}
+    for method in ("fourier", "ar"):
+        sim = Simulation(
+            instrument="MUSTANG-2",
+            plans=get_plan("ten_second_zenith_stare", sample_rate=20),
+            site="chajnantor",
+            atmosphere="2d",
+            atmosphere_kwargs={"method": method},
+            noise=False,
+            seed=7,
+        )
+        obs = sim.obs_list[0]
+        sim._simulate_atmosphere(obs, sim._next_key())
+        pwv = np.asarray(obs.atmosphere.zenith_scaled_pwv)
+        stds[method] = (pwv - pwv.mean()).std()
+    ratio = stds["fourier"] / stds["ar"]
+    assert 0.2 < ratio < 5.0, stds
+
+
+def test_gain_error_applied():
+    sim = Simulation(
+        instrument="MUSTANG-2",
+        plans="ten_second_zenith_stare",
+        site="green_bank",
+        atmosphere="2d",
+        noise=False,
+        seed=5,
+    )
+    tod = sim.run()[0]
+    atm = np.asarray(tod.data["atmosphere"])
+    # per-detector gains spread the means by ~gain_error (5%)
+    spread = atm.mean(axis=-1).std() / atm.mean()
+    assert 0.01 < spread < 0.2
+
+
+def test_tod_processing(m2_stare_tod):
+    processed = m2_stare_tod.process(
+        remove_slope=True,
+        window={"name": "tukey", "kwargs": {"alpha": 0.1}},
+        remove_modes={"n": 1},
+    )
+    sig = np.asarray(processed.signal)
+    assert not np.isnan(sig).any()
+    # common-mode removal kills the detector-correlated atmosphere
+    raw_std = np.asarray(m2_stare_tod.signal).std()
+    assert sig.std() < 0.1 * raw_std
+
+
+def test_tod_subset(m2_stare_tod):
+    sub = m2_stare_tod[np.arange(10)]
+    assert sub.shape[0] == 10
+    assert sub.dets.n == 10
