@@ -1,0 +1,178 @@
+"""North-star benchmark: TOD synthesis throughput (detector x time samples / s).
+
+Config (a) from BASELINE.md: MUSTANG-2 on GBT, daisy scan, 2-D
+turbulence, atmosphere TOD synthesis end-to-end on device (screen FFTs,
+LOS gathers, PWV upsample, bandpass integration, noise, gains).
+
+`vs_baseline` is measured against a single-threaded numpy
+implementation of the reference's algorithm (AR conditional-Gaussian
+extrusion + scipy grid interpolation + scipy upsampling — the same
+stages CPU maria runs, reimplemented minimally here since the reference
+package cannot run in this offline environment). Both timings exclude
+one-time setup (covariance factorization / jit compile).
+
+Prints ONE json line: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+# persistent XLA compilation cache: the remote-TPU tunnel makes first
+# compiles expensive; cache them across processes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax-comp-cache")
+
+DURATION_S = 60.0
+SAMPLE_RATE = 50.0
+
+
+def build_program():
+    import maria_tpu
+    from maria_tpu.ops.program import build_tod_program
+
+    plan = maria_tpu.get_plan(
+        "daisy_5arcmin_60s",
+        start_time=1.75e9,
+        scan_center=(150.0, 41.0),
+        frame="az/el",
+        duration=DURATION_S,
+        sample_rate=SAMPLE_RATE,
+    )
+    sim = maria_tpu.Simulation(
+        instrument="MUSTANG-2", plans=plan, site="GBT", atmosphere="2d", noise=True, seed=0
+    )
+    return build_tod_program(sim.obs_list[0], noise_kwargs=sim.noise_kwargs), sim.obs_list[0]
+
+
+def bench_tpu(program, n_repeats: int = 5) -> float:
+    """Samples/s of the fused jitted program on the default jax device."""
+    import jax
+
+    fn = jax.jit(program.total_power_fn())
+    args = program.example_args()
+
+    out = fn(*args)  # compile + warm up
+    out.block_until_ready()
+
+    times = []
+    for i in range(n_repeats):
+        key = jax.random.key(i + 1)
+        start = time.perf_counter()
+        out = fn(key, *args[1:])
+        out.block_until_ready()
+        times.append(time.perf_counter() - start)
+    n_samples = out.shape[0] * out.shape[1]
+    return n_samples / min(times)
+
+
+def bench_cpu_baseline(program, obs) -> float:
+    """Single-threaded numpy implementation of the same synthesis, using
+    the reference's algorithm structure (AR extrusion; scipy
+    interpolation; cubic upsample). Setup (covariance factorization)
+    excluded from timing, mirroring the device timing which excludes
+    compilation."""
+    import scipy as sp
+
+    from maria_tpu.atmosphere.process import AutoregressiveProcess
+    from maria_tpu.coords.transforms import offsets_to_phi_theta
+
+    atm = obs.atmosphere
+    rng = np.random.default_rng(0)
+
+    # setup: AR processes matching each screen's grid (not timed)
+    processes = []
+    for screen in atm.screens:
+        nx = min(screen.nx, 2048)
+        ny = min(screen.ny, 64)
+        cross = np.stack([screen.ty_min + screen.res * np.arange(ny), np.full(ny, screen.h)], axis=-1)
+        extrusion = screen.tx_min + screen.res * np.arange(nx)
+        proc = AutoregressiveProcess(cross_section=cross, extrusion=extrusion,
+                                     callback_kwargs={"nu": 5 / 6, "r0": 1e3})
+        proc.compute_covariance_matrices()
+        processes.append((screen, proc))
+
+    offsets = np.asarray(program.offsets, dtype=np.float64)
+    bs_az = np.asarray(program.bs_az_coarse, dtype=np.float64)
+    bs_el = np.asarray(program.bs_el_coarse, dtype=np.float64)
+    t_c, t_f = program.t_coarse, program.t_fine
+
+    start = time.perf_counter()
+
+    pt = np.asarray(offsets_to_phi_theta(offsets[:, None, :], bs_az, bs_el))
+    det_az, det_el = pt[..., 0], pt[..., 1]
+    el_clip = np.clip(det_el, np.radians(5), np.pi / 2)
+    cot = 1 / np.tan(el_clip)
+    px, py = np.sin(det_az) * cot, np.cos(det_az) * cot
+
+    pwv = np.full(det_az.shape, program.mean_pwv)
+    for screen, proc in processes:
+        # the sequential AR loop (reference process.py:191-209)
+        A = np.asarray(proc.A, dtype=np.float64)
+        B = np.asarray(proc.B, dtype=np.float64)
+        n_ext = proc.n_extrusion
+        n_steps = 2 * n_ext
+        BUF = rng.standard_normal((n_ext + n_steps, proc.n_cross_section))
+        e_idx, c_idx = proc.extrusion_sample_index, proc.cross_section_sample_index
+        for b in range(n_steps - 1, -1, -1):
+            BUF[b] = A @ BUF[b + e_idx + 1, c_idx] + B @ rng.standard_normal(proc.n_live_edge)
+        values = sp.ndimage.gaussian_filter(BUF[:n_ext], sigma=(1.0, 1.0))
+
+        x = screen.h * px + screen.vx * t_c
+        y = screen.h * py + screen.vy * t_c
+        ca, sa = np.cos(screen.angle), np.sin(screen.angle)
+        tx, ty = ca * x + sa * y, -sa * x + ca * y
+        interp = sp.interpolate.RegularGridInterpolator(
+            (proc.extrusion, proc.cross_section[:, 0]), values,
+            method="linear", bounds_error=False, fill_value=0.0,
+        )
+        pwv = pwv + screen.pwv_rms * interp(np.stack([tx, ty], axis=-1))
+
+    loading_c = np.zeros_like(pwv)
+    for band in program.bands:
+        interp = sp.interpolate.RegularGridInterpolator(
+            (np.asarray(band.pwv_side), np.asarray(band.el_side)), np.asarray(band.power_table)
+        )
+        loading_c[band.det_index] = interp(
+            np.stack([pwv[band.det_index], el_clip[band.det_index]], axis=-1)
+        )
+
+    loading = sp.interpolate.interp1d(
+        t_c, loading_c, axis=-1, kind="cubic", bounds_error=False, fill_value="extrapolate"
+    )(t_f)
+
+    # noise (white + pink via FFT, reference noise/generation.py:11)
+    n_det, n_t = loading.shape
+    noise = np.sqrt(SAMPLE_RATE) * rng.standard_normal((n_det, n_t))
+    f = np.fft.rfftfreq(n_t, d=1 / SAMPLE_RATE)
+    for band in program.bands:
+        with np.errstate(divide="ignore"):
+            w = np.sqrt(2 * SAMPLE_RATE * np.where(f > 0, (band.knee / 2) / f, 0))
+        pink = np.fft.irfft(w * np.fft.rfft(rng.standard_normal((len(band.det_index), n_t))), n=n_t)
+        noise[band.det_index] = 1e12 * band.NEP * (noise[band.det_index] + pink)
+
+    total = loading * np.exp(program.gain_error * rng.standard_normal(n_det))[:, None] + noise
+
+    elapsed = time.perf_counter() - start
+    return total.size / elapsed
+
+
+def main():
+    program, obs = build_program()
+    tpu_rate = bench_tpu(program)
+    cpu_rate = bench_cpu_baseline(program, obs)
+    result = {
+        "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise, end-to-end on device)",
+        "value": round(tpu_rate, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "baseline_samples_per_s": round(cpu_rate, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""The fused TOD-synthesis program.
+
+Assembles an Observation into ONE jit-compiled function
+key -> per-field detector loadings, so the whole hot path (screen FFTs,
+line-of-sight gathers, PWV upsampling, bandpass interpolation, noise
+FFTs, Mueller weighting) compiles into a single XLA program with no
+host round-trips — the TPU-native counterpart of the reference's
+per-stage numpy pipeline (maria/sim/simulation.py:213-247).
+
+All (n_det,)-shaped inputs may be sharded over a ("det", "time") mesh;
+the program contains no cross-detector dependencies except the final
+map binning (a segment-sum that XLA turns into partial sums + psum).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..atmosphere.fourier import synthesize_matern_field_2d
+from ..noise import generate_noise_with_knee
+from .interp import RegularGridInterpolator, interp_bilinear_grid, upsample_time
+
+logger = logging.getLogger("maria_tpu")
+
+
+@dataclass
+class BandBlock:
+    """Static per-band data for the program."""
+
+    name: str
+    det_index: np.ndarray  # indices into the detector axis
+    pwv_side: jnp.ndarray
+    el_side: jnp.ndarray
+    power_table: jnp.ndarray  # (n_pwv, n_el) pW
+    NEP: float
+    knee: float
+    noise_basis: np.ndarray = None
+    corr_prop: float = 0.0
+
+
+@dataclass
+class TODProgram:
+    """Static scene -> jitted key -> loadings."""
+
+    screens: list  # LayerScreen list (fourier-path only)
+    mean_pwv: float
+    t_coarse: np.ndarray  # relative seconds, (n_tc,)
+    t_fine: np.ndarray  # relative seconds, (n_t,)
+    offsets: np.ndarray  # (n_det, 2)
+    bs_az_coarse: np.ndarray
+    bs_el_coarse: np.ndarray
+    mueller_I: np.ndarray  # (n_det,)
+    bands: list = field(default_factory=list)
+    sample_rate: float = 50.0
+    with_noise: bool = True
+    gain_error: np.ndarray = None
+
+    def _loadings(self, key, offsets, bs_az_c, bs_el_c):
+        """Pure jnp body; returns dict of (n_det, n_t) loadings in pW."""
+        from ..coords.transforms import offsets_to_phi_theta
+
+        key_atm, key_noise, key_gain = jax.random.split(key, 3)
+
+        # detector az/el at the coarse timestep
+        pt = offsets_to_phi_theta(offsets[:, None, :], bs_az_c, bs_el_c)
+        det_az, det_el = pt[..., 0], pt[..., 1]
+        el_clip = jnp.clip(det_el, jnp.radians(5.0), jnp.pi / 2)
+
+        # unit-height LOS projection (x=E, y=N)
+        cot_el = 1 / jnp.tan(el_clip)
+        px = jnp.sin(det_az) * cot_el
+        py = jnp.cos(det_az) * cot_el
+
+        # turbulence screens -> zenith-scaled pwv at the coarse timestep
+        t_c = jnp.asarray(self.t_coarse, dtype=jnp.float32)
+        pwv = jnp.full(det_az.shape, jnp.float32(self.mean_pwv))
+        keys = jax.random.split(key_atm, max(len(self.screens), 1))
+        for i, screen in enumerate(self.screens):
+            values = synthesize_matern_field_2d(keys[i], jnp.asarray(screen.W), screen.ny, screen.nx)
+            x = screen.h * px + screen.vx * t_c
+            y = screen.h * py + screen.vy * t_c
+            ca, sa = np.cos(screen.angle), np.sin(screen.angle)
+            tx = ca * x + sa * y
+            ty = -sa * x + ca * y
+            x_side = screen.tx_min + screen.res * jnp.arange(screen.nx)
+            y_side = screen.ty_min + screen.res * jnp.arange(screen.ny)
+            pwv = pwv + screen.pwv_rms * interp_bilinear_grid(values, tx, ty, x_side, y_side)
+
+        # per-band bandpass-integrated emission at coarse rate
+        mueller_I = jnp.asarray(self.mueller_I, dtype=jnp.float32)
+        loading_c = jnp.zeros(pwv.shape, dtype=jnp.float32)
+        for band in self.bands:
+            interp = RegularGridInterpolator((band.pwv_side, band.el_side), band.power_table)
+            p = interp((pwv[band.det_index], el_clip[band.det_index]))
+            loading_c = loading_c.at[band.det_index].set(
+                mueller_I[band.det_index, None] * p.astype(jnp.float32)
+            )
+
+        # upsample to the TOD rate
+        t_f = jnp.asarray(self.t_fine, dtype=jnp.float32)
+        fields = {"atmosphere": upsample_time(loading_c, t_c, t_f, kind="cubic")}
+
+        if self.with_noise:
+            n_det, n_t = len(self.offsets), len(self.t_fine)
+            noise = jnp.zeros((n_det, n_t), dtype=jnp.float32)
+            for band in self.bands:
+                band_key = jax.random.fold_in(key_noise, hash(band.name) % (2**31))
+                unscaled = generate_noise_with_knee(
+                    band_key,
+                    shape=(len(band.det_index), n_t),
+                    sample_rate=self.sample_rate,
+                    knee=band.knee,
+                    basis=band.noise_basis,
+                    corr_prop=band.corr_prop,
+                )
+                noise = noise.at[band.det_index].set(1e12 * band.NEP * unscaled)
+            fields["noise"] = noise
+
+        if self.gain_error is not None:
+            gains = jnp.exp(
+                jnp.asarray(self.gain_error, dtype=jnp.float32)
+                * jax.random.normal(key_gain, (len(self.offsets),))
+            )
+            for name in fields:
+                if name != "noise":
+                    fields[name] = fields[name] * gains[:, None]
+        return fields
+
+    def total_power_fn(self):
+        """(key, offsets, bs_az_c, bs_el_c) -> (n_det, n_t) total pW."""
+
+        def fn(key, offsets, bs_az_c, bs_el_c):
+            fields = self._loadings(key, offsets, bs_az_c, bs_el_c)
+            total = 0.0
+            for v in fields.values():
+                total = total + v
+            return total
+
+        return fn
+
+    def example_args(self, key=None):
+        key = key if key is not None else jax.random.key(0)
+        return (
+            key,
+            jnp.asarray(self.offsets, dtype=jnp.float32),
+            jnp.asarray(self.bs_az_coarse, dtype=jnp.float32),
+            jnp.asarray(self.bs_el_coarse, dtype=jnp.float32),
+        )
+
+
+def build_tod_program(obs, with_noise: bool = True, noise_kwargs: dict = {}) -> TODProgram:
+    """Assemble the fused program from an initialized Observation."""
+    from ..utils import compute_diameter, generate_spatial_basis
+
+    atm = obs.atmosphere
+    T_base = float(atm.weather.temperature[0])
+    t0 = float(obs.t[0])
+
+    bands = []
+    for band in obs.instrument.dets.bands:
+        det_index = np.where(obs.instrument.dets.band_name == band.name)[0]
+        pwv_side, el_side, table = band.atmosphere_power_table(atm.spectrum, T_base)
+        basis, corr_prop = None, 0.0
+        cp = noise_kwargs.get("correlated_noise_proportion", 0.0)
+        band_offsets = obs.instrument.dets.offsets[det_index]
+        fov = compute_diameter(band_offsets)
+        if with_noise and cp > 0 and fov > 0 and len(det_index) > 16:
+            basis = generate_spatial_basis(
+                offsets=band_offsets, k=5, n_side=16,
+                scale=fov * noise_kwargs.get("correlated_noise_spatial_scale", 1.0),
+            )
+            corr_prop = cp
+        bands.append(
+            BandBlock(
+                name=band.name, det_index=det_index,
+                pwv_side=pwv_side, el_side=el_side, power_table=table,
+                NEP=band.NEP, knee=band.knee, noise_basis=basis, corr_prop=corr_prop,
+            )
+        )
+
+    screens = [s for s in atm.screens if s.W is not None]
+    if len(screens) != len(atm.screens):
+        logger.warning("AR-path screens are excluded from the fused program (fourier only).")
+
+    return TODProgram(
+        screens=screens,
+        mean_pwv=float(atm.weather.pwv),
+        t_coarse=np.asarray(atm.boresight.t, dtype=np.float64) - t0,
+        t_fine=np.asarray(obs.t, dtype=np.float64) - t0,
+        offsets=np.asarray(obs.offsets, dtype=np.float32),
+        bs_az_coarse=np.asarray(atm.boresight.az, dtype=np.float32),
+        bs_el_coarse=np.asarray(atm.boresight.el, dtype=np.float32),
+        mueller_I=obs.instrument.dets.mueller()[:, 0, 0],
+        bands=bands,
+        sample_rate=obs.sample_rate,
+        with_noise=with_noise,
+        gain_error=np.asarray(obs.instrument.dets.gain_error, dtype=np.float32),
+    )

@@ -1,0 +1,78 @@
+import numpy as np
+import pytest
+
+import maria_tpu
+from maria_tpu.cmb import generate_cmb, generate_cmb_patch, get_cmb_spectrum
+from maria_tpu.healpix import alm2map, map2alm, synalm
+
+
+def test_cmb_spectrum_shape():
+    spec = get_cmb_spectrum(lmax=1000)
+    assert len(spec["TT"]) == 1001
+    assert (spec["TT"][2:] > 0).all()
+    # first acoustic peak near l=220 in D_l
+    ells = spec["ell"][2:]
+    dl = ells * (ells + 1) * spec["TT"][2:]
+    peak = ells[np.argmax(dl[(ells > 100) & (ells < 400)]) + np.argmax(ells > 100)]
+    assert 180 < peak < 260
+
+
+def test_sht_roundtrip():
+    # analysis o synthesis ~ identity for band-limited maps
+    lmax, nside = 24, 32
+    rng = np.random.default_rng(0)
+    alm = synalm(np.ones(lmax + 1) * 1e-3, seed=5)
+    m = alm2map(alm, nside)
+    alm2 = map2alm(m, lmax=lmax)
+    # compare power: sum |alm|^2 per l
+    p1 = np.abs(alm) ** 2
+    p2 = np.abs(alm2) ** 2
+    assert np.allclose(p1[2:16], p2[2:16], rtol=0.05)
+
+
+def test_generate_cmb():
+    cmb = generate_cmb(nside=32, lmax=64, seed=0)
+    assert cmb.nside == 32
+    assert cmb.units == "K_CMB"
+    T = np.asarray(cmb.data[0, 0, 0])
+    # ~100 uK fluctuations
+    assert 2e-5 < T.std() < 5e-4
+
+
+def test_cmb_patch_spectrum():
+    patch = generate_cmb_patch(width=10.0, resolution=10 / 256, seed=1)
+    d = np.asarray(patch.data[0, 0, 0])
+    assert d.shape == (256, 256)
+    assert 2e-5 < d.std() < 4e-4  # ~ 40-120 uK rms for a 10 deg patch
+
+
+def test_cmb_sim():
+    plan = maria_tpu.get_plan("five_second_stare", start_time=1.75e9, sample_rate=20)
+    sim = maria_tpu.Simulation(
+        instrument="test/1deg", plans=plan, site="chajnantor",
+        atmosphere=None, noise=False, cmb="generate",
+        cmb_kwargs={"nside": 64}, seed=4,
+    )
+    tod = sim.run(units="pW")[0]
+    cmb_field = np.asarray(tod.data["cmb"])
+    assert not np.isnan(cmb_field).any()
+    # the CMB monopole dominates: a ~pW-scale constant + small anisotropy
+    assert cmb_field.mean() > 0
+    aniso = cmb_field - cmb_field.mean(axis=-1, keepdims=True)
+    assert aniso.std() > 0
+
+
+def test_cmb_sim_with_atmosphere_transmission():
+    plan = maria_tpu.get_plan("five_second_stare", start_time=1.75e9, sample_rate=10)
+    sim_clear = maria_tpu.Simulation(
+        instrument="test/one_detector", plans=plan, site="chajnantor",
+        atmosphere=None, noise=False, cmb="generate", cmb_kwargs={"nside": 32}, seed=4,
+    )
+    sim_atm = maria_tpu.Simulation(
+        instrument="test/one_detector", plans=plan, site="chajnantor",
+        atmosphere="2d", noise=False, cmb="generate", cmb_kwargs={"nside": 32}, seed=4,
+    )
+    clear = float(np.asarray(sim_clear.run(units="pW")[0].data["cmb"]).mean())
+    atm = float(np.asarray(sim_atm.run(units="pW")[0].data["cmb"]).mean())
+    # the atmosphere attenuates the CMB loading
+    assert atm < clear
