@@ -273,6 +273,23 @@ class Array:
             out[self.band_name == band.name] = band.passband(nu)
         return out
 
+    def plot(self, ax=None):
+        """Focal-plane layout colored by band (reference array.py:520+)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(1, 1, figsize=(5, 5))
+        for band in self.bands:
+            mask = self.band_name == band.name
+            fwhm = np.degrees(np.nanmean(self.angular_fwhm(np.inf).rad[mask]))
+            offsets = np.degrees(self.offsets[mask])
+            ax.scatter(offsets[:, 0], offsets[:, 1], s=max(fwhm * 100, 4), label=band.name, alpha=0.6)
+        ax.set_xlabel(r"$\xi$ [deg]")
+        ax.set_ylabel(r"$\eta$ [deg]")
+        ax.set_aspect("equal")
+        ax.legend(fontsize=7)
+        return ax
+
     def __repr__(self):
         return (
             f"Array({self.name}: n={self.n}, bands={self.bands.names}, "

@@ -69,8 +69,29 @@ def _parse_header(block_bytes: bytes) -> dict:
     return header
 
 
+# binary-table column formats: FITS TFORM letter -> numpy big-endian dtype
+_TFORM_DTYPES = {
+    "L": ">u1", "B": ">u1", "I": ">i2", "J": ">i4", "K": ">i8",
+    "E": ">f4", "D": ">f8",
+}
+
+
+def _bintable_dtype(header):
+    fields = []
+    for i in range(1, header["TFIELDS"] + 1):
+        name = str(header.get(f"TTYPE{i}", f"col{i}")).strip()
+        tform = str(header[f"TFORM{i}"]).strip()
+        # repeat count prefix, e.g. '1E', 'E', '3D'
+        count = int(tform[:-1]) if tform[:-1] else 1
+        letter = tform[-1]
+        dt = _TFORM_DTYPES[letter]
+        fields.append((name, dt, (count,)) if count > 1 else (name, dt))
+    return np.dtype(fields)
+
+
 def read_fits(path: str):
-    """Read all image HDUs: list of (header, data-or-None)."""
+    """Read all HDUs: list of (header, data-or-None). Image HDUs give
+    ndarrays; BINTABLE HDUs give structured arrays."""
     hdus = []
     with open(path, "rb") as f:
         raw = f.read()
@@ -84,23 +105,86 @@ def read_fits(path: str):
                 return hdus
             header_bytes += block
             pos += BLOCK
-            if b"END     " in block or b"END\x20" in block[:80] or any(
-                block[i : i + 8].rstrip() == b"END" for i in range(0, BLOCK, 80)
-            ):
+            if any(block[i : i + 8].rstrip() == b"END" for i in range(0, BLOCK, 80)):
                 break
         header = _parse_header(header_bytes)
         data = None
-        naxis = header.get("NAXIS", 0)
-        if naxis and header.get("BITPIX") in _BITPIX_DTYPES:
+        if str(header.get("XTENSION", "")).startswith("BINTABLE"):
+            dtype = _bintable_dtype(header)
+            n_rows = header["NAXIS2"]
+            n_bytes = dtype.itemsize * n_rows
+            data = np.frombuffer(raw[pos : pos + n_bytes], dtype=dtype)
+            pos += (-(-n_bytes // BLOCK)) * BLOCK
+        elif header.get("NAXIS", 0) and header.get("BITPIX") in _BITPIX_DTYPES:
+            naxis = header["NAXIS"]
             shape = [header[f"NAXIS{i}"] for i in range(naxis, 0, -1)]
             dtype = _BITPIX_DTYPES[header["BITPIX"]]
             n_bytes = int(np.prod(shape)) * dtype.itemsize
-            n_blocks = -(-n_bytes // BLOCK)
             data = np.frombuffer(raw[pos : pos + n_bytes], dtype=dtype).reshape(shape)
             data = data * header.get("BSCALE", 1.0) + header.get("BZERO", 0.0)
-            pos += n_blocks * BLOCK
+            pos += (-(-n_bytes // BLOCK)) * BLOCK
         hdus.append((header, data))
     return hdus
+
+
+def write_fits_bintable(path: str, columns: list, header_cards: list = ()):
+    """Append-style writer: primary HDU + one binary table.
+
+    `columns` is a list of (name, tform_letter, array, unit) tuples; all
+    arrays must share a length (None arrays become zeros).
+    """
+    n_rows = max(len(a) for _, _, a, _ in columns if a is not None)
+    fields, units = [], []
+    arrays = []
+    for name, letter, arr, unit in columns:
+        dt = _TFORM_DTYPES[letter]
+        if arr is None:
+            arr = np.zeros(n_rows, dtype=dt)
+        arrays.append(np.asarray(arr).astype(dt))
+        fields.append((name.strip(), dt))
+        units.append(unit)
+    rec = np.empty(n_rows, dtype=np.dtype(fields))
+    for (name, _), arr in zip(fields, arrays):
+        rec[name] = arr
+
+    # primary (empty) HDU
+    primary = [
+        _format_card("SIMPLE", True),
+        _format_card("BITPIX", 8),
+        _format_card("NAXIS", 0),
+        _format_card("EXTEND", True),
+        "END".ljust(80).encode("ascii"),
+    ]
+    primary_bytes = b"".join(primary)
+    primary_bytes += b" " * (-len(primary_bytes) % BLOCK)
+
+    cards = [
+        _format_card("XTENSION", "BINTABLE"),
+        _format_card("BITPIX", 8),
+        _format_card("NAXIS", 2),
+        _format_card("NAXIS1", rec.dtype.itemsize),
+        _format_card("NAXIS2", n_rows),
+        _format_card("PCOUNT", 0),
+        _format_card("GCOUNT", 1),
+        _format_card("TFIELDS", len(columns)),
+    ]
+    for i, ((name, letter, _, unit)) in enumerate(columns, start=1):
+        cards.append(_format_card(f"TTYPE{i}", name))
+        cards.append(_format_card(f"TFORM{i}", letter))
+        if unit:
+            cards.append(_format_card(f"TUNIT{i}", unit))
+    for key, value, *comment in header_cards:
+        cards.append(_format_card(key, value, comment[0] if comment else ""))
+    cards.append("END".ljust(80).encode("ascii"))
+    header_bytes = b"".join(cards)
+    header_bytes += b" " * (-len(header_bytes) % BLOCK)
+
+    payload = rec.tobytes()
+    payload += b"\x00" * (-len(payload) % BLOCK)
+    with open(path, "wb") as f:
+        f.write(primary_bytes)
+        f.write(header_bytes)
+        f.write(payload)
 
 
 def write_fits(path: str, header_cards: list, data: np.ndarray = None):

@@ -61,8 +61,10 @@ class TODProgram:
     with_noise: bool = True
     gain_error: np.ndarray = None
 
-    def _loadings(self, key, offsets, bs_az_c, bs_el_c):
-        """Pure jnp body; returns dict of (n_det, n_t) loadings in pW."""
+    def _loadings(self, key, offsets, bs_az_c, bs_el_c, return_pwv: bool = False):
+        """Pure jnp body; returns dict of (n_det, n_t) loadings in pW
+        (and optionally the fine-rate zenith-scaled pwv). Gain errors are
+        NOT applied here — see total_power_fn / Simulation.run_obs."""
         from ..coords.transforms import offsets_to_phi_theta
 
         key_atm, key_noise, key_gain = jax.random.split(key, 3)
@@ -122,27 +124,34 @@ class TODProgram:
                 noise = noise.at[band.det_index].set(1e12 * band.NEP * unscaled)
             fields["noise"] = noise
 
-        if self.gain_error is not None:
-            gains = jnp.exp(
-                jnp.asarray(self.gain_error, dtype=jnp.float32)
-                * jax.random.normal(key_gain, (len(self.offsets),))
-            )
-            for name in fields:
-                if name != "noise":
-                    fields[name] = fields[name] * gains[:, None]
+        if return_pwv:
+            pwv_fine = upsample_time(pwv, t_c, t_f, kind="linear")
+            return fields, pwv_fine
         return fields
 
     def total_power_fn(self):
-        """(key, offsets, bs_az_c, bs_el_c) -> (n_det, n_t) total pW."""
+        """(key, offsets, bs_az_c, bs_el_c) -> (n_det, n_t) total pW,
+        including multiplicative gain errors."""
 
         def fn(key, offsets, bs_az_c, bs_el_c):
+            _, key_gain = jax.random.split(key)
             fields = self._loadings(key, offsets, bs_az_c, bs_el_c)
+            gains = 1.0
+            if self.gain_error is not None:
+                gains = jnp.exp(
+                    jnp.asarray(self.gain_error, dtype=jnp.float32)
+                    * jax.random.normal(key_gain, (len(self.offsets),))
+                )[:, None]
             total = 0.0
-            for v in fields.values():
-                total = total + v
+            for name, v in fields.items():
+                total = total + (v if name == "noise" else v * gains)
             return total
 
         return fn
+
+    def fields_fn(self):
+        """(key, offsets, bs_az_c, bs_el_c) -> (fields dict, pwv_fine)."""
+        return partial(self._loadings, return_pwv=True)
 
     def example_args(self, key=None):
         key = key if key is not None else jax.random.key(0)

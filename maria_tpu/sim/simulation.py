@@ -116,7 +116,29 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
     def run_obs(self, obs: Observation) -> TOD:
         obs.loading = {}
 
-        if hasattr(obs, "atmosphere"):
+        # fast path: atmosphere + noise (+ gains) as ONE fused jitted
+        # program when all screens use the fourier method
+        fused = (
+            hasattr(obs, "atmosphere")
+            and all(s.W is not None for s in obs.atmosphere.screens)
+        )
+
+        if fused:
+            from ..ops.program import build_tod_program
+
+            s = _time.monotonic()
+            program = build_tod_program(
+                obs, with_noise=self.noise, noise_kwargs=self.noise_kwargs
+            )
+            fn = jax.jit(program.fields_fn())
+            key = self._next_key()
+            fields, pwv_fine = fn(key, *program.example_args(key)[1:])
+            obs.loading = dict(fields)
+            # the SAME screen realization feeds downstream transmission
+            # (cmb/map mixins) through the fine-rate zenith-scaled pwv
+            obs.zenith_scaled_pwv = pwv_fine
+            logger.debug(f"Ran fused atmosphere+noise program in {_time.monotonic() - s:.2f} s.")
+        elif hasattr(obs, "atmosphere"):
             s = _time.monotonic()
             self._simulate_atmosphere(obs, self._next_key())
             obs.loading["atmosphere"] = self._compute_atmospheric_loading(obs)

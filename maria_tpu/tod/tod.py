@@ -264,6 +264,115 @@ class TOD:
                 out.append((start, min(start + n_samples, e)))
         return out
 
+    # -- i/o --------------------------------------------------------------------
+    def to_fits(self, fname: str, format: str = "MUSTANG-2"):
+        """Serialize in the MUSTANG-2 TOD format
+        (reference: maria/tod/tod.py:291-359)."""
+        if format.lower() not in ("mustang-2", "mustang2"):
+            raise ValueError(f"Unsupported TOD format '{format}'.")
+        from ..io.fits import write_fits_bintable
+
+        ra, dec = self.pointing.det_radec()
+        ra, dec = np.asarray(ra, dtype=np.float64), np.asarray(dec, dtype=np.float64)
+        tod_rj = self.to("K_RJ") if self.units != "K_RJ" else self
+        n_det, n_t = self.shape
+        rel_t = np.broadcast_to(self.time - self.time[0], (n_det, n_t))
+        pixid = np.broadcast_to(np.arange(n_det, dtype=np.int16)[:, None], (n_det, n_t))
+        c_az, c_el = self.pointing.boresight.center(frame="az/el")
+        jd_start = self.time[0] / 86400.0 + 2440587.5
+
+        write_fits_bintable(
+            fname,
+            columns=[
+                ("DX   ", "E", ra.ravel(), "radians"),
+                ("DY   ", "E", dec.ravel(), "radians"),
+                ("FNU  ", "E", np.asarray(tod_rj.signal).ravel(), "K_RJ"),
+                ("UFNU ", "E", None, ""),
+                ("TIME ", "E", rel_t.ravel(), "s"),
+                ("COL  ", "I", None, ""),
+                ("ROW  ", "I", None, ""),
+                ("PIXID", "I", pixid.ravel(), ""),
+                ("SCAN ", "I", None, ""),
+                ("ELEV ", "E", None, ""),
+            ],
+            header_cards=[
+                ("AZIM", float(np.asarray(c_az)), "radians"),
+                ("ELEV", float(np.asarray(c_el)), "radians"),
+                ("NDETS", n_det),
+                ("JDSTART", jd_start),
+                ("SITELAT", self.pointing.boresight.earth_location.lat_deg),
+                ("SITELONG", self.pointing.boresight.earth_location.lon_deg),
+                ("SITEELEV", self.pointing.boresight.earth_location.height_m),
+            ],
+        )
+
+    @classmethod
+    def from_fits(cls, fname: str, format: str = "MUSTANG-2", **kwargs) -> "TOD":
+        if format.lower() in ("mustang-2", "mustang2"):
+            return cls._from_mustang2(fname, **kwargs)
+        raise ValueError(f"Unsupported TOD format '{format}'.")
+
+    @classmethod
+    def _from_mustang2(cls, fname: str, index: int = 1) -> "TOD":
+        """(reference: maria/tod/tod.py:365-446)"""
+        from ..array import Array
+        from ..band import BandList, get_band
+        from ..io.fits import read_fits
+        from ..site import get_site
+        import pandas as pd
+
+        hdus = read_fits(fname)
+        header, raw = hdus[index]
+
+        det_uids, det_counts = np.unique(raw["PIXID"], return_counts=True)
+        if det_counts.std() > 0:
+            raise ValueError("Cannot reshape a ragged TOD.")
+        n_det, n_t = len(det_uids), int(det_counts.max())
+
+        signal = raw["FNU"].astype(np.float32).reshape(n_det, n_t)
+        ra = raw["DX"].astype(float).reshape(n_det, n_t)
+        dec = raw["DY"].astype(float).reshape(n_det, n_t)
+        t = raw["TIME"].astype(float).reshape(n_det, n_t).mean(axis=0)
+        if "JDSTART" in header:
+            t = t + (header["JDSTART"] - 2440587.5) * 86400.0
+
+        site = get_site("GBT")
+        boresight = Coordinates(
+            phi=ra.mean(axis=0), theta=dec.mean(axis=0), t=t,
+            earth_location=site.earth_location, frame="ra/dec",
+        )
+        # detector offsets from the first sample's spread (ra/dec frame)
+        offsets = np.stack(
+            [-(ra[:, 0] - ra[:, 0].mean()) * np.cos(dec[:, 0].mean()), dec[:, 0] - dec[:, 0].mean()],
+            axis=-1,
+        )
+
+        band = get_band("m2/f093")
+        dets = pd.DataFrame(
+            {
+                "base_det_index": np.arange(n_det),
+                "xi": offsets[:, 0],
+                "eta": offsets[:, 1],
+                "baseline_x": 0.0, "baseline_y": 0.0, "baseline_z": 0.0,
+                "gamma": np.nan, "pol_label": "none",
+                "primary_size": 100.0, "bath_temp": 0.3,
+                "band_name": band.name,
+            }
+        )
+        array = Array(name="mustang2", dets=dets, bands=BandList([band]))
+        metadata = {
+            "atmosphere": False,
+            "altitude": float(site.altitude.m),
+            "region": site.region,
+            "real_obs": True,
+            "base_temperature": header.get("TAMBIENT"),
+        }
+        pointing = Pointing(boresight, offsets, q=np.zeros(n_t))
+        return cls(
+            data={"signal": signal}, pointing=pointing, dets=array,
+            units="K_RJ", metadata=metadata,
+        )
+
     def process(self, **kwargs) -> "TOD":
         from .processing import process_tod
 

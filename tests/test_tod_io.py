@@ -1,0 +1,56 @@
+import numpy as np
+import pytest
+
+import maria_tpu
+from maria_tpu.io.fits import read_fits, write_fits, write_fits_bintable
+
+
+@pytest.fixture(scope="module")
+def tod():
+    sim = maria_tpu.Simulation(
+        instrument="MUSTANG-2", plans="ten_second_zenith_stare",
+        site="green_bank", atmosphere="2d", noise=True, seed=42,
+    )
+    return sim.run()[0]
+
+
+def test_fits_image_roundtrip(tmp_path):
+    p = str(tmp_path / "img.fits")
+    data = np.arange(48, dtype=np.float32).reshape(6, 8)
+    write_fits(p, [("TESTKEY", 3.5)], data)
+    hdus = read_fits(p)
+    header, back = hdus[0]
+    assert np.allclose(back, data)
+    assert np.isclose(header["TESTKEY"], 3.5)
+
+
+def test_fits_bintable_roundtrip(tmp_path):
+    p = str(tmp_path / "table.fits")
+    x = np.linspace(0, 1, 100).astype(np.float32)
+    ids = np.arange(100, dtype=np.int16)
+    write_fits_bintable(
+        p,
+        columns=[("X    ", "E", x, "m"), ("ID   ", "I", ids, "")],
+        header_cards=[("FOO", 42)],
+    )
+    header, rec = read_fits(p)[1]
+    assert header["FOO"] == 42
+    assert np.allclose(rec["X"], x)
+    assert (rec["ID"] == ids).all()
+
+
+def test_tod_fits_roundtrip(tmp_path, tod):
+    p = str(tmp_path / "tod.fits")
+    tod.to_fits(p)
+    back = maria_tpu.TOD.from_fits(p)
+    assert back.shape == tod.shape
+    assert np.allclose(np.asarray(back.signal), np.asarray(tod.signal), rtol=1e-5)
+    assert np.allclose(back.time, tod.time, atol=1e-2)
+    assert back.dets.n == tod.dets.n
+
+
+def test_tod_splits(tod):
+    splits = tod.splits(target_split_time=2.0)
+    assert len(splits) >= 1
+    for s, e in splits:
+        assert 0 <= s < e <= tod.shape[-1]
