@@ -114,6 +114,10 @@ class Atmosphere:
             min_fwhm = float(obs.instrument.dets.angular_fwhm(z=self.max_height).rad.min())
             max_wind = float((self.layers.wind_speed / self.layers.h).max())
             self.timestep = max(1e-1, min_fwhm / max_wind)
+            # snap to an integer multiple of the TOD sample interval so the
+            # fused program can use the gather-free phase-stencil upsample
+            dt_f = 1.0 / float(obs.sample_rate)
+            self.timestep = max(dt_f, round(self.timestep / dt_f) * dt_f)
 
         self.boresight = obs.boresight.downsample(timestep=self.timestep)
         n_t = self.boresight.shape[-1]

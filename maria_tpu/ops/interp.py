@@ -88,6 +88,45 @@ class RegularGridInterpolator:
         return out
 
 
+def upsample_time_phases(values, ratio: int, n_fine: int, kind: str = "cubic"):
+    """Gather-free upsample for an INTEGER coarse/fine ratio.
+
+    Fine sample j = c * ratio + r interpolates coarse samples around c
+    with weights depending only on the phase r — so the whole upsample is
+    `ratio` shifted stencil multiplies (pure VPU work, no gather). This
+    is the TPU-fast path used by the fused program; `upsample_time`
+    handles arbitrary grids.
+    """
+    values = jnp.asarray(values)
+    n_c = values.shape[-1]
+    s = (jnp.arange(ratio, dtype=values.dtype) / ratio)[None, :]  # phases
+
+    if kind == "linear" or n_c < 4:
+        p1 = values[..., :-1, None]
+        p2 = values[..., 1:, None]
+        out = p1 * (1 - s) + p2 * s  # (..., n_c-1, ratio)
+    else:
+        # Catmull-Rom on interior cells; clamp the edge cells
+        pad = jnp.concatenate([values[..., :1], values, values[..., -1:]], axis=-1)
+        p0 = pad[..., :-3, None]
+        p1 = pad[..., 1:-2, None]
+        p2 = pad[..., 2:-1, None]
+        p3 = pad[..., 3:, None]
+        out = 0.5 * (
+            2 * p1
+            + (-p0 + p2) * s
+            + (2 * p0 - 5 * p1 + 4 * p2 - p3) * s**2
+            + (-p0 + 3 * p1 - 3 * p2 + p3) * s**3
+        )
+    out = out.reshape(*values.shape[:-1], (n_c - 1) * ratio)
+    # extend with the last coarse value to n_fine
+    deficit = n_fine - out.shape[-1]
+    if deficit > 0:
+        tail = jnp.repeat(values[..., -1:], deficit, axis=-1)
+        out = jnp.concatenate([out, tail], axis=-1)
+    return out[..., :n_fine]
+
+
 def upsample_time(values, t_coarse, t_fine, kind: str = "cubic"):
     """Upsample (..., n_coarse) arrays from a uniform coarse time grid to
     fine times, with linear or Catmull-Rom cubic interpolation (the

@@ -24,7 +24,12 @@ import numpy as np
 
 from ..atmosphere.fourier import synthesize_matern_field_2d
 from ..noise import generate_noise_with_knee
-from .interp import RegularGridInterpolator, interp_bilinear_grid, upsample_time
+from .interp import (
+    RegularGridInterpolator,
+    interp_bilinear_grid,
+    upsample_time,
+    upsample_time_phases,
+)
 
 logger = logging.getLogger("maria_tpu")
 
@@ -61,6 +66,60 @@ class TODProgram:
     with_noise: bool = True
     gain_error: np.ndarray = None
 
+    def __post_init__(self):
+        # integer coarse/fine upsample ratio enables the gather-free
+        # phase-stencil path
+        if len(self.t_coarse) > 1 and len(self.t_fine) > 1:
+            dt_c = float(np.mean(np.diff(self.t_coarse)))
+            dt_f = float(np.mean(np.diff(self.t_fine)))
+            ratio = max(1, int(round(dt_c / dt_f)))
+            aligned = np.allclose(
+                self.t_coarse,
+                self.t_fine[0] + np.arange(len(self.t_coarse)) * ratio * dt_f,
+                atol=0.01 * dt_f,
+            )
+            self.upsample_ratio = ratio if aligned else None
+        else:
+            self.upsample_ratio = None
+
+        # bands whose detectors form contiguous, ordered slices let the
+        # program assemble per-band results by concatenation (no scatter,
+        # which is slow on TPU)
+        order = sorted(range(len(self.bands)), key=lambda i: self.bands[i].det_index[0] if len(self.bands[i].det_index) else 0)
+        covered = []
+        for i in order:
+            idx = self.bands[i].det_index
+            if len(idx) == 0 or not np.array_equal(idx, np.arange(idx[0], idx[-1] + 1)):
+                self.band_order = None
+                return
+            covered.append((int(idx[0]), int(idx[-1] + 1)))
+        is_partition = (
+            covered
+            and covered[0][0] == 0
+            and covered[-1][1] == len(self.offsets)
+            and all(a[1] == b[0] for a, b in zip(covered[:-1], covered[1:]))
+        )
+        self.band_order = order if is_partition else None
+
+    def _upsample(self, values):
+        if self.upsample_ratio is not None:
+            return upsample_time_phases(values, self.upsample_ratio, len(self.t_fine), kind="cubic")
+        return upsample_time(
+            values,
+            jnp.asarray(self.t_coarse, dtype=jnp.float32),
+            jnp.asarray(self.t_fine, dtype=jnp.float32),
+            kind="cubic",
+        )
+
+    def _per_band_assemble(self, pieces_by_band_index, fallback_shape):
+        """Concatenate contiguous per-band blocks, or scatter as fallback."""
+        if self.band_order is not None:
+            return jnp.concatenate([pieces_by_band_index[i] for i in self.band_order], axis=0)
+        out = jnp.zeros(fallback_shape, dtype=jnp.float32)
+        for i, piece in pieces_by_band_index.items():
+            out = out.at[self.bands[i].det_index].set(piece)
+        return out
+
     def _loadings(self, key, offsets, bs_az_c, bs_el_c, return_pwv: bool = False):
         """Pure jnp body; returns dict of (n_det, n_t) loadings in pW
         (and optionally the fine-rate zenith-scaled pwv). Gain errors are
@@ -94,24 +153,23 @@ class TODProgram:
             y_side = screen.ty_min + screen.res * jnp.arange(screen.ny)
             pwv = pwv + screen.pwv_rms * interp_bilinear_grid(values, tx, ty, x_side, y_side)
 
-        # per-band bandpass-integrated emission at coarse rate
+        # per-band bandpass-integrated emission at coarse rate, assembled
+        # without scatters when bands partition the det axis contiguously
         mueller_I = jnp.asarray(self.mueller_I, dtype=jnp.float32)
-        loading_c = jnp.zeros(pwv.shape, dtype=jnp.float32)
-        for band in self.bands:
+        loading_pieces = {}
+        for i, band in enumerate(self.bands):
             interp = RegularGridInterpolator((band.pwv_side, band.el_side), band.power_table)
             p = interp((pwv[band.det_index], el_clip[band.det_index]))
-            loading_c = loading_c.at[band.det_index].set(
-                mueller_I[band.det_index, None] * p.astype(jnp.float32)
-            )
+            loading_pieces[i] = mueller_I[band.det_index, None] * p.astype(jnp.float32)
+        loading_c = self._per_band_assemble(loading_pieces, pwv.shape)
 
-        # upsample to the TOD rate
-        t_f = jnp.asarray(self.t_fine, dtype=jnp.float32)
-        fields = {"atmosphere": upsample_time(loading_c, t_c, t_f, kind="cubic")}
+        # upsample to the TOD rate (phase stencil: no gathers)
+        fields = {"atmosphere": self._upsample(loading_c)}
 
         if self.with_noise:
             n_det, n_t = len(self.offsets), len(self.t_fine)
-            noise = jnp.zeros((n_det, n_t), dtype=jnp.float32)
-            for band in self.bands:
+            noise_pieces = {}
+            for i, band in enumerate(self.bands):
                 band_key = jax.random.fold_in(key_noise, hash(band.name) % (2**31))
                 unscaled = generate_noise_with_knee(
                     band_key,
@@ -121,11 +179,15 @@ class TODProgram:
                     basis=band.noise_basis,
                     corr_prop=band.corr_prop,
                 )
-                noise = noise.at[band.det_index].set(1e12 * band.NEP * unscaled)
-            fields["noise"] = noise
+                noise_pieces[i] = 1e12 * band.NEP * unscaled
+            fields["noise"] = self._per_band_assemble(noise_pieces, (n_det, n_t))
 
         if return_pwv:
-            pwv_fine = upsample_time(pwv, t_c, t_f, kind="linear")
+            if self.upsample_ratio is not None:
+                pwv_fine = upsample_time_phases(pwv, self.upsample_ratio, len(self.t_fine), kind="linear")
+            else:
+                t_f = jnp.asarray(self.t_fine, dtype=jnp.float32)
+                pwv_fine = upsample_time(pwv, t_c, t_f, kind="linear")
             return fields, pwv_fine
         return fields
 

@@ -53,8 +53,20 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
         keep_mean_signal: bool = False,
         seed: int = None,
         dtype=jnp.float32,
+        **kwargs,
     ):
         from ..noise import DEFAULT_NOISE_SIM_KWARGS
+        from .params import parse_sim_kwargs
+
+        # route loose kwargs (e.g. pwv=2.0) to their subsystem
+        # (reference: sim/params.yml whitelist, simulation.py:42-64)
+        loose = parse_sim_kwargs(kwargs)
+        atmosphere_kwargs = {**loose["atmosphere"], **atmosphere_kwargs}
+        if "pwv" in atmosphere_kwargs:  # sugar: pwv override goes to the weather
+            atmosphere_kwargs.setdefault("weather", {})["pwv"] = atmosphere_kwargs.pop("pwv")
+        cmb_kwargs = {**loose["cmb"], **cmb_kwargs}
+        map_kwargs = {**loose["map"], **map_kwargs}
+        noise_kwargs = {**loose["noise"], **noise_kwargs}
 
         self.dtype = dtype
         self.seed = seed

@@ -17,7 +17,7 @@ from ..utils.signal import bandpass, bspline_basis, highpass, lowpass
 
 logger = logging.getLogger("maria_tpu")
 
-PROCESS_ORDER = ["remove_slope", "remove_spline", "window", "filter", "remove_modes", "despline"]
+PROCESS_ORDER = ["remove_slope", "remove_spline", "window", "filter", "remove_modes"]
 
 
 def _check_nan(name, data):
