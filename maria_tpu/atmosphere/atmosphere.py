@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coords.transforms import offsets_to_phi_theta_jit
-from ..ops.interp import interp_bilinear_grid
+from ..ops.interp import interp_bilinear_uniform
 from ..spectrum import AtmosphericSpectrum
 from ..units import Quantity
 from ..weather import Weather
@@ -56,6 +56,10 @@ class LayerScreen:
     ar_columns: slice = None  # this layer's columns in the process cross-section
     ty_res: float = None  # cross-axis spacing (may differ from res)
     beam_sigma: float = 0.0
+    # static window sizes (cells) for the boresight-tracked windowed
+    # sampler; None disables windowing for this screen
+    win_x: int = None
+    win_y: int = None
 
 
 class Atmosphere:
@@ -141,6 +145,10 @@ class Atmosphere:
         cot_el = 1 / np.tan(np.clip(hull_el, np.radians(5), None))
         hull_px = np.sin(hull_az) * cot_el  # (n_outer, n_t)
         hull_py = np.cos(hull_az) * cot_el
+        # boresight track (window centers for the windowed sampler)
+        bs_cot = 1 / np.tan(np.clip(bs_el, np.radians(5), None))
+        bs_px = np.sin(bs_az) * bs_cot
+        bs_py = np.cos(bs_az) * bs_cot
 
         self.screens: list[LayerScreen] = []
 
@@ -195,11 +203,23 @@ class Atmosphere:
                     W = field_spectral_weights_2d(
                         ny, nx, res, res, nu=nu, r0=outer_scale, beam_sigma=beam_sigma
                     )
+
+                    # windowed-sampler bound: max offset of any detector's
+                    # footprint point from the boresight track, per axis of
+                    # the rotated frame (hull points bound all detectors)
+                    rel_x = layer.h * (hull_px - bs_px[None])
+                    rel_y = layer.h * (hull_py - bs_py[None])
+                    span_x = float(np.abs(ca * rel_x + sa * rel_y).max())
+                    span_y = float(np.abs(-sa * rel_x + ca * rel_y).max())
+                    win_x = min(nx, int(-(-(2 * span_x / res + 6) // 8) * 8))
+                    win_y = min(ny, int(-(-(2 * span_y / res + 6) // 8) * 8))
+
                     self.screens.append(
                         LayerScreen(
                             h=float(layer.h), z=float(layer.z), res=res,
                             pwv_rms=float(layer.pwv_rms), angle=angle, vx=vx, vy=vy,
                             tx_min=tx_min, ty_min=ty_min, nx=nx, ny=ny, W=W,
+                            win_x=win_x, win_y=win_y,
                         )
                     )
             else:
@@ -281,9 +301,9 @@ class Atmosphere:
             ty = -sa * x + ca * y
 
             # grid coordinates: field axis 0 = cross (ty), axis 1 = extrusion (tx)
-            x_side = screen.tx_min + screen.res * jnp.arange(screen.nx)
-            y_side = screen.ty_min + ty_res * jnp.arange(screen.ny)
-            sample = interp_bilinear_grid(values, tx, ty, x_side, y_side)
+            sample = interp_bilinear_uniform(
+                values, tx, ty, screen.tx_min, screen.res, screen.ty_min, ty_res
+            )
             pwv = pwv + screen.pwv_rms * sample
         return pwv
 

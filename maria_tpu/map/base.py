@@ -128,6 +128,53 @@ class Map:
     def _replace(self, **kwargs):
         raise NotImplementedError
 
+    # -- structure manipulation (reference map/base.py:297-351) ----------------
+    def squeeze(self, dim: str) -> "Map":
+        axis = {"stokes": 0, "nu": 1, "t": 2}[dim]
+        if self.data.shape[axis] != 1:
+            raise ValueError(f"Cannot squeeze dim '{dim}' of size {self.data.shape[axis]}.")
+        return self  # dims are always carried explicitly; squeeze is a no-op view
+
+    def unsqueeze(self, dim: str) -> "Map":
+        return self  # all three slice dims always exist in this implementation
+
+    @property
+    def dims(self):
+        return {
+            "stokes": self.n_stokes,
+            "nu": self.n_nu,
+            "t": len(self.t),
+            **{d: n for d, n in zip(self.map_dims, self.data.shape[3:])},
+        }
+
+    def apply_parity(self, **signs):
+        """Flip map axes to a given parity signature
+        (reference map/base.py:198-229). Returns self for chaining."""
+        flips = []
+        for i, dim in enumerate(self.map_dims):
+            if signs.get(dim, 1) == -1:
+                flips.append(3 + i)
+        if flips:
+            self.data = jnp.flip(self.data, axis=flips)
+            self.weight = jnp.flip(self.weight, axis=flips)
+        return self
+
+    @classmethod
+    def concatenate(cls, maps: list, dim: str = "t") -> "Map":
+        """Concatenate along a slice dim (reference map/base.py:534)."""
+        axis = {"stokes": 0, "nu": 1, "t": 2}[dim]
+        first = maps[0]
+        data = jnp.concatenate([m.data for m in maps], axis=axis)
+        weight = jnp.concatenate([m.weight for m in maps], axis=axis)
+        kwargs = {}
+        if dim == "nu":
+            kwargs["nu"] = np.concatenate([m.nu for m in maps])
+        elif dim == "t":
+            kwargs["t"] = np.concatenate([m.t for m in maps])
+        elif dim == "stokes":
+            kwargs["stokes"] = "".join(m.stokes for m in maps)
+        return first._replace(data=data, weight=weight, **kwargs)
+
     def __repr__(self):
         rms = float(np.asarray(self.data).std())
         return (

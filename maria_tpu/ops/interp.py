@@ -9,10 +9,43 @@ bilinear weights. All shapes static; safe under jit/vmap/shard_map.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["interp_1d", "RegularGridInterpolator", "interp_bilinear_grid"]
+
+
+def _axis_transform(side):
+    """Classify a grid axis: ('uniform', x0, dx) | ('log', logx0, dlog) |
+    ('general', side). Uniform and log-uniform axes index arithmetically —
+    searchsorted is a binary search whose every step is a (slow) TPU
+    gather, so avoiding it matters on the hot path."""
+    side = np.asarray(side, dtype=np.float64)
+    d = np.diff(side)
+    if len(d) == 0:
+        return ("uniform", float(side[0]), 1.0)
+    if np.ptp(d) <= 1e-5 * np.abs(d).mean():
+        return ("uniform", float(side[0]), float(d.mean()))
+    if (side > 0).all():
+        ld = np.diff(np.log(side))
+        if np.ptp(ld) <= 1e-5 * np.abs(ld).mean():
+            return ("log", float(np.log(side[0])), float(ld.mean()))
+    return ("general", side)
+
+
+def _fractional_index_transformed(transform, x):
+    kind = transform[0]
+    if kind == "uniform":
+        _, x0, dx = transform
+        return (x - x0) / dx
+    if kind == "log":
+        _, lx0, dl = transform
+        return (jnp.log(x) - lx0) / dl
+    side = jnp.asarray(transform[1])
+    n = side.shape[0]
+    i = jnp.clip(jnp.searchsorted(side, x, side="right") - 1, 0, n - 2)
+    return i + (x - side[i]) / (side[i + 1] - side[i])
 
 
 def _fractional_index(side, x):
@@ -46,6 +79,7 @@ class RegularGridInterpolator:
 
     def __init__(self, points, values):
         self.points = tuple(jnp.asarray(p) for p in points)
+        self._transforms = tuple(_axis_transform(np.asarray(p)) for p in points)
         self.values = jnp.asarray(values)
         self.ndim = len(self.points)
         grid_shape = tuple(len(p) for p in self.points)
@@ -68,7 +102,9 @@ class RegularGridInterpolator:
         los, weights = [], []
         for d, x in enumerate(xi):
             side = self.points[d]
-            f = jnp.clip(_fractional_index(side, x), 0.0, side.shape[0] - 1.0)
+            f = jnp.clip(
+                _fractional_index_transformed(self._transforms[d], x), 0.0, side.shape[0] - 1.0
+            )
             lo = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, side.shape[0] - 2)
             los.append(lo)
             weights.append(f - lo)
@@ -153,15 +189,113 @@ def upsample_time(values, t_coarse, t_fine, kind: str = "cubic"):
     )
 
 
+def interp_bilinear_uniform(values, x, y, x0, dx, y0, dy, fill_value=0.0):
+    """Bilinear sample of a 2-D field (ny, nx) on a UNIFORM grid: indices
+    are pure arithmetic (no searchsorted), leaving only the 4 corner
+    gathers — the hot-path variant used inside the fused program."""
+    values = jnp.asarray(values)
+    ny, nx = values.shape
+    fx = (x - x0) / dx
+    fy = (y - y0) / dy
+    inside = (fx >= 0) & (fx <= nx - 1) & (fy >= 0) & (fy <= ny - 1)
+    ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 2)
+    iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 2)
+    wx, wy = fx - ix, fy - iy
+    flat = values.ravel()
+    base = iy * nx + ix
+    v00 = jnp.take(flat, base)
+    v01 = jnp.take(flat, base + 1)
+    v10 = jnp.take(flat, base + nx)
+    v11 = jnp.take(flat, base + nx + 1)
+    out = (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+    return jnp.where(inside, out, fill_value)
+
+
+def interp_bilinear_windowed(values, tx, ty, cx, cy, x0, dx, y0, dy, wx: int, wy: int, chunk: int = None):
+    """Windowed bilinear sampling: gather-free, MXU-formulated.
+
+    At each (coarse) time step all detectors fall inside a small window
+    of the screen around the boresight track (cx, cy). The window is cut
+    with a contiguous dynamic_slice (fast on TPU, unlike scattered
+    gathers), and the bilinear interpolation becomes two small dense
+    matmuls with hat-function weight matrices:
+
+        out[d] = w_y[d] @ W @ w_x[d]   (W the (wy, wx) window)
+
+    Points outside the window get zero weight, matching the
+    fill_value=0 semantics of interp_bilinear_uniform.
+
+    values: (ny, nx); tx/ty: (n_det, n_t); cx/cy: (n_t,). wx/wy are
+    static window sizes in cells. Work is chunked over time to bound the
+    (n_det, chunk, w) weight intermediates.
+    """
+    values = jnp.asarray(values)
+    ny, nx = values.shape
+    n_det, n_t = tx.shape
+
+    wx = int(min(wx, nx))
+    wy = int(min(wy, ny))
+
+    ix0 = jnp.clip(jnp.round((cx - x0) / dx).astype(jnp.int32) - wx // 2, 0, nx - wx)
+    iy0 = jnp.clip(jnp.round((cy - y0) / dy).astype(jnp.int32) - wy // 2, 0, ny - wy)
+
+    fx = (tx - x0) / dx - ix0[None, :]  # local fractional coords (n_det, n_t)
+    fy = (ty - y0) / dy - iy0[None, :]
+
+    if chunk is None:
+        # bound the weight intermediates to ~64 MB
+        chunk = max(1, min(n_t, (1 << 24) // max(n_det * (wx + wy), 1)))
+    n_chunks = -(-n_t // chunk)
+    pad = n_chunks * chunk - n_t
+
+    def pad_t(a, fill=0.0):
+        return jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill) if a.ndim == 2 else jnp.pad(a, (0, pad))
+
+    fx_c = pad_t(fx, -2.0).reshape(n_det, n_chunks, chunk)
+    fy_c = pad_t(fy, -2.0).reshape(n_det, n_chunks, chunk)
+    ix0_c = pad_t(ix0).reshape(n_chunks, chunk)
+    iy0_c = pad_t(iy0).reshape(n_chunks, chunk)
+
+    kx = jnp.arange(wx, dtype=values.dtype)
+    ky = jnp.arange(wy, dtype=values.dtype)
+
+    def body(_, args):
+        fx_b, fy_b, ix0_b, iy0_b = args  # (n_det, chunk), (chunk,)
+        windows = jax.vmap(
+            lambda i, j: jax.lax.dynamic_slice(values, (i, j), (wy, wx))
+        )(iy0_b, ix0_b)  # (chunk, wy, wx)
+        w_x = jnp.clip(1.0 - jnp.abs(fx_b[..., None] - kx), 0.0, 1.0)  # (n_det, chunk, wx)
+        w_y = jnp.clip(1.0 - jnp.abs(fy_b[..., None] - ky), 0.0, 1.0)  # (n_det, chunk, wy)
+        tmp = jnp.einsum("tyx,dtx->dty", windows, w_x)  # (n_det, chunk, wy)
+        out = (tmp * w_y).sum(-1)  # (n_det, chunk)
+        return None, out
+
+    _, chunks = jax.lax.scan(
+        body, None,
+        (
+            jnp.moveaxis(fx_c, 1, 0), jnp.moveaxis(fy_c, 1, 0),
+            ix0_c, iy0_c,
+        ),
+    )  # (n_chunks, n_det, chunk)
+    out = jnp.moveaxis(chunks, 0, 1).reshape(n_det, n_chunks * chunk)
+    return out[:, :n_t]
+
+
 def interp_bilinear_grid(values, x, y, x_side, y_side, fill_value=0.0):
     """Bilinear sample of a 2-D field `values` (ny, nx) at points (x, y).
 
     Out-of-domain points get `fill_value`. Used by the turbulence
-    line-of-sight sampler.
+    line-of-sight sampler. Grid axes are classified once (uniform axes
+    index arithmetically, no searchsorted).
     """
     values = jnp.asarray(values)
-    fx = _fractional_index(x_side, x)
-    fy = _fractional_index(y_side, y)
+    fx = _fractional_index_transformed(_axis_transform(np.asarray(x_side)), x)
+    fy = _fractional_index_transformed(_axis_transform(np.asarray(y_side)), y)
     inside = (
         (x >= x_side[0]) & (x <= x_side[-1]) & (y >= y_side[0]) & (y <= y_side[-1])
     )

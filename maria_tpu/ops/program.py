@@ -26,7 +26,8 @@ from ..atmosphere.fourier import synthesize_matern_field_2d
 from ..noise import generate_noise_with_knee
 from .interp import (
     RegularGridInterpolator,
-    interp_bilinear_grid,
+    interp_bilinear_uniform,
+    interp_bilinear_windowed,
     upsample_time,
     upsample_time_phases,
 )
@@ -137,6 +138,10 @@ class TODProgram:
         cot_el = 1 / jnp.tan(el_clip)
         px = jnp.sin(det_az) * cot_el
         py = jnp.cos(det_az) * cot_el
+        # boresight track for the windowed sampler
+        bs_cot = 1 / jnp.tan(jnp.clip(bs_el_c, jnp.radians(5.0), jnp.pi / 2))
+        bs_px = jnp.sin(bs_az_c) * bs_cot
+        bs_py = jnp.cos(bs_az_c) * bs_cot
 
         # turbulence screens -> zenith-scaled pwv at the coarse timestep
         t_c = jnp.asarray(self.t_coarse, dtype=jnp.float32)
@@ -149,9 +154,24 @@ class TODProgram:
             ca, sa = np.cos(screen.angle), np.sin(screen.angle)
             tx = ca * x + sa * y
             ty = -sa * x + ca * y
-            x_side = screen.tx_min + screen.res * jnp.arange(screen.nx)
-            y_side = screen.ty_min + screen.res * jnp.arange(screen.ny)
-            pwv = pwv + screen.pwv_rms * interp_bilinear_grid(values, tx, ty, x_side, y_side)
+            windowed = (
+                screen.win_x is not None
+                and screen.win_x * screen.win_y <= 0.5 * screen.nx * screen.ny
+            )
+            if windowed:
+                # MXU path: contiguous window slices + dense hat-weight matmuls
+                cx_b = ca * (screen.h * bs_px + screen.vx * t_c) + sa * (screen.h * bs_py + screen.vy * t_c)
+                cy_b = -sa * (screen.h * bs_px + screen.vx * t_c) + ca * (screen.h * bs_py + screen.vy * t_c)
+                sample = interp_bilinear_windowed(
+                    values, tx, ty, cx_b, cy_b,
+                    screen.tx_min, screen.res, screen.ty_min, screen.res,
+                    screen.win_x, screen.win_y,
+                )
+            else:
+                sample = interp_bilinear_uniform(
+                    values, tx, ty, screen.tx_min, screen.res, screen.ty_min, screen.res
+                )
+            pwv = pwv + screen.pwv_rms * sample
 
         # per-band bandpass-integrated emission at coarse rate, assembled
         # without scatters when bands partition the det axis contiguously

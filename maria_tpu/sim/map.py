@@ -87,11 +87,33 @@ class MapMixin:
                     nu_min_Hz=float(nu_min.Hz), nu_max_Hz=float(nu_max.Hz), **spectrum_kwargs
                 )
 
-                samples = channel_map.sample(
-                    offsets[..., 0], offsets[..., 1],
-                    stokes_weight=stokes_weight[band_idx],
-                    nu_index=channel, bilinear=bilinear,
-                )
+                n_frames = len(self.map.t)
+                if n_frames == 1:
+                    samples = channel_map.sample(
+                        offsets[..., 0], offsets[..., 1],
+                        stokes_weight=stokes_weight[band_idx],
+                        nu_index=channel, bilinear=bilinear,
+                    )
+                else:
+                    # time-evolving map: linear blend between the two
+                    # bracketing frames (reference supports t-axis maps,
+                    # maria/tests/sim/test_time_evolving.py)
+                    t0 = float(obs.t[0])
+                    t_rel = jnp.asarray(np.asarray(obs.t, dtype=np.float64) - t0, dtype=jnp.float32)
+                    frame_t = jnp.asarray(np.asarray(self.map.t, dtype=np.float64) - t0, dtype=jnp.float32)
+                    fi = jnp.clip(jnp.searchsorted(frame_t, t_rel) - 1, 0, n_frames - 2)
+                    w_hi = jnp.clip(
+                        (t_rel - frame_t[fi]) / (frame_t[fi + 1] - frame_t[fi]), 0.0, 1.0
+                    ).astype(jnp.float32)
+                    samples = jnp.zeros((len(band_idx), obs.shape[-1]), dtype=jnp.float32)
+                    for f in range(n_frames):
+                        w_f = jnp.where(fi == f, 1 - w_hi, 0.0) + jnp.where(fi + 1 == f, w_hi, 0.0)
+                        frame_samples = channel_map.sample(
+                            offsets[..., 0], offsets[..., 1],
+                            stokes_weight=stokes_weight[band_idx],
+                            nu_index=channel, t_index=f, bilinear=bilinear,
+                        )
+                        samples = samples + w_f[None, :] * frame_samples
                 band_loading = band_loading + jnp.asarray(pW_per_K_RJ, dtype=jnp.float32) * samples
 
             map_loading = map_loading.at[band_idx].set(band_loading)

@@ -1,0 +1,132 @@
+"""Feature-matrix integration tests (modelled on the reference's
+tests/sim/test_polarization.py, test_multifrequency.py,
+test_time_evolving.py)."""
+
+import numpy as np
+import pytest
+
+import maria_tpu
+from maria_tpu.array import Array
+from maria_tpu.instrument import Instrument
+from maria_tpu.map import ProjectionMap
+from maria_tpu.mappers import BinMapper
+
+
+def _plan(**kwargs):
+    return maria_tpu.get_plan(
+        "five_second_stare", start_time=1.75e9, sample_rate=20,
+        scan_center=(150.0, 41.0), frame="az/el", **kwargs,
+    )
+
+
+def _azel_map(data, stokes=None, nu=None, t=None):
+    return ProjectionMap(
+        data=data, center=(150.0, 41.0), width=2.0, frame="az/el",
+        stokes=stokes, nu=nu, t=t, units="K_RJ", degrees=True,
+    )
+
+
+def test_polarized_map_sampling():
+    # a pure-Q sky: polarized detector pairs (gamma, gamma+90°) see
+    # opposite signals; their sum sees none (I = 0)
+    n = 64
+    data = np.zeros((3, 1, 1, n, n), dtype=np.float32)
+    data[1] = 1e-3  # Q only
+    input_map = _azel_map(data, stokes="IQU")
+
+    arr = Array.from_config(
+        {"name": "pol", "n": 20, "field_of_view": 0.2, "primary_size": 10,
+         "polarized": True, "bands": ["test/f150"]}
+    )
+    instrument = Instrument(arrays=[arr])
+    sim = maria_tpu.Simulation(
+        instrument=instrument, plans=_plan(), site="chajnantor",
+        atmosphere=None, noise=False, map=input_map, seed=0,
+    )
+    tod = sim.run(units="pW")[0]
+    d = np.asarray(tod.signal)
+    gamma = tod.dets.gamma
+    # pair A/B detectors share base_det_index
+    base = tod.dets.dets.base_det_index.values
+    pol = tod.dets.dets.pol_label.values
+    for b in np.unique(base)[:5]:
+        a_sig = d[(base == b) & (pol == "A")].mean()
+        b_sig = d[(base == b) & (pol == "B")].mean()
+        assert np.sign(a_sig) != np.sign(b_sig) or abs(a_sig + b_sig) < 0.2 * (abs(a_sig) + abs(b_sig))
+    # detector response follows cos(2 gamma) for a Q sky
+    expected = 0.5 * np.cos(2 * gamma)
+    measured = d.mean(axis=-1)
+    corr = np.corrcoef(expected, measured)[0, 1]
+    assert corr > 0.99
+
+
+def test_iqu_binmapper():
+    n = 64
+    data = np.zeros((3, 1, 1, n, n), dtype=np.float32)
+    data[0] = 2e-3
+    data[1] = 1e-3
+    input_map = _azel_map(data, stokes="IQU")
+    arr = Array.from_config(
+        {"name": "pol", "n": 60, "field_of_view": 1.0, "primary_size": 10,
+         "polarized": True, "bands": ["test/f150"]}
+    )
+    sim = maria_tpu.Simulation(
+        instrument=Instrument(arrays=[arr]), plans=_plan(scan_pattern="daisy",
+        scan_options={"radius": 0.4, "speed": 0.25}), site="chajnantor",
+        atmosphere=None, noise=False, map=input_map, seed=0,
+    )
+    tod = sim.run()[0]
+    mapper = BinMapper(
+        [tod], center=(150.0, 41.0), width=2.0, resolution=2.0 / n,
+        frame="az/el", units="K_RJ",
+    )
+    out = mapper.run()
+    assert "Q" in out.stokes  # polarized dets -> Stokes inference picks up QU
+
+
+def test_multifrequency_map():
+    n = 32
+    data = np.zeros((1, 2, 1, n, n), dtype=np.float32)
+    data[0, 0] = 1e-3  # bright at 90 GHz
+    data[0, 1] = 2e-3  # brighter at 150 GHz
+    input_map = _azel_map(data, nu=[90e9, 150e9])
+    sim = maria_tpu.Simulation(
+        instrument="test/1deg", plans=_plan(), site="chajnantor",
+        atmosphere=None, noise=False, map=input_map, seed=0,
+    )
+    tod = sim.run()[0]
+    d = np.asarray(tod.data["map"])
+    m90 = d[tod.dets.band_name == "test/f090"].mean()
+    m150 = d[tod.dets.band_name == "test/f150"].mean()
+    assert m150 > 1.5 * m90  # each band samples its own channel
+
+
+def test_time_evolving_map():
+    n = 32
+    t0 = 1.75e9
+    frames = np.zeros((1, 1, 3, n, n), dtype=np.float32)
+    frames[0, 0, 0] = 0.0
+    frames[0, 0, 1] = 1e-3
+    frames[0, 0, 2] = 2e-3
+    input_map = _azel_map(frames, t=[t0, t0 + 2.5, t0 + 5.0])
+    sim = maria_tpu.Simulation(
+        instrument="test/one_detector", plans=_plan(), site="chajnantor",
+        atmosphere=None, noise=False, map=input_map, seed=0,
+    )
+    tod = sim.run()[0]
+    d = np.asarray(tod.data["map"])[0]
+    # the signal ramps up in time as the map brightens
+    assert d[-10:].mean() > d[:10].mean() * 1.5
+
+
+def test_map_parity_and_concat():
+    n = 16
+    a = _azel_map(np.random.default_rng(0).standard_normal((1, 1, 1, n, n)).astype(np.float32))
+    before = np.asarray(a.data).copy()
+    a.apply_parity(eta=-1)
+    assert np.allclose(np.asarray(a.data), before[..., ::-1, :])
+    b = _azel_map(np.zeros((1, 1, 1, n, n), dtype=np.float32))
+    from maria_tpu.map.projection import ProjectionMap as PM
+
+    both = PM.concatenate([a, b], dim="t")
+    assert both.data.shape[2] == 2
