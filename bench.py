@@ -30,7 +30,7 @@ DURATION_S = 60.0
 SAMPLE_RATE = 50.0
 
 
-def build_program():
+def build_program(instrument="MUSTANG-2", site="GBT", duration=DURATION_S, radius=0.083, speed=0.017):
     import maria_tpu
     from maria_tpu.ops.program import build_tod_program
 
@@ -39,11 +39,12 @@ def build_program():
         start_time=1.75e9,
         scan_center=(150.0, 41.0),
         frame="az/el",
-        duration=DURATION_S,
+        duration=duration,
         sample_rate=SAMPLE_RATE,
+        scan_options={"radius": radius, "speed": speed},
     )
     sim = maria_tpu.Simulation(
-        instrument="MUSTANG-2", plans=plan, site="GBT", atmosphere="2d", noise=True, seed=0
+        instrument=instrument, plans=plan, site=site, atmosphere="2d", noise=True, seed=0
     )
     return build_tod_program(sim.obs_list[0], noise_kwargs=sim.noise_kwargs), sim.obs_list[0]
 
@@ -164,12 +165,23 @@ def main():
     program, obs = build_program()
     tpu_rate = bench_tpu(program)
     cpu_rate = bench_cpu_baseline(program, obs)
+
+    # config (b): AtLAST-scale ~50k-detector multi-band array
+    try:
+        program_b, _ = build_program(
+            instrument="AtLAST-50k", site="ALMA", duration=60.0, radius=0.5, speed=0.25
+        )
+        atlast_rate = bench_tpu(program_b, n_repeats=3)
+    except Exception as e:  # noqa: BLE001 — report the headline even if (b) fails
+        atlast_rate = None
+
     result = {
         "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise, end-to-end on device)",
         "value": round(tpu_rate, 1),
         "unit": "samples/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
         "baseline_samples_per_s": round(cpu_rate, 1),
+        "atlast_50k_samples_per_s": round(atlast_rate, 1) if atlast_rate else None,
     }
     print(json.dumps(result))
 
