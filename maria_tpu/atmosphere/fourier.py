@@ -28,19 +28,21 @@ __all__ = ["good_fft_size", "synthesize_matern_field_2d", "field_spectral_weight
 
 
 def good_fft_size(n: int) -> int:
-    """Smallest 2^a * 3^b * 5^c >= n (keeps XLA FFTs fast)."""
+    """Smallest m * 2^k >= n with odd part m in {1, 3, 5, 9}.
+
+    TPU XLA FFTs are fast only when the length's odd part is tiny:
+    measured on v5e, n=3072 (3*2^10) runs ~25x faster than n=3000
+    (2^3*3*5^3). Restricting the odd factor to <=9 keeps padding
+    overhead <=12.5% over the next power of two while staying on the
+    fast path.
+    """
     n = max(int(n), 16)
     best = 1 << (n - 1).bit_length()
-    m5 = 1
-    while m5 <= best:
-        m53 = m5
-        while m53 <= best:
-            m = m53
-            while m < n:
-                m *= 2
-            best = min(best, m)
-            m53 *= 3
-        m5 *= 5
+    for m in (3, 5, 9):
+        size = m << max(0, (-(-n // m) - 1).bit_length()) if n > m else m
+        while size < n:
+            size *= 2
+        best = min(best, size)
     return best
 
 

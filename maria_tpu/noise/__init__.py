@@ -47,20 +47,29 @@ def generate_noise_with_knee(
     noise = jnp.sqrt(sample_rate) * jax.random.normal(key_white, shape, dtype=jnp.float32)
 
     if knee > 0:
-        weights = _pink_weights(n, sample_rate, knee, beta)
+        # synthesize the pink component on a TPU-fast FFT length and
+        # truncate: the series is stationary, so a slice has the same PSD
+        from ..atmosphere.fourier import good_fft_size
+
+        n_fft = good_fft_size(n)
+        weights = _pink_weights(n_fft, sample_rate, knee, beta)
         pink = jnp.fft.irfft(
-            weights * jnp.fft.rfft(jax.random.normal(key_pink, shape, dtype=jnp.float32), axis=-1),
-            n=n,
+            weights
+            * jnp.fft.rfft(
+                jax.random.normal(key_pink, (*shape[:-1], n_fft), dtype=jnp.float32), axis=-1
+            ),
+            n=n_fft,
             axis=-1,
-        )
+        )[..., :n]
         if basis is not None and corr_prop > 0:
             basis = jnp.asarray(basis, dtype=jnp.float32)
             k = basis.shape[-1]
             mode_noise = jnp.fft.irfft(
-                weights * jnp.fft.rfft(jax.random.normal(key_modes, (k, n), dtype=jnp.float32), axis=-1),
-                n=n,
+                weights
+                * jnp.fft.rfft(jax.random.normal(key_modes, (k, n_fft), dtype=jnp.float32), axis=-1),
+                n=n_fft,
                 axis=-1,
-            )
+            )[..., :n]
             pink = jnp.sqrt(corr_prop) * basis @ mode_noise + jnp.sqrt(1 - corr_prop) * pink
         noise = noise + pink
 
