@@ -242,7 +242,7 @@ class Coordinates:
     def hull(self, frame, center=None, max_samples: int = 20000):
         offsets = self.offsets(frame=frame, center=center).reshape(-1, 2)
         if len(offsets) > max_samples:
-            offsets = offsets[np.random.choice(len(offsets), size=max_samples)]
+            offsets = offsets[np.random.default_rng(0).choice(len(offsets), size=max_samples)]
         hull = sp.spatial.ConvexHull(offsets)
         return offsets[hull.vertices]
 

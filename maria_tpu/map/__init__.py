@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import logging
+import zlib
 import os
 
 import numpy as np
@@ -49,7 +50,7 @@ def _synthesize_example(name: str, center=(150.0, 10.0), **overrides) -> Project
     width_rad = np.radians(cfg["width"])
     x = np.linspace(-width_rad / 2, width_rad / 2, n)
     X, Y = np.meshgrid(x, x)
-    rng = np.random.default_rng(abs(hash(name)) % 2**32)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))  # stable across processes
 
     if "cluster" in name:
         # isothermal beta model, theta_c ~ 1/10 of the map

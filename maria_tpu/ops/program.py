@@ -48,6 +48,7 @@ class BandBlock:
     knee: float
     noise_basis: np.ndarray = None
     corr_prop: float = 0.0
+    NEP_per_loading: float = 0.0  # W√s per W of loading (reference sim/noise.py:33)
 
 
 @dataclass
@@ -190,7 +191,10 @@ class TODProgram:
             n_det, n_t = len(self.offsets), len(self.t_fine)
             noise_pieces = {}
             for i, band in enumerate(self.bands):
-                band_key = jax.random.fold_in(key_noise, hash(band.name) % (2**31))
+                # stable per-band stream: fold in the band's position in
+                # the (config-ordered) band list, NOT a salted str hash —
+                # the same seed must give the same noise across processes
+                band_key = jax.random.fold_in(key_noise, i)
                 unscaled = generate_noise_with_knee(
                     band_key,
                     shape=(len(band.det_index), n_t),
@@ -199,7 +203,15 @@ class TODProgram:
                     basis=band.noise_basis,
                     corr_prop=band.corr_prop,
                 )
-                noise_pieces[i] = 1e12 * band.NEP * unscaled
+                # photon-loading term: total NEP = NEP + NEP_per_loading * P
+                # with P the time-resolved non-noise loading in W
+                # (reference maria/sim/noise.py:33)
+                if band.NEP_per_loading:
+                    loading_W = 1e-12 * sum(v[band.det_index] for v in fields.values())
+                    total_NEP = band.NEP + band.NEP_per_loading * loading_W
+                else:
+                    total_NEP = band.NEP
+                noise_pieces[i] = 1e12 * total_NEP * unscaled
             fields["noise"] = self._per_band_assemble(noise_pieces, (n_det, n_t))
 
         if return_pwv:
@@ -216,7 +228,9 @@ class TODProgram:
         including multiplicative gain errors."""
 
         def fn(key, offsets, bs_az_c, bs_el_c):
-            _, key_gain = jax.random.split(key)
+            # same derivation as _loadings' third stream: gains must not
+            # share a key with the noise stream (split(key)[1] == split(key, 3)[1])
+            key_gain = jax.random.split(key, 3)[2]
             fields = self._loadings(key, offsets, bs_az_c, bs_el_c)
             gains = 1.0
             if self.gain_error is not None:
@@ -272,6 +286,7 @@ def build_tod_program(obs, with_noise: bool = True, noise_kwargs: dict = {}) -> 
                 name=band.name, det_index=det_index,
                 pwv_side=pwv_side, el_side=el_side, power_table=table,
                 NEP=band.NEP, knee=band.knee, noise_basis=basis, corr_prop=corr_prop,
+                NEP_per_loading=band.NEP_per_loading,
             )
         )
 

@@ -72,7 +72,8 @@ class Plan:
             scan_center = np.asarray(scan_center, dtype=float)
 
         if jitter:
-            scan_offsets = scan_offsets + np.radians(jitter) * np.random.standard_normal(scan_offsets.shape)
+            jitter_rng = np.random.default_rng(np.uint64(int(t0 * 1e3)))
+            scan_offsets = scan_offsets + np.radians(jitter) * jitter_rng.standard_normal(scan_offsets.shape)
 
         pt = np.asarray(
             offsets_to_phi_theta(scan_offsets.T, float(scan_center[0]), float(scan_center[1]))

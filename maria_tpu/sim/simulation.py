@@ -139,8 +139,12 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
             from ..ops.program import build_tod_program
 
             s = _time.monotonic()
+            # if cmb/map loadings are simulated by mixins after the
+            # program, noise must wait for them so NEP_per_loading sees
+            # the total loading (reference sim/noise.py:33)
+            noise_in_program = self.noise and not (hasattr(self, "cmb") or hasattr(self, "map"))
             program = build_tod_program(
-                obs, with_noise=self.noise, noise_kwargs=self.noise_kwargs
+                obs, with_noise=noise_in_program, noise_kwargs=self.noise_kwargs
             )
             fn = jax.jit(program.fields_fn())
             key = self._next_key()
@@ -166,7 +170,9 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
             self._sample_maps(obs)
             logger.debug(f"Ran map simulation in {_time.monotonic() - s:.2f} s.")
 
-        if self.noise:
+        if self.noise and "noise" not in obs.loading:
+            # the fused program already synthesized noise (with the same
+            # NEP_per_loading physics); only the mixin path lands here
             s = _time.monotonic()
             self._simulate_noise(obs, self._next_key())
             logger.debug(f"Ran noise simulation in {_time.monotonic() - s:.2f} s.")

@@ -41,7 +41,7 @@ def compute_diameter(points, lazy=False, MAX_SAMPLE_SIZE: int = 10000) -> float:
     if len(points) < 2:
         return 0.0
     if lazy or len(points) > MAX_SAMPLE_SIZE:
-        index = np.random.choice(len(points), size=MAX_SAMPLE_SIZE, replace=True)
+        index = np.random.default_rng(0).choice(len(points), size=MAX_SAMPLE_SIZE, replace=True)
         points = points[index]
     dims_vary = np.ptp(points, axis=0) > 0
     if dims_vary.sum() == 0:

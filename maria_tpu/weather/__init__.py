@@ -14,6 +14,7 @@ source.
 from __future__ import annotations
 
 import logging
+import zlib
 import time as _time
 
 import numpy as np
@@ -140,7 +141,9 @@ class Weather:
         v0 = 4.5 * np.exp(0.3 * q_w)
         frac = np.clip((1013.25 - PRESSURE_LEVELS) / (1013.25 - 200.0), 0, 1.2)
         wind_speed = v0 + (jet - v0) * frac**2
-        rng = np.random.default_rng(abs(hash((region, int(self.utc_year_day)))) % 2**32)
+        rng = np.random.default_rng(
+            zlib.crc32(f"{region}/{int(self.utc_year_day)}".encode())
+        )  # stable across processes (str hash() is salted)
         bearing = np.radians(270.0) + 0.6 * rng.standard_normal() + 0.15 * rng.standard_normal(len(frac))
         wind_east = wind_speed * np.sin(bearing)
         wind_north = wind_speed * np.cos(bearing)
