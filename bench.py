@@ -30,7 +30,10 @@ DURATION_S = 60.0
 SAMPLE_RATE = 50.0
 
 
-def build_program(instrument="MUSTANG-2", site="GBT", duration=DURATION_S, radius=0.083, speed=0.017):
+def build_program(
+    instrument="MUSTANG-2", site="GBT", duration=DURATION_S, radius=0.083, speed=0.017,
+    atmosphere="2d",
+):
     import maria_tpu
     from maria_tpu.ops.program import build_tod_program
 
@@ -44,12 +47,12 @@ def build_program(instrument="MUSTANG-2", site="GBT", duration=DURATION_S, radiu
         scan_options={"radius": radius, "speed": speed},
     )
     sim = maria_tpu.Simulation(
-        instrument=instrument, plans=plan, site=site, atmosphere="2d", noise=True, seed=0
+        instrument=instrument, plans=plan, site=site, atmosphere=atmosphere, noise=True, seed=0
     )
     return build_tod_program(sim.obs_list[0], noise_kwargs=sim.noise_kwargs), sim.obs_list[0]
 
 
-def bench_tpu(program, n_repeats: int = 5, k_chain: int = 65) -> float:
+def bench_tpu(program, n_repeats: int = 5, k_chain: int = None) -> float:
     """Samples/s of the fused jitted program on the default jax device.
 
     Measures pipelined throughput: one dispatch synthesizes `k_chain`
@@ -66,6 +69,12 @@ def bench_tpu(program, n_repeats: int = 5, k_chain: int = 65) -> float:
 
     fn = program.total_power_fn()
     args = program.example_args()
+
+    if k_chain is None:
+        # bound the chain's device working set: each iteration synthesizes
+        # the full (n_det, n_t) TOD, so huge arrays get a shorter chain
+        n_samples = len(program.offsets) * len(program.t_fine)
+        k_chain = int(np.clip((1 << 31) // max(4 * n_samples, 1), 8, 64)) + 1
 
     def make_chain(k_count):
         @jax.jit
@@ -192,10 +201,12 @@ def main():
     tpu_rate = bench_tpu(program)
     cpu_rate = bench_cpu_baseline(program, obs)
 
-    # config (b): AtLAST-scale ~50k-detector multi-band array
+    # config (b): AtLAST-scale ~50k-detector multi-band array with a
+    # multi-layer 3-D (vertically-correlated) atmosphere, per BASELINE.md
     try:
         program_b, _ = build_program(
-            instrument="AtLAST-50k", site="ALMA", duration=60.0, radius=0.5, speed=0.25
+            instrument="AtLAST-50k", site="ALMA", duration=60.0, radius=0.5, speed=0.25,
+            atmosphere="3d",
         )
         atlast_rate = bench_tpu(program_b, n_repeats=3)
     except Exception as e:  # noqa: BLE001 — report the headline even if (b) fails

@@ -22,13 +22,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coords.transforms import offsets_to_phi_theta_jit
-from ..ops.interp import interp_bilinear_uniform
 from ..spectrum import AtmosphericSpectrum
 from ..units import Quantity
 from ..weather import Weather
-from .fourier import field_spectral_weights_2d, good_fft_size, synthesize_matern_field_2d
+from .fourier import (
+    field_spectral_weights_2d,
+    good_fft_size,
+    layered_field_spectral_weights,
+)
 from .layers import generate_layers
 from .process import AutoregressiveProcess
+from .sampling import accumulate_pwv
 
 logger = logging.getLogger("maria_tpu")
 
@@ -62,6 +66,31 @@ class LayerScreen:
     win_y: int = None
 
 
+@dataclass
+class ScreenGroup:
+    """A vertically-correlated stack of layer screens on a common grid
+    (the fourier 3-D model): slices of one 3-D Matérn field, synthesized
+    jointly via `fourier.synthesize_layered_matern_2d`."""
+
+    heights: np.ndarray  # (L,) layer heights above the site
+    zs: np.ndarray  # (L,) line-of-sight distances
+    pwv_rms: np.ndarray  # (L,)
+    angle: float
+    vx: float
+    vy: float
+    res: float
+    tx_min: float
+    ty_min: float
+    nx: int
+    ny: int
+    W: np.ndarray  # (J, ny, nx//2+1) per-node spectral amplitudes
+    M_cos: np.ndarray  # (L, J)
+    M_sin: np.ndarray  # (L, J)
+    beam: np.ndarray = None  # (L, ny, nx//2+1)
+    win_x: np.ndarray = None  # (L,) static window sizes per layer
+    win_y: np.ndarray = None
+
+
 class Atmosphere:
     def __init__(
         self,
@@ -77,6 +106,7 @@ class Atmosphere:
         max_height: float = 5e3,
         timestep: float = None,
         method: str = "fourier",
+        n_layers: int = None,
         seed: int = None,
         disable_progress_bars: bool = True,
     ):
@@ -99,6 +129,12 @@ class Atmosphere:
         self.pwv_rms_frac = pwv_rms_frac
         self.max_height = max_height
         self.timestep = timestep
+        # the 3-D model defaults to 12 log-spaced slabs: the fourier path
+        # carries vertical correlation in its cross-spectra and the AR
+        # path in its stacked cross-section covariance, so neither needs
+        # the reference's resolution-matched stack (hundreds of layers,
+        # O(n^3) covariance setup) to converge the pwv integral
+        self.n_layers = n_layers if n_layers is not None else (12 if model == "3d" else None)
         self.seed = seed
         self._initialized = False
 
@@ -112,6 +148,7 @@ class Atmosphere:
             mode=self.model,
             max_height=self.max_height,
             pwv_rms_frac=self.pwv_rms_frac,
+            n_layers=self.n_layers,
         )
 
         if self.timestep is None:
@@ -151,6 +188,7 @@ class Atmosphere:
         bs_py = np.cos(bs_az) * bs_cot
 
         self.screens: list[LayerScreen] = []
+        self.groups: list[ScreenGroup] = []
 
         w = (self.layers.total_water * self.layers.temperature).values
         t_rel = dt * np.arange(n_t)
@@ -185,8 +223,23 @@ class Atmosphere:
             outer_scale = max(1e3, 300 + float(process_layers.h.mean()) / 10)
             nu = 5 / 6 if self.model == "2d" else 1 / 3
 
-            if self.method == "fourier" or self.model == "2d":
-                # one independent 2-D screen per layer
+            def window_bounds(h, res, nx, ny):
+                # windowed-sampler bound: max offset of any detector's
+                # footprint point from the boresight track, per axis of
+                # the rotated frame (hull points bound all detectors)
+                rel_x = h * (hull_px - bs_px[None])
+                rel_y = h * (hull_py - bs_py[None])
+                span_x = float(np.abs(ca * rel_x + sa * rel_y).max())
+                span_y = float(np.abs(-sa * rel_x + ca * rel_y).max())
+                win_x = min(nx, int(-(-(2 * span_x / res + 6) // 8) * 8))
+                win_y = min(ny, int(-(-(2 * span_y / res + 6) // 8) * 8))
+                return win_x, win_y
+
+            if self.model == "2d":
+                # one independent 2-D screen per layer (fourier: FFT
+                # synthesis with beam smoothing folded into the spectral
+                # weights; ar: per-slab conditional-Gaussian extrusion,
+                # reference maria/atmosphere/extrusion.py:66-68)
                 for _, layer in process_layers.iterrows():
                     res = float(layer.res)
                     margin = 2 * res
@@ -194,25 +247,39 @@ class Atmosphere:
                     ty_min, ty_max = ty.min() - margin, ty.max() + margin
                     nx_needed = int((tx_max - tx_min) / res) + 2
                     ny_needed = int((ty_max - ty_min) / res) + 2
-                    nx = good_fft_size(int(1.3 * nx_needed) + 8)
-                    ny = good_fft_size(int(1.3 * ny_needed) + 8)
 
                     beam_fwhm = float(obs.instrument.dets.physical_fwhm(layer.z).m.mean())
                     beam_sigma = beam_fwhm / 2.355
+
+                    if self.method == "ar":
+                        nx, ny = nx_needed, ny_needed
+                        cross_side = ty_min + res * np.arange(ny)
+                        process = AutoregressiveProcess(
+                            cross_section=np.stack(
+                                [cross_side, np.full(ny, float(layer.h))], axis=-1
+                            ),
+                            extrusion=tx_min + res * np.arange(nx),
+                            callback_kwargs={"nu": nu, "r0": outer_scale},
+                        )
+                        self.screens.append(
+                            LayerScreen(
+                                h=float(layer.h), z=float(layer.z), res=res,
+                                pwv_rms=float(layer.pwv_rms), angle=angle, vx=vx, vy=vy,
+                                tx_min=tx_min, ty_min=ty_min, nx=nx, ny=ny,
+                                process=process, ar_columns=slice(0, ny),
+                                ty_res=res, beam_sigma=beam_sigma,
+                            )
+                        )
+                        continue
+
+                    nx = good_fft_size(int(1.3 * nx_needed) + 8)
+                    ny = good_fft_size(int(1.3 * ny_needed) + 8)
 
                     W = field_spectral_weights_2d(
                         ny, nx, res, res, nu=nu, r0=outer_scale, beam_sigma=beam_sigma
                     )
 
-                    # windowed-sampler bound: max offset of any detector's
-                    # footprint point from the boresight track, per axis of
-                    # the rotated frame (hull points bound all detectors)
-                    rel_x = layer.h * (hull_px - bs_px[None])
-                    rel_y = layer.h * (hull_py - bs_py[None])
-                    span_x = float(np.abs(ca * rel_x + sa * rel_y).max())
-                    span_y = float(np.abs(-sa * rel_x + ca * rel_y).max())
-                    win_x = min(nx, int(-(-(2 * span_x / res + 6) // 8) * 8))
-                    win_y = min(ny, int(-(-(2 * span_y / res + 6) // 8) * 8))
+                    win_x, win_y = window_bounds(float(layer.h), res, nx, ny)
 
                     self.screens.append(
                         LayerScreen(
@@ -222,6 +289,41 @@ class Atmosphere:
                             win_x=win_x, win_y=win_y,
                         )
                     )
+            elif self.method == "fourier":
+                # fourier 3-D: one vertically-correlated stack per process
+                # — slices of a single 3-D Matérn field on a common grid,
+                # mixed per layer from kz-quadrature fields (MXU matmul).
+                # TPU-native replacement for the reference's stacked-
+                # cross-section AR process (atmosphere.py:203-257).
+                res = float(process_layers.res.min())
+                margin = 2 * res
+                tx_min, tx_max = tx.min() - margin, tx.max() + margin
+                ty_min, ty_max = ty.min() - margin, ty.max() + margin
+                nx = good_fft_size(int(1.3 * ((tx_max - tx_min) / res + 2)) + 8)
+                ny = good_fft_size(int(1.3 * ((ty_max - ty_min) / res + 2)) + 8)
+
+                heights = process_layers.h.values.astype(float)
+                zs = process_layers.z.values.astype(float)
+                beam_sigmas = np.array(
+                    [
+                        float(obs.instrument.dets.physical_fwhm(z).m.mean()) / 2.355
+                        for z in zs
+                    ]
+                )
+                W, M_cos, M_sin, beam = layered_field_spectral_weights(
+                    ny, nx, res, res, heights, nu=nu, r0=outer_scale, beam_sigmas=beam_sigmas
+                )
+                wins = np.array([window_bounds(h, res, nx, ny) for h in heights], dtype=int)
+                self.groups.append(
+                    ScreenGroup(
+                        heights=heights, zs=zs,
+                        pwv_rms=process_layers.pwv_rms.values.astype(float),
+                        angle=angle, vx=vx, vy=vy, res=res,
+                        tx_min=tx_min, ty_min=ty_min, nx=nx, ny=ny,
+                        W=W, M_cos=M_cos, M_sin=M_sin, beam=beam,
+                        win_x=wins[:, 0], win_y=wins[:, 1],
+                    )
+                )
             else:
                 # 3d AR: one conditional-Gaussian process over the stacked
                 # cross-section (reference atmosphere.py:203-257)
@@ -264,48 +366,20 @@ class Atmosphere:
         logger.debug(f"Initialized atmosphere ({len(self.screens)} screens) in {_time.monotonic() - init_s:.2f} s")
 
     # -- device program ---------------------------------------------------------
-    @staticmethod
-    def _gaussian_blur_2d(values, sigma_y, sigma_x, res_y, res_x):
-        """Periodic FFT Gaussian blur (AR-path analogue of the reference's
-        scipy gaussian_filter, atmosphere.py:341-344)."""
-        ny, nx = values.shape
-        ky = 2 * jnp.pi * jnp.fft.fftfreq(ny, d=res_y)
-        kx = 2 * jnp.pi * jnp.fft.rfftfreq(nx, d=res_x)
-        G = jnp.exp(-0.5 * (sigma_y**2 * ky[:, None] ** 2 + sigma_x**2 * kx[None, :] ** 2))
-        return jnp.fft.irfft2(jnp.fft.rfft2(values) * G, s=(ny, nx))
-
     def _sample_screens(self, key, det_az, det_el, ar_screens):
-        """Accumulate pwv over layers; pure jnp, called under jit."""
+        """Accumulate pwv over layers via the shared sampler
+        (`sampling.accumulate_pwv`, the same code the fused TODProgram
+        runs); pure jnp, called under jit."""
         cot_el = 1 / jnp.tan(jnp.clip(det_el, jnp.radians(5.0), None))
         px = jnp.sin(det_az) * cot_el  # (n_det, n_t), unit height
         py = jnp.cos(det_az) * cot_el
-
-        pwv = jnp.full(det_az.shape, jnp.float32(self.weather.pwv))
-        keys = jax.random.split(key, len(self.screens))
-        for i, screen in enumerate(self.screens):
-            if screen.W is not None:
-                values = synthesize_matern_field_2d(keys[i], jnp.asarray(screen.W), screen.ny, screen.nx)
-                ty_res = screen.res
-            else:
-                values = ar_screens[i]
-                ty_res = screen.ty_res
-                if screen.beam_sigma > 0:
-                    values = self._gaussian_blur_2d(
-                        values, screen.beam_sigma, screen.beam_sigma, ty_res, screen.res
-                    )
-
-            x = screen.h * px + screen.vx * self._t_rel
-            y = screen.h * py + screen.vy * self._t_rel
-            ca, sa = np.cos(screen.angle), np.sin(screen.angle)
-            tx = ca * x + sa * y
-            ty = -sa * x + ca * y
-
-            # grid coordinates: field axis 0 = cross (ty), axis 1 = extrusion (tx)
-            sample = interp_bilinear_uniform(
-                values, tx, ty, screen.tx_min, screen.res, screen.ty_min, ty_res
-            )
-            pwv = pwv + screen.pwv_rms * sample
-        return pwv
+        bs_cot = 1 / jnp.tan(jnp.clip(self._bs_el, jnp.radians(5.0), None))
+        bs_px = jnp.sin(self._bs_az) * bs_cot
+        bs_py = jnp.cos(self._bs_az) * bs_cot
+        return accumulate_pwv(
+            key, self.weather.pwv, self.screens, self.groups,
+            px, py, bs_px, bs_py, self._t_rel, ar_values=ar_screens,
+        )
 
     def simulate_pwv(self, instrument=None, key=None) -> jnp.ndarray:
         """Zenith-scaled PWV per (detector, coarse time), in mm."""
@@ -335,6 +409,7 @@ class Atmosphere:
 
     def __repr__(self):
         n_screens = len(getattr(self, "screens", []))
+        n_screens += sum(len(g.heights) for g in getattr(self, "groups", []))
         return (
             f"Atmosphere(model={self.model}, method={self.method}, {n_screens} screens):\n"
             f"  spectrum region: {self.spectrum.region}\n"

@@ -24,7 +24,14 @@ import numpy as np
 
 from ..functions import matern_spectral_density
 
-__all__ = ["good_fft_size", "synthesize_matern_field_2d", "field_spectral_weights_2d"]
+__all__ = [
+    "good_fft_size",
+    "synthesize_matern_field_2d",
+    "field_spectral_weights_2d",
+    "layered_matern_kz_nodes",
+    "layered_field_spectral_weights",
+    "synthesize_layered_matern_2d",
+]
 
 
 def good_fft_size(n: int) -> int:
@@ -69,6 +76,115 @@ def field_spectral_weights_2d(ny: int, nx: int, dy: float, dx: float, nu: float,
     if beam_sigma > 0:
         W = W * np.exp(-0.5 * beam_sigma**2 * k**2)
     return W.astype(np.float32)
+
+
+def layered_matern_kz_nodes(nu: float, r0: float, dz_max: float, dz_min: float, J1: int = 64, J2: int = 32):
+    """Vertical-wavenumber quadrature for the layered (slab) synthesis of a
+    3-D Matérn field: kz nodes and relative weights such that
+    sum_j w_j cos(kz_j dz) ~ normalized_matern(dz) for dz in [dz_min, dz_max].
+
+    Hybrid rule: J1 midpoint-uniform nodes with spacing pi/dz_max resolve
+    the oscillatory low-kz region (long-range decorrelation), and J2
+    geometric tail nodes up to pi/dz_min capture the heavy spectral tail
+    that sets the short-range cusp. Weights come from the exact 1-D
+    restriction spectrum S1(kz) ∝ (2 nu / r0^2 + kz^2)^-(nu + 1/2).
+    Measured accuracy: max abs corr error <= 0.035 for nu=1/3, r0>=1 km.
+    """
+    s2 = 2 * nu / r0**2
+    dkz = np.pi / dz_max
+    kz1 = (np.arange(J1) + 0.5) * dkz
+    w1 = (s2 + kz1**2) ** -(nu + 0.5) * dkz
+    # tail must start where the uniform rule ends and extend upward
+    kz_hi = max(np.pi / dz_min, 4 * J1 * dkz)
+    edges = np.geomspace(J1 * dkz, kz_hi, J2 + 1)
+    kz2 = np.sqrt(edges[:-1] * edges[1:])
+    w2 = (s2 + kz2**2) ** -(nu + 0.5) * np.diff(edges)
+    kz = np.concatenate([kz1, kz2])
+    w = np.concatenate([w1, w2])
+    return kz, w / w.sum()
+
+
+def layered_field_spectral_weights(
+    ny: int,
+    nx: int,
+    dy: float,
+    dx: float,
+    heights,
+    nu: float,
+    r0: float,
+    beam_sigmas=None,
+    J1: int = 64,
+    J2: int = 32,
+):
+    """Host-precomputed operators for vertically-correlated layer screens.
+
+    The L layers at `heights` are modeled as horizontal slices of ONE
+    isotropic 3-D Matérn(nu, r0) field, synthesized spectrally: per
+    vertical-wavenumber node kz_j, two independent 2-D white fields are
+    shaped by W[j](k) = sqrt(S3(sqrt(k^2 + kz_j^2)) * dkz_j); layers mix
+    them with cos(kz_j h_l) / sin(kz_j h_l) matrices — an MXU matmul in
+    k-space — so every pair of layers has the exact (quadrature-limited)
+    3-D cross-covariance. This replaces the reference's stacked-cross-
+    section AR process (maria/atmosphere/atmosphere.py:203-257) on the
+    synthesis side with FFT/matmul work that XLA maps onto the MXU.
+
+    Returns (W, M_cos, M_sin, beam):
+      W:      (J, ny, nx//2+1) per-node 2-D spectral amplitudes
+      M_cos:  (L, J), M_sin: (L, J) layer mixing matrices
+      beam:   (L, ny, nx//2+1) per-layer Gaussian beam factors, or None
+    normalized so each layer field has unit variance before smoothing.
+    """
+    heights = np.asarray(heights, dtype=np.float64)
+    span = max(float(heights.max() - heights.min()), 1.0)
+    dz_min = max(5.0, 0.5 * np.diff(np.sort(heights)).min()) if len(heights) > 1 else 5.0
+    kz, w_node = layered_matern_kz_nodes(nu, r0, dz_max=2.5 * span + 1e3, dz_min=dz_min, J1=J1, J2=J2)
+
+    ky = 2 * np.pi * np.fft.fftfreq(ny, d=dy)
+    kx = 2 * np.pi * np.fft.rfftfreq(nx, d=dx)
+    k2 = ky[:, None] ** 2 + kx[None, :] ** 2
+
+    S3 = matern_spectral_density(
+        np.sqrt(k2[None] + kz[:, None, None] ** 2), nu=nu, r0=r0, d=3
+    )
+
+    # normalize PER NODE so each node's grid-summed variance equals its
+    # validated quadrature weight w_node (the finite horizontal grid
+    # truncates each node's analytic k-integral differently, which would
+    # otherwise skew the vertical correlation); cos^2 + sin^2 = 1 then
+    # makes every layer's total variance exactly 1
+    rfft_w = np.ones((ny, kx.size))
+    rfft_w[:, 1:] = 2.0
+    if nx % 2 == 0:
+        rfft_w[:, -1] = 1.0
+    node_var = np.sum(S3 * rfft_w[None], axis=(1, 2)) / (ny * nx)
+    W = np.sqrt(S3 * (w_node / node_var)[:, None, None]).astype(np.float32)
+
+    M_cos = np.cos(kz[None, :] * heights[:, None]).astype(np.float32)
+    M_sin = np.sin(kz[None, :] * heights[:, None]).astype(np.float32)
+
+    beam = None
+    if beam_sigmas is not None:
+        sig = np.asarray(beam_sigmas, dtype=np.float64)
+        beam = np.exp(-0.5 * sig[:, None, None] ** 2 * k2[None]).astype(np.float32)
+    return W, M_cos, M_sin, beam
+
+
+@partial(jax.jit, static_argnames=("ny", "nx"))
+def synthesize_layered_matern_2d(key, W, M_cos, M_sin, beam, ny: int, nx: int):
+    """Draw the (L, ny, nx) stack of vertically-correlated layer fields.
+
+    One batched rfft2 over 2J white fields, one complex (L, 2J) x
+    (2J, ny*nxr) matmul (MXU), per-layer beam multiply, one batched
+    irfft2 over L layers.
+    """
+    J = W.shape[0]
+    white = jax.random.normal(key, (2 * J, ny, nx), dtype=jnp.float32)
+    spec = jnp.fft.rfft2(white) * jnp.concatenate([W, W], axis=0)
+    M = jnp.concatenate([M_cos, M_sin], axis=1)  # (L, 2J)
+    mixed = jnp.einsum("lj,jyx->lyx", M.astype(spec.dtype), spec)
+    if beam is not None:
+        mixed = mixed * beam
+    return jnp.fft.irfft2(mixed, s=(ny, nx))
 
 
 @partial(jax.jit, static_argnames=("ny", "nx"))

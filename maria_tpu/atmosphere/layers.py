@@ -39,6 +39,7 @@ def generate_layers(
     min_res_per_beam: float = None,
     min_res_per_fov: float = None,
     pwv_rms_frac: float = 3e-2,
+    n_layers: int = None,
 ) -> pd.DataFrame:
     """Layer table. The model is implicitly parameterized at the minimum
     scan elevation."""
@@ -63,13 +64,22 @@ def generate_layers(
         h_boundaries = H_BOUNDARIES_2D.copy()
         process_index = np.arange(len(h_boundaries) - 1)
     elif mode == "3d":
-        h_list = [0.0]
-        while True:
-            new_h = h_list[-1] + float(res_func(h_list[-1]))
-            if new_h > max_height:
-                break
-            h_list.append(new_h)
-        h_boundaries = np.array(h_list)
+        if n_layers is not None:
+            # log-spaced slabs: for the fourier 3-D model the vertical
+            # correlation lives in the cross-spectra, so layers only
+            # discretize the pwv-variance integral (thin near the ground
+            # where the boundary-layer profile concentrates turbulence)
+            h0 = float(res_func(0.0))
+            h_boundaries = np.concatenate([[0.0], np.geomspace(h0, max_height, n_layers)])
+        else:
+            # resolution-matched stack (the AR model's isotropic grid)
+            h_list = [0.0]
+            while True:
+                new_h = h_list[-1] + float(res_func(h_list[-1]))
+                if new_h > max_height:
+                    break
+                h_list.append(new_h)
+            h_boundaries = np.array(h_list)
         process_index = np.zeros(len(h_boundaries) - 1, dtype=int)
     else:
         raise ValueError(f"Invalid atmosphere model '{mode}' (supported: '2d', '3d').")

@@ -142,18 +142,23 @@ class AutoregressiveProcess:
         self._cross_idx = jnp.asarray(self.cross_section_sample_index)
         self._computed = True
 
+    def run_setup(self):
+        """Factorize the covariance operators (host), escalating the
+        jitter if the matrix is numerically singular."""
+        if self._computed:
+            return
+        for jitter in (self.jitter, 1e-6, 1e-4):
+            self.jitter = jitter
+            try:
+                self.compute_covariance_matrices()
+                return
+            except np.linalg.LinAlgError:
+                logger.debug(f"Singular covariance with jitter={jitter}")
+        raise np.linalg.LinAlgError("Covariance matrix singular at max jitter.")
+
     def run(self, key=None) -> jnp.ndarray:
         """Generate a (n_extrusion, n_cross_section) unit-variance screen."""
-        if not self._computed:
-            for jitter in (self.jitter, 1e-6, 1e-4):
-                self.jitter = jitter
-                try:
-                    self.compute_covariance_matrices()
-                    break
-                except np.linalg.LinAlgError:
-                    logger.debug(f"Singular covariance with jitter={jitter}")
-            else:
-                raise np.linalg.LinAlgError("Covariance matrix singular at max jitter.")
+        self.run_setup()
 
         key = key if key is not None else jax.random.key(np.random.randint(2**31))
         key_init, key_scan = jax.random.split(key)

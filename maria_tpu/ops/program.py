@@ -22,12 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..atmosphere.fourier import synthesize_matern_field_2d
+from ..atmosphere.sampling import accumulate_pwv
 from ..noise import generate_noise_with_knee
 from .interp import (
     RegularGridInterpolator,
-    interp_bilinear_uniform,
-    interp_bilinear_windowed,
     upsample_time,
     upsample_time_phases,
 )
@@ -55,7 +53,7 @@ class BandBlock:
 class TODProgram:
     """Static scene -> jitted key -> loadings."""
 
-    screens: list  # LayerScreen list (fourier-path only)
+    screens: list  # LayerScreen list (fourier W screens and/or AR screens)
     mean_pwv: float
     t_coarse: np.ndarray  # relative seconds, (n_tc,)
     t_fine: np.ndarray  # relative seconds, (n_t,)
@@ -63,6 +61,7 @@ class TODProgram:
     bs_az_coarse: np.ndarray
     bs_el_coarse: np.ndarray
     mueller_I: np.ndarray  # (n_det,)
+    groups: list = field(default_factory=list)  # ScreenGroup list (fourier 3-D)
     bands: list = field(default_factory=list)
     sample_rate: float = 50.0
     with_noise: bool = True
@@ -144,35 +143,36 @@ class TODProgram:
         bs_px = jnp.sin(bs_az_c) * bs_cot
         bs_py = jnp.cos(bs_az_c) * bs_cot
 
-        # turbulence screens -> zenith-scaled pwv at the coarse timestep
+        # turbulence screens -> zenith-scaled pwv at the coarse timestep,
+        # via the shared sampler (same code Atmosphere.simulate_pwv runs).
+        # AR processes extrude inside the program (a lax.scan of MXU
+        # matmuls); their covariance operators were factorized at build.
         t_c = jnp.asarray(self.t_coarse, dtype=jnp.float32)
-        pwv = jnp.full(det_az.shape, jnp.float32(self.mean_pwv))
-        keys = jax.random.split(key_atm, max(len(self.screens), 1))
+        key_scr, key_ar = jax.random.split(key_atm)
+        ar_values, ran = {}, {}
+        from ..atmosphere.process import _ar_extrude
+
         for i, screen in enumerate(self.screens):
-            values = synthesize_matern_field_2d(keys[i], jnp.asarray(screen.W), screen.ny, screen.nx)
-            x = screen.h * px + screen.vx * t_c
-            y = screen.h * py + screen.vy * t_c
-            ca, sa = np.cos(screen.angle), np.sin(screen.angle)
-            tx = ca * x + sa * y
-            ty = -sa * x + ca * y
-            windowed = (
-                screen.win_x is not None
-                and screen.win_x * screen.win_y <= 0.5 * screen.nx * screen.ny
-            )
-            if windowed:
-                # MXU path: contiguous window slices + dense hat-weight matmuls
-                cx_b = ca * (screen.h * bs_px + screen.vx * t_c) + sa * (screen.h * bs_py + screen.vy * t_c)
-                cy_b = -sa * (screen.h * bs_px + screen.vx * t_c) + ca * (screen.h * bs_py + screen.vy * t_c)
-                sample = interp_bilinear_windowed(
-                    values, tx, ty, cx_b, cy_b,
-                    screen.tx_min, screen.res, screen.ty_min, screen.res,
-                    screen.win_x, screen.win_y,
+            if screen.process is None:
+                continue
+            p = screen.process
+            if id(p) not in ran:
+                key_p = jax.random.fold_in(key_ar, len(ran))
+                key_init, key_scan = jax.random.split(key_p)
+                n_steps = 2 * p.n_extrusion
+                buffer_init = jax.random.normal(
+                    key_init, (p.n_extrusion + n_steps, p.n_cross_section), dtype=jnp.float32
                 )
-            else:
-                sample = interp_bilinear_uniform(
-                    values, tx, ty, screen.tx_min, screen.res, screen.ty_min, screen.res
+                buf = _ar_extrude(
+                    key_scan, p.A, p.B, buffer_init, p._ext_idx, p._cross_idx, n_steps
                 )
-            pwv = pwv + screen.pwv_rms * sample
+                ran[id(p)] = buf[: p.n_extrusion]
+            ar_values[i] = ran[id(p)][:, screen.ar_columns].T  # (ny, nx)
+
+        pwv = accumulate_pwv(
+            key_scr, self.mean_pwv, self.screens, self.groups,
+            px, py, bs_px, bs_py, t_c, ar_values=ar_values,
+        )
 
         # per-band bandpass-integrated emission at coarse rate, assembled
         # without scatters when bands partition the det axis contiguously
@@ -290,12 +290,15 @@ def build_tod_program(obs, with_noise: bool = True, noise_kwargs: dict = {}) -> 
             )
         )
 
-    screens = [s for s in atm.screens if s.W is not None]
-    if len(screens) != len(atm.screens):
-        logger.warning("AR-path screens are excluded from the fused program (fourier only).")
+    # AR processes need their covariance operators factorized (host,
+    # float64) before the program can run their extrusion scans on device
+    for s in atm.screens:
+        if s.process is not None and not s.process._computed:
+            s.process.run_setup()
 
     return TODProgram(
-        screens=screens,
+        screens=list(atm.screens),
+        groups=list(getattr(atm, "groups", [])),
         mean_pwv=float(atm.weather.pwv),
         t_coarse=np.asarray(atm.boresight.t, dtype=np.float64) - t0,
         t_fine=np.asarray(obs.t, dtype=np.float64) - t0,

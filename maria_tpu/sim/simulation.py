@@ -129,11 +129,9 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
         obs.loading = {}
 
         # fast path: atmosphere + noise (+ gains) as ONE fused jitted
-        # program when all screens use the fourier method
-        fused = (
-            hasattr(obs, "atmosphere")
-            and all(s.W is not None for s in obs.atmosphere.screens)
-        )
+        # program (fourier screens, 3-D layer groups, and AR extrusions
+        # all run inside the program)
+        fused = hasattr(obs, "atmosphere")
 
         if fused:
             from ..ops.program import build_tod_program

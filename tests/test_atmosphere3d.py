@@ -1,0 +1,106 @@
+"""The fourier 3-D atmosphere: vertically-correlated layer screens as
+slices of one 3-D Matérn field (reference behavior anchor: the stacked
+cross-section AR process, maria/atmosphere/atmosphere.py:203-257)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import maria_tpu
+from maria_tpu import Simulation, get_plan
+from maria_tpu.atmosphere.fourier import (
+    layered_field_spectral_weights,
+    synthesize_layered_matern_2d,
+)
+from maria_tpu.functions import approximate_normalized_matern
+
+
+def test_layered_synthesis_cross_covariance():
+    """Realization-averaged layer cross-correlations must match the 3-D
+    Matérn closed form (the same covariance the AR path's stacked
+    cross-section targets)."""
+    heights = np.array([100.0, 400.0, 1000.0, 2500.0])
+    nu, r0 = 1 / 3, 1000.0
+    ny = nx = 64
+    W, Mc, Ms, _ = layered_field_spectral_weights(ny, nx, 40.0, 40.0, heights, nu, r0)
+    Wd, Mcd, Msd = jnp.asarray(W), jnp.asarray(Mc), jnp.asarray(Ms)
+
+    @jax.jit
+    def point_vals(key):
+        f = synthesize_layered_matern_2d(key, Wd, Mcd, Msd, None, ny, nx)
+        return f[:, ::16, ::16].reshape(len(heights), -1)
+
+    keys = jax.random.split(jax.random.key(0), 400)
+    vals = np.concatenate([np.asarray(point_vals(k)) for k in keys], axis=1)
+    var = (vals**2).mean(axis=1)
+    np.testing.assert_allclose(var, 1.0, atol=0.1)
+
+    C = (vals @ vals.T) / vals.shape[1]
+    Cn = C / np.sqrt(np.outer(var, var))
+    for a in range(len(heights)):
+        for b in range(a + 1, len(heights)):
+            dz = heights[b] - heights[a]
+            tgt = float(approximate_normalized_matern(np.array([dz]), nu=nu, r0=r0)[0])
+            assert abs(Cn[a, b] - tgt) < 0.08, (dz, Cn[a, b], tgt)
+
+
+def test_beam_smoothing_reduces_small_scale_power():
+    heights = np.array([500.0, 1500.0])
+    ny = nx = 64
+    W, Mc, Ms, beam = layered_field_spectral_weights(
+        ny, nx, 10.0, 10.0, heights, 1 / 3, 1000.0, beam_sigmas=[40.0, 40.0]
+    )
+    key = jax.random.key(3)
+    smooth = np.asarray(synthesize_layered_matern_2d(key, W, Mc, Ms, jnp.asarray(beam), ny, nx))
+    rough = np.asarray(synthesize_layered_matern_2d(key, W, Mc, Ms, None, ny, nx))
+    # gradient power drops under smoothing
+    assert np.abs(np.diff(smooth, axis=-1)).mean() < 0.7 * np.abs(np.diff(rough, axis=-1)).mean()
+
+
+@pytest.fixture(scope="module")
+def stare_plan():
+    return get_plan("five_second_stare", start_time=1.75e9, scan_center=(60.0, 45.0))
+
+
+def test_3d_fourier_sim_fused(stare_plan):
+    sim = Simulation(
+        instrument="test/1deg", plans=stare_plan, site="chajnantor",
+        atmosphere="3d", noise=False, seed=0,
+    )
+    atm = sim.obs_list[0].atmosphere
+    assert len(atm.groups) == 1 and len(atm.screens) == 0
+    assert len(atm.groups[0].heights) == 12
+    tod = sim.run()[0]
+    d = np.asarray(tod.data["atmosphere"])
+    assert np.isfinite(d).all()
+    assert d.std() > 0
+
+
+def test_3d_fourier_vs_ar_statistics(stare_plan):
+    """The fused AR extrusion and the layered fourier synthesis target
+    the same 3-D covariance; their TOD fluctuations must agree in
+    distribution."""
+    stds = {}
+    for method in ("fourier", "ar"):
+        sim = Simulation(
+            instrument="test/1deg", plans=stare_plan, site="chajnantor",
+            atmosphere="3d", method=method, noise=False, seed=11,
+        )
+        tod = sim.run()[0]
+        d = np.asarray(tod.data["atmosphere"])
+        assert np.isfinite(d).all()
+        stds[method] = (d - d.mean()).std()
+    ratio = stds["fourier"] / stds["ar"]
+    assert 0.5 < ratio < 2.0, stds
+
+
+def test_2d_ar_method_uses_processes(stare_plan):
+    sim = Simulation(
+        instrument="test/1deg", plans=stare_plan, site="chajnantor",
+        atmosphere="2d", method="ar", noise=False, seed=2,
+    )
+    atm = sim.obs_list[0].atmosphere
+    assert all(s.process is not None for s in atm.screens)
+    tod = sim.run()[0]
+    assert np.isfinite(np.asarray(tod.data["atmosphere"])).all()
