@@ -1,13 +1,22 @@
 """Maximum-likelihood map-making
 (reference: maria/mappers/ml_mapper.py:29-535, which uses torch sparse
-matrices, FFT noise weighting and hand-rolled CG).
+matrices, FFT noise weighting, low-rank detector modes with Woodbury
+terms, and gradient-descent / hand-rolled CG solvers).
 
-TPU-native: the pointing matrix is a gather (P m = m[pix]) and its
-transpose a segment-sum; the noise covariance is diagonal in frequency
-(per-detector inverse PSD estimated from map-subtracted residuals with a
-Tukey window and spectral smoothing); the normal equations
-(Σ Pᵀ N⁻¹ P) m = Σ Pᵀ N⁻¹ d are solved with conjugate gradients — the
-whole solver is one jit-compiled lax.while_loop.
+TPU-native redesign:
+- the solution is per-Stokes and per-frequency-channel: m has shape
+  (n_stokes, n_nu, n_pix+1); the pointing matrix is a Mueller-weighted
+  gather (P m = sum_s w_s * m[s, c_d, pix]) and its transpose a
+  segment-sum over channel-offset pixel ids — no sparse matrices;
+- the noise covariance is diagonal in frequency per detector (smoothed
+  PSD of map-subtracted residuals, Tukey-windowed), optionally plus
+  k low-rank detector modes N_f = diag(A_f) + U diag(lambda_k(f)) U^T,
+  inverted EXACTLY per frequency with the Woodbury identity (the
+  reference collapses the k x k correction over frequency,
+  ml_mapper.py:282-286); the k x k factors are precomputed per epoch;
+- solvers: conjugate gradients (jax.scipy.sparse.linalg.cg) and a
+  steepest-descent solver with exact line search on the quadratic
+  objective (the reference's autograd GD loop, ml_mapper.py:379-485).
 """
 
 from __future__ import annotations
@@ -29,16 +38,41 @@ def _tukey(n, alpha=0.25):
     return jnp.asarray(sp.signal.windows.tukey(n, alpha), dtype=jnp.float32)
 
 
+def _smooth_spectrum(spec, k):
+    if k <= 1:
+        return spec
+    kernel = jnp.ones(k) / k
+    return jnp.apply_along_axis(lambda s: jnp.convolve(s, kernel, mode="same"), -1, spec)
+
+
 class MaximumLikelihoodMapper(BaseMapper):
-    def __init__(self, *args, n_epochs: int = 2, n_cg_iters: int = 50, spectrum_smoothing: float = 8.0, **kwargs):
+    def __init__(
+        self,
+        *args,
+        n_epochs: int = 2,
+        n_cg_iters: int = 50,
+        spectrum_smoothing: float = 8.0,
+        k: int = 0,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self.n_epochs = n_epochs
         self.n_cg_iters = n_cg_iters
         self.spectrum_smoothing = spectrum_smoothing
+        self.k = k
         self._prepare()
 
     def _prepare(self):
-        """Flattened pixel indices, data and windows for each TOD."""
+        """Per-TOD blocks: channel-offset pixel ids, Stokes weights, data."""
+        self.n_pix = self.n_x * self.n_y
+        self.n_pix1 = self.n_pix + 1  # + overflow bucket
+        self.n_s = len(self.stokes)
+        self.n_nu = len(self.nu)
+        self.n_m = self.n_s * self.n_nu * self.n_pix1
+
+        stokes_cols = ["IQUV".index(s) for s in self.stokes]
+        band_channel = {b.name: i for i, b in enumerate(self.bands)}
+
         self.blocks = []
         x0 = -(self.n_x - 1) / 2 * self.res
         y0 = -(self.n_y - 1) / 2 * self.res
@@ -56,94 +90,182 @@ class MaximumLikelihoodMapper(BaseMapper):
             inside = (ix >= 0) & (ix < self.n_x) & (iy >= 0) & (iy < self.n_y)
             pix = jnp.where(
                 inside, jnp.clip(iy, 0, self.n_y - 1) * self.n_x + jnp.clip(ix, 0, self.n_x - 1),
-                self.n_x * self.n_y,  # overflow bucket
+                self.n_pix,  # overflow bucket
             )
+            # channel-offset ids: pixel p of channel c lives at c*n_pix1 + p
+            chan = np.array([band_channel[b] for b in tod.dets.band_name], dtype=np.int32)
+            pix_chan = pix + jnp.asarray(chan[:, None] * self.n_pix1)
+            # per-detector Stokes weights (n_det, n_s) from the Mueller rows
+            sw = np.asarray(tod.dets.stokes_weight(), dtype=np.float32)[:, stokes_cols]
             data = jnp.asarray(tod.signal, dtype=jnp.float32)
-            self.blocks.append({"pix": pix, "data": data, "fs": tod.fs})
+            self.blocks.append(
+                {
+                    "pix": pix_chan,
+                    "sw": jnp.asarray(sw),
+                    "data": data,
+                    "fs": tod.fs,
+                }
+            )
 
-        self.n_pix = self.n_x * self.n_y
+    # -- pointing ------------------------------------------------------------------
+    def _project(self, m_flat, block):
+        """P m: (n_det, n_t) Mueller-weighted gather per Stokes."""
+        m = m_flat.reshape(self.n_s, self.n_nu * self.n_pix1)
+        out = 0.0
+        for s in range(self.n_s):
+            out = out + block["sw"][:, s, None] * jnp.take(m[s], block["pix"], axis=0)
+        return out
+
+    def _project_T(self, v, block):
+        """P^T v: Stokes-weighted segment-sum over channel-offset pixels."""
+        parts = []
+        for s in range(self.n_s):
+            parts.append(
+                jax.ops.segment_sum(
+                    (block["sw"][:, s, None] * v).ravel(),
+                    block["pix"].ravel(),
+                    num_segments=self.n_nu * self.n_pix1,
+                )
+            )
+        return jnp.concatenate(parts)
 
     # -- noise model -------------------------------------------------------------
     def _update_noise_model(self, m_flat):
-        """Per-detector inverse PSD from map-subtracted residuals
-        (reference ml_mapper.py:192-299)."""
+        """Per-detector inverse PSD (+ optional low-rank detector modes)
+        from map-subtracted residuals (reference ml_mapper.py:192-299)."""
+        from ..utils.signal import decompose
+
         for block in self.blocks:
             d = block["data"]
-            resid = d - _project(m_flat, block["pix"])
+            resid = d - self._project(m_flat, block)
             resid = resid - resid.mean(axis=-1, keepdims=True)
             n = resid.shape[-1]
             win = _tukey(n)
-            spec = jnp.abs(jnp.fft.rfft(resid * win, axis=-1)) ** 2 / (win**2).sum()
-            # smooth the spectrum in log space
-            k = int(self.spectrum_smoothing)
-            if k > 1:
-                kernel = jnp.ones(k) / k
-                spec = jnp.apply_along_axis(
-                    lambda s: jnp.convolve(s, kernel, mode="same"), -1, spec
-                )
-            block["A_inv"] = 1.0 / jnp.clip(spec, 1e-30, None)
+            wd = resid * win
+
+            if self.k > 0 and d.shape[0] > self.k:
+                # top-k detector modes of the windowed residuals
+                a, b = decompose(np.asarray(wd), k=self.k)
+                U = jnp.asarray(a, dtype=jnp.float32)  # (n_det, k)
+                modes = jnp.asarray(b, dtype=jnp.float32)  # (k, n_t)
+                noise = wd - U @ modes
+                lam = jnp.abs(jnp.fft.rfft(modes, axis=-1)) ** 2 / (win**2).sum()
+                lam = jnp.clip(_smooth_spectrum(lam, int(self.spectrum_smoothing)), 1e-30, None)
+            else:
+                U, lam, noise = None, None, wd
+
+            spec = jnp.abs(jnp.fft.rfft(noise, axis=-1)) ** 2 / (win**2).sum()
+            spec = _smooth_spectrum(spec, int(self.spectrum_smoothing))
+            A_inv = 1.0 / jnp.clip(spec, 1e-30, None)
+            block["A_inv"] = A_inv
+
+            if U is not None:
+                # per-frequency Woodbury core: (diag(1/lam_f) + U^T A_f^-1 U)^-1
+                G = jnp.einsum("df,dk,dl->fkl", A_inv, U, U)  # (n_f, k, k)
+                D = jax.vmap(jnp.diag, in_axes=1)(1.0 / lam)  # (n_f, k, k)
+                block["U"] = U
+                block["core"] = jnp.linalg.inv(D + G)  # (n_f, k, k)
+            else:
+                block["U"] = None
 
     def _apply_inverse_N(self, block, v):
-        """FFT -> weight -> IFFT (reference ml_mapper.py:301)."""
+        """N^-1 v with N_f = diag(A_f) + U diag(lam_f) U^T, exact per
+        frequency via Woodbury (reference ml_mapper.py:301-327)."""
         n = v.shape[-1]
-        return jnp.fft.irfft(jnp.fft.rfft(v, axis=-1) * block["A_inv"], n=n, axis=-1)
+        fv = jnp.fft.rfft(v, axis=-1)
+        x = block["A_inv"] * fv
+        if block.get("U") is not None:
+            U = block["U"]
+            y = jnp.einsum("dk,df->kf", U, x)  # U^T A^-1 fv
+            z = jnp.einsum("fkl,lf->kf", block["core"].astype(y.dtype), y)
+            x = x - block["A_inv"] * jnp.einsum("dk,kf->df", U, z)
+        return jnp.fft.irfft(x, n=n, axis=-1)
 
     # -- normal equations ----------------------------------------------------------
     def _rhs(self):
-        rhs = jnp.zeros(self.n_pix + 1, dtype=jnp.float32)
+        rhs = jnp.zeros(self.n_m, dtype=jnp.float32)
         for block in self.blocks:
-            Nd = self._apply_inverse_N(block, block["data"])
-            rhs = rhs + jax.ops.segment_sum(Nd.ravel(), block["pix"].ravel(), num_segments=self.n_pix + 1)
+            rhs = rhs + self._project_T(self._apply_inverse_N(block, block["data"]), block)
         return rhs
 
+    def _overflow_mask(self):
+        mask = np.ones(self.n_m, dtype=np.float32)
+        mask.reshape(self.n_s, self.n_nu, self.n_pix1)[..., -1] = 0.0
+        return jnp.asarray(mask)
+
     def _apply_PNP(self, m_flat):
-        out = jnp.zeros(self.n_pix + 1, dtype=jnp.float32)
+        out = jnp.zeros(self.n_m, dtype=jnp.float32)
         for block in self.blocks:
-            Pm = _project(m_flat, block["pix"])
-            NPm = self._apply_inverse_N(block, Pm)
-            out = out + jax.ops.segment_sum(NPm.ravel(), block["pix"].ravel(), num_segments=self.n_pix + 1)
-        return out.at[-1].set(m_flat[-1])  # keep the overflow bucket decoupled
+            Pm = self._project(m_flat, block)
+            out = out + self._project_T(self._apply_inverse_N(block, Pm), block)
+        # keep the overflow buckets decoupled (identity rows)
+        mask = self._overflow_mask()
+        return out * mask + m_flat * (1 - mask)
 
     # -- solvers ----------------------------------------------------------------
+    def _solve_gd(self, rhs, m0, n_iters):
+        """Steepest descent with exact line search on the quadratic
+        objective 1/2 m^T H m - rhs^T m (H = sum P^T N^-1 P): the
+        TPU-native replacement for the reference's autograd loop with
+        adaptive step (ml_mapper.py:379-485)."""
+        m = m0
+        for _ in range(n_iters):
+            r = rhs - self._apply_PNP(m)
+            Hr = self._apply_PNP(r)
+            denom = jnp.vdot(r, Hr)
+            alpha = jnp.where(denom > 0, jnp.vdot(r, r) / jnp.maximum(denom, 1e-30), 0.0)
+            m = m + alpha * r
+        return m
+
     def fit(self, method: str = "conjugate_gradient"):
-        # naive (binned) starting map
-        hits = jnp.zeros(self.n_pix + 1, dtype=jnp.float32)
-        raw = jnp.zeros(self.n_pix + 1, dtype=jnp.float32)
+        # naive (binned) starting map + hit/weight maps; hit counts use
+        # |w_s| so Q/U weights don't cancel
+        hits = jnp.zeros(self.n_m, dtype=jnp.float32)
+        raw = jnp.zeros(self.n_m, dtype=jnp.float32)
         for block in self.blocks:
-            hits = hits + jax.ops.segment_sum(
-                jnp.ones_like(block["data"]).ravel(), block["pix"].ravel(), num_segments=self.n_pix + 1
-            )
-            raw = raw + jax.ops.segment_sum(block["data"].ravel(), block["pix"].ravel(), num_segments=self.n_pix + 1)
+            ones = jnp.ones_like(block["data"])
+            abs_block = {**block, "sw": jnp.abs(block["sw"])}
+            hits = hits + self._project_T(ones, abs_block)
+            raw = raw + self._project_T(block["data"], block)
         self.hits = hits
-        m = jnp.where(hits > 0, raw / jnp.clip(hits, 1, None), 0.0)
+        m = jnp.where(hits > 0, raw / jnp.clip(hits, 1e-8, None), 0.0)
         self.naive_map = m
 
         for epoch in range(self.n_epochs):
             self._update_noise_model(m)
             rhs = self._rhs()
             if method == "conjugate_gradient":
-                m, info = jax.scipy.sparse.linalg.cg(
+                m, _ = jax.scipy.sparse.linalg.cg(
                     self._apply_PNP, rhs, x0=m, maxiter=self.n_cg_iters, tol=1e-8
                 )
+            elif method == "gradient_descent":
+                m = self._solve_gd(rhs, m, self.n_cg_iters)
             else:
                 raise ValueError(f"Unknown solver '{method}'.")
             logger.info(f"ML mapper epoch {epoch + 1}/{self.n_epochs} done.")
 
-        m_img = np.asarray(m[:-1]).reshape(self.n_y, self.n_x)
-        w_img = np.asarray(hits[:-1]).reshape(self.n_y, self.n_x)
-        valid = w_img > 0
-        if valid.any():
-            m_img = np.where(valid, m_img - m_img[valid].mean(), np.nan)
+        # inverse-variance pixel weights from the final noise model
+        ivar = jnp.zeros(self.n_m, dtype=jnp.float32)
+        for block in self.blocks:
+            white_ivar = block["A_inv"].mean(axis=-1, keepdims=True) * jnp.ones_like(block["data"])
+            ivar = ivar + self._project_T(white_ivar, block)
+        self.m = m
 
-        data = np.zeros((len(self.stokes), len(self.nu), self.t_bins, self.n_y, self.n_x), dtype=np.float32)
+        m_grid = np.asarray(m).reshape(self.n_s, self.n_nu, self.n_pix1)[..., :-1]
+        w_grid = np.asarray(ivar).reshape(self.n_s, self.n_nu, self.n_pix1)[..., :-1]
+        h_grid = np.asarray(hits).reshape(self.n_s, self.n_nu, self.n_pix1)[..., :-1]
+
+        data = np.zeros((self.n_s, self.n_nu, self.t_bins, self.n_y, self.n_x), dtype=np.float32)
         weight = np.zeros_like(data)
-        data[0, :, :] = np.nan_to_num(m_img)
-        weight[0, :, :] = w_img
-        self.map = self.make_map(data, np.where(weight > 0, weight, 0))
+        for s in range(self.n_s):
+            for c in range(self.n_nu):
+                img = m_grid[s, c].reshape(self.n_y, self.n_x)
+                valid = h_grid[s, c].reshape(self.n_y, self.n_x) > 0
+                if valid.any():
+                    img = np.where(valid, img - img[valid].mean(), 0.0)
+                data[s, c, :] = img
+                weight[s, c, :] = np.where(valid, w_grid[s, c].reshape(self.n_y, self.n_x), 0.0)
+        self.map = self.make_map(data, weight)
         return self.map
 
     run = fit
-
-
-def _project(m_flat, pix):
-    return jnp.take(m_flat, pix, axis=0)
