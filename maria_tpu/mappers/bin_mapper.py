@@ -53,8 +53,11 @@ _bin_tod_block_jit = jax.jit(_bin_tod_block, static_argnames=("n_x", "n_y", "n_s
 class BinMapper(BaseMapper):
     def run(self):
         n_s, n_nu, n_t = len(self.stokes), len(self.nu), self.t_bins
-        sums = np.zeros((n_s, n_nu, n_t, self.n_y, self.n_x))
-        wgts = np.zeros_like(sums)
+        # accumulate ON DEVICE across all blocks; the only device->host
+        # transfer is the final one (reference hauled every sparse-matvec
+        # product back per TOD, bin_mapper.py:100-112)
+        sums = jnp.zeros((n_s, n_nu, n_t, self.n_y, self.n_x), dtype=jnp.float32)
+        wgts = jnp.zeros_like(sums)
 
         stokes_idx = ["IQUV".index(s) for s in self.stokes]
         x0 = -(self.n_x - 1) / 2 * self.res
@@ -93,9 +96,9 @@ class BinMapper(BaseMapper):
                         dx[band_idx, sl], dy[band_idx, sl], sw,
                         x0, y0, self.res, self.n_x, self.n_y, len(stokes_idx),
                     )
-                    sums[:, i_nu, i_t] += np.asarray(s_block)
-                    wgts[:, i_nu, i_t] += np.asarray(w_block)
+                    sums = sums.at[:, i_nu, i_t].add(s_block)
+                    wgts = wgts.at[:, i_nu, i_t].add(w_block)
 
-        data, weights = self.postprocess(sums, wgts)
+        data, weights = self.postprocess(np.asarray(sums), np.asarray(wgts))
         self.map = self.make_map(data, weights)
         return self.map

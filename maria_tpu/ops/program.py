@@ -47,6 +47,12 @@ class BandBlock:
     noise_basis: np.ndarray = None
     corr_prop: float = 0.0
     NEP_per_loading: float = 0.0  # W√s per W of loading (reference sim/noise.py:33)
+    # fused CMB stage: static sky timelines + (pwv, el) calibration tables
+    cmb_samples: np.ndarray = None  # (n_band_det, n_t) Stokes-weighted K_CMB
+    cmb_P0_table: np.ndarray = None  # (n_pwv, n_el) pW at T_CMB
+    cmb_dPdT_table: np.ndarray = None  # (n_pwv, n_el) pW / K_CMB
+    # fused input-map stage: [(table (n_pwv, n_el) pW/K_RJ, samples (n_band_det, n_t))]
+    map_stages: list = None
 
 
 @dataclass
@@ -187,6 +193,56 @@ class TODProgram:
         # upsample to the TOD rate (phase stencil: no gathers)
         fields = {"atmosphere": self._upsample(loading_c)}
 
+        # fused CMB / input-map stages: the sky timelines are static
+        # (pointing is known at build); the (pwv, el)-dependent
+        # calibration factors are evaluated in-program at the FINE rate —
+        # the fine pwv carries the fast turbulence fluctuations that
+        # modulate the transmission (mixin physics, sim/cmb.py:63-100)
+        has_cmb = any(b.cmb_samples is not None for b in self.bands)
+        has_map = any(b.map_stages for b in self.bands)
+        if has_cmb or has_map:
+            if self.upsample_ratio is not None:
+                pwv_f = upsample_time_phases(pwv, self.upsample_ratio, len(self.t_fine), kind="linear")
+                el_f = upsample_time_phases(el_clip, self.upsample_ratio, len(self.t_fine), kind="cubic")
+            else:
+                t_f = jnp.asarray(self.t_fine, dtype=jnp.float32)
+                pwv_f = upsample_time(pwv, t_c, t_f, kind="linear")
+                el_f = upsample_time(el_clip, t_c, t_f, kind="cubic")
+
+        if has_cmb:
+            cmb_pieces = {}
+            for i, band in enumerate(self.bands):
+                idx = band.det_index
+                xi = (pwv_f[idx], el_f[idx])
+                P0 = RegularGridInterpolator(
+                    (band.pwv_side, band.el_side), jnp.asarray(band.cmb_P0_table)
+                )(xi)
+                dPdT = RegularGridInterpolator(
+                    (band.pwv_side, band.el_side), jnp.asarray(band.cmb_dPdT_table)
+                )(xi)
+                cmb_pieces[i] = (
+                    P0.astype(jnp.float32) * mueller_I[idx, None]
+                    + dPdT.astype(jnp.float32) * jnp.asarray(band.cmb_samples)
+                )
+            fields["cmb"] = self._per_band_assemble(
+                cmb_pieces, (len(self.offsets), len(self.t_fine))
+            )
+
+        if has_map:
+            map_pieces = {}
+            for i, band in enumerate(self.bands):
+                idx = band.det_index
+                piece = jnp.zeros((len(idx), len(self.t_fine)), dtype=jnp.float32)
+                for table, samples in band.map_stages or []:
+                    cal = RegularGridInterpolator(
+                        (band.pwv_side, band.el_side), jnp.asarray(table)
+                    )((pwv_f[idx], el_f[idx]))
+                    piece = piece + cal.astype(jnp.float32) * jnp.asarray(samples)
+                map_pieces[i] = piece
+            fields["map"] = self._per_band_assemble(
+                map_pieces, (len(self.offsets), len(self.t_fine))
+            )
+
         if self.with_noise:
             n_det, n_t = len(self.offsets), len(self.t_fine)
             noise_pieces = {}
@@ -215,7 +271,9 @@ class TODProgram:
             fields["noise"] = self._per_band_assemble(noise_pieces, (n_det, n_t))
 
         if return_pwv:
-            if self.upsample_ratio is not None:
+            if has_cmb or has_map:
+                pwv_fine = pwv_f  # already computed for the calibration factors
+            elif self.upsample_ratio is not None:
                 pwv_fine = upsample_time_phases(pwv, self.upsample_ratio, len(self.t_fine), kind="linear")
             else:
                 t_f = jnp.asarray(self.t_fine, dtype=jnp.float32)
@@ -259,18 +317,54 @@ class TODProgram:
         )
 
 
-def build_tod_program(obs, with_noise: bool = True, noise_kwargs: dict = {}) -> TODProgram:
-    """Assemble the fused program from an initialized Observation."""
+def build_tod_program(
+    obs,
+    with_noise: bool = True,
+    noise_kwargs: dict = {},
+    cmb=None,
+    input_map=None,
+    map_kwargs: dict = {},
+) -> TODProgram:
+    """Assemble the fused program from an initialized Observation.
+
+    With `cmb` (a CMB HEALPixMap in K_CMB) and/or `input_map` (a Map),
+    the corresponding stages run inside the same jit program: their sky
+    timelines are precomputed here (pointing is static per observation,
+    reference sim/cmb.py:115-118), while the pwv/el-dependent
+    calibration factors are evaluated per realization in-program."""
+    from ..sim.cmb import cmb_power_tables
+    from ..sim.map import map_transmission_table, static_map_samples
+    from ..tod.tod import Pointing
     from ..utils import compute_diameter, generate_spatial_basis
 
     atm = obs.atmosphere
     T_base = float(atm.weather.temperature[0])
     t0 = float(obs.t[0])
+    stokes_weight = np.asarray(obs.instrument.dets.stokes_weight(), dtype=np.float32)
 
     bands = []
     for band in obs.instrument.dets.bands:
         det_index = np.where(obs.instrument.dets.band_name == band.name)[0]
         pwv_side, el_side, table = band.atmosphere_power_table(atm.spectrum, T_base)
+
+        cmb_samples = cmb_P0 = cmb_dPdT = None
+        if cmb is not None:
+            pointing = Pointing(obs.boresight, obs.offsets[det_index], obs.q)
+            cmb_samples = np.asarray(
+                cmb.sample_stokes(pointing, jnp.asarray(stokes_weight[det_index])),
+                dtype=np.float32,
+            )
+            _, _, cmb_P0, cmb_dPdT = cmb_power_tables(band, atm.spectrum, T_base)
+
+        map_stages = None
+        if input_map is not None:
+            bilinear = map_kwargs.get("bilinear_sampling", True)
+            map_stages = [
+                (map_transmission_table(band, input_map, channel, atm.spectrum, T_base), samples)
+                for channel, samples in static_map_samples(
+                    input_map, band, det_index, obs, bilinear=bilinear
+                )
+            ]
         basis, corr_prop = None, 0.0
         cp = noise_kwargs.get("correlated_noise_proportion", 0.0)
         band_offsets = obs.instrument.dets.offsets[det_index]
@@ -287,6 +381,8 @@ def build_tod_program(obs, with_noise: bool = True, noise_kwargs: dict = {}) -> 
                 pwv_side=pwv_side, el_side=el_side, power_table=table,
                 NEP=band.NEP, knee=band.knee, noise_basis=basis, corr_prop=corr_prop,
                 NEP_per_loading=band.NEP_per_loading,
+                cmb_samples=cmb_samples, cmb_P0_table=cmb_P0, cmb_dPdT_table=cmb_dPdT,
+                map_stages=map_stages,
             )
         )
 

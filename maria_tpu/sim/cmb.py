@@ -17,6 +17,38 @@ logger = logging.getLogger("maria_tpu")
 DEFAULT_CMB_SIM_KWARGS = {"nside": 256}
 
 
+def cmb_power_tables(band, spectrum, base_temperature: float, eps: float = 1e-6):
+    """Host-precomputed (pwv, el) -> (P(T_CMB) [pW], dP/dT_CMB [pW/K])
+    tables at a fixed base temperature, for the fused program's CMB
+    stage (physics of _cmb_power_grids, reference sim/cmb.py:63-100,
+    with the T_base axis collapsed like Band.atmosphere_power_table)."""
+    from scipy.interpolate import interp1d
+
+    nu = band.nu
+    test_T_b = np.array([T_CMB, T_CMB + eps])
+    test_T_RJ = inverse_rayleigh_jeans_spectrum(
+        planck_spectrum(test_T_b[None], nu[:, None]), nu[:, None]
+    )  # (n_nu, 2)
+
+    op = interp1d(spectrum.side_nu, spectrum._opacity, axis=-1)(nu)  # (T, pwv, el, n_nu)
+    # integrate over the FULL T grid first, then collapse at T0 — the
+    # same operation order as the mixin's grid interpolation, so the
+    # fused and mixin paths agree to float precision
+    P_T = 1e12 * k_B * np.trapezoid(
+        test_T_RJ[None, None, None] * (np.exp(-op) * band.passband(nu))[..., None], x=nu, axis=-2
+    )  # (T, pwv, el, 2)
+    T_sides = spectrum.side_base_temperature
+    i = int(np.clip(np.searchsorted(T_sides, base_temperature) - 1, 0, len(T_sides) - 2))
+    w = np.clip((base_temperature - T_sides[i]) / (T_sides[i + 1] - T_sides[i]), 0, 1)
+    P = (1 - w) * P_T[i] + w * P_T[i + 1]  # (pwv, el, 2)
+    return (
+        np.asarray(spectrum.side_zenith_pwv),
+        np.asarray(spectrum.side_elevation),
+        np.asarray(P[..., 0], dtype=np.float32),
+        np.asarray((P[..., 1] - P[..., 0]) / eps, dtype=np.float32),
+    )
+
+
 class CMBMixin:
     def _init_cmb(self, cmb, **cmb_kwargs):
         from ..cmb import CMB, generate_cmb, get_cmb

@@ -25,6 +25,84 @@ logger = logging.getLogger("maria_tpu")
 DEFAULT_MAP_SIM_KWARGS = {"bilinear_sampling": True}
 
 
+def map_offsets(input_map, pointing):
+    """Tangent-plane offsets of each detector sample from the map center,
+    in the map's frame; pure jnp, shape (n_det, n_t, 2)."""
+    if input_map.frame in ("ra/dec", "icrs"):
+        ra, dec = pointing.det_radec()
+        pt = jnp.stack([ra, dec], axis=-1)
+    else:  # az/el map
+        az, el = pointing.det_azel()
+        pt = jnp.stack([az, el], axis=-1)
+    return phi_theta_to_offsets_jit(pt, input_map.center[0], input_map.center[1])
+
+
+def static_map_samples(input_map, band, band_idx, obs, bilinear: bool = True):
+    """Host/build-time static sky timelines for the fused program's map
+    stage: per overlapping frequency channel, the Stokes-weighted,
+    beam-smoothed, time-blended K_RJ samples along the (static) pointing,
+    with the [1/4, 1/2, 1/4] continuous-integration kernel applied.
+    Returns a list of (channel_index, samples (n_band_det, n_t) float32).
+    The pwv-dependent K_RJ -> pW calibration is NOT applied here — it
+    rides the program's in-jit (pwv, el) tables."""
+    from ..tod.tod import Pointing
+
+    stokes_weight = np.asarray(obs.instrument.dets.stokes_weight(), dtype=np.float32)
+    band_fwhm = compute_angular_fwhm(
+        fwhm_0=float(np.mean(obs.instrument.dets.primary_size)), z=np.inf, nu=band.center
+    )
+    smoothed = input_map.smooth(fwhm=Quantity(band_fwhm, "rad"))
+    pointing = Pointing(obs.boresight, obs.offsets[band_idx], obs.q)
+    offsets = map_offsets(input_map, pointing)
+
+    out = []
+    n_frames = len(input_map.t)
+    for channel, (nu_min, nu_max) in enumerate(input_map.nu_bin_bounds):
+        if (band.nu.max() < float(nu_min.Hz)) or (float(nu_max.Hz) < band.nu.min()):
+            continue
+        channel_map = smoothed.to("K_RJ", band=band)
+        if n_frames == 1:
+            samples = channel_map.sample(
+                offsets[..., 0], offsets[..., 1],
+                stokes_weight=stokes_weight[band_idx],
+                nu_index=channel, bilinear=bilinear,
+            )
+        else:
+            t0 = float(obs.t[0])
+            t_rel = jnp.asarray(np.asarray(obs.t, dtype=np.float64) - t0, dtype=jnp.float32)
+            frame_t = jnp.asarray(np.asarray(input_map.t, dtype=np.float64) - t0, dtype=jnp.float32)
+            fi = jnp.clip(jnp.searchsorted(frame_t, t_rel) - 1, 0, n_frames - 2)
+            w_hi = jnp.clip(
+                (t_rel - frame_t[fi]) / (frame_t[fi + 1] - frame_t[fi]), 0.0, 1.0
+            ).astype(jnp.float32)
+            samples = jnp.zeros((len(band_idx), len(obs.t)), dtype=jnp.float32)
+            for f in range(n_frames):
+                w_f = jnp.where(fi == f, 1 - w_hi, 0.0) + jnp.where(fi + 1 == f, w_hi, 0.0)
+                samples = samples + w_f[None, :] * channel_map.sample(
+                    offsets[..., 0], offsets[..., 1],
+                    stokes_weight=stokes_weight[band_idx],
+                    nu_index=channel, t_index=f, bilinear=bilinear,
+                )
+        samples = np.asarray(samples, dtype=np.float32)
+        padded = np.pad(samples, ((0, 0), (1, 1)), mode="edge")
+        samples = 0.25 * padded[:, :-2] + 0.5 * padded[:, 1:-1] + 0.25 * padded[:, 2:]
+        out.append((channel, samples))
+    return out
+
+
+def map_transmission_table(band, input_map, channel, spectrum, base_temperature: float):
+    """(n_pwv, n_el) pW-per-K_RJ calibration table for one map channel."""
+    nu_min, nu_max = input_map.nu_bin_bounds[channel]
+    PWV, EL = np.meshgrid(spectrum.side_zenith_pwv, spectrum.side_elevation, indexing="ij")
+    table = 1e12 * k_B * band.compute_transmission_integral(
+        nu_min_Hz=float(nu_min.Hz), nu_max_Hz=float(nu_max.Hz),
+        spectrum=spectrum,
+        base_temperature=np.full_like(PWV, base_temperature),
+        zenith_pwv=PWV, elevation=EL,
+    )
+    return np.asarray(table, dtype=np.float32)
+
+
 class MapMixin:
     def _initialize_map(self, map, **map_kwargs):  # noqa: A002
         kwargs = {k: v for k, v in map_kwargs.items() if k not in DEFAULT_MAP_SIM_KWARGS}
@@ -40,14 +118,7 @@ class MapMixin:
         center, in the map's frame; pure jnp, shape (n_band, n_t, 2)."""
         from ..tod.tod import Pointing
 
-        pointing = Pointing(obs.boresight, obs.offsets[band_idx], obs.q)
-        if self.map.frame in ("ra/dec", "icrs"):
-            ra, dec = pointing.det_radec()
-            pt = jnp.stack([ra, dec], axis=-1)
-        else:  # az/el map
-            az, el = pointing.det_azel()
-            pt = jnp.stack([az, el], axis=-1)
-        return phi_theta_to_offsets_jit(pt, self.map.center[0], self.map.center[1])
+        return map_offsets(self.map, Pointing(obs.boresight, obs.offsets[band_idx], obs.q))
 
     def _sample_maps(self, obs):
         bilinear = self.map_kwargs.get("bilinear_sampling", True)

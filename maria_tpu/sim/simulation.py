@@ -137,33 +137,36 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
             from ..ops.program import build_tod_program
 
             s = _time.monotonic()
-            # if cmb/map loadings are simulated by mixins after the
-            # program, noise must wait for them so NEP_per_loading sees
-            # the total loading (reference sim/noise.py:33)
-            noise_in_program = self.noise and not (hasattr(self, "cmb") or hasattr(self, "map"))
             program = build_tod_program(
-                obs, with_noise=noise_in_program, noise_kwargs=self.noise_kwargs
+                obs,
+                with_noise=self.noise,
+                noise_kwargs=self.noise_kwargs,
+                cmb=getattr(self, "cmb", None),
+                input_map=getattr(self, "map", None),
+                map_kwargs=getattr(self, "map_kwargs", {}),
             )
             fn = jax.jit(program.fields_fn())
             key = self._next_key()
             fields, pwv_fine = fn(key, *program.example_args(key)[1:])
             obs.loading = dict(fields)
-            # the SAME screen realization feeds downstream transmission
-            # (cmb/map mixins) through the fine-rate zenith-scaled pwv
+            # the SAME screen realization feeds any downstream
+            # transmission users through the fine-rate zenith-scaled pwv
             obs.zenith_scaled_pwv = pwv_fine
-            logger.debug(f"Ran fused atmosphere+noise program in {_time.monotonic() - s:.2f} s.")
+            logger.debug(
+                f"Ran fused program ({'+'.join(obs.loading)}) in {_time.monotonic() - s:.2f} s."
+            )
         elif hasattr(obs, "atmosphere"):
             s = _time.monotonic()
             self._simulate_atmosphere(obs, self._next_key())
             obs.loading["atmosphere"] = self._compute_atmospheric_loading(obs)
             logger.debug(f"Ran atmosphere simulation in {_time.monotonic() - s:.2f} s.")
 
-        if hasattr(self, "cmb"):
+        if hasattr(self, "cmb") and "cmb" not in obs.loading:
             s = _time.monotonic()
             obs.loading["cmb"] = self._compute_cmb_loading(obs)
             logger.debug(f"Ran CMB simulation in {_time.monotonic() - s:.2f} s.")
 
-        if hasattr(self, "map"):
+        if hasattr(self, "map") and "map" not in obs.loading:
             s = _time.monotonic()
             self._sample_maps(obs)
             logger.debug(f"Ran map simulation in {_time.monotonic() - s:.2f} s.")

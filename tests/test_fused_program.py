@@ -1,0 +1,87 @@
+"""The fully fused device program: atmosphere + cmb + map + noise in ONE
+jit call (reference runs these as separate per-stage numpy passes,
+maria/sim/simulation.py:213-247)."""
+
+import jax
+import numpy as np
+import pytest
+
+import maria_tpu
+from maria_tpu.ops.program import build_tod_program
+from maria_tpu.plan import Planner
+
+
+@pytest.fixture(scope="module")
+def full_scene():
+    input_map = maria_tpu.map.get("big_cluster", center=(150.0, 10.0))
+    plan = Planner(target=(150.0, 10.0), site="GBT").generate_plans(
+        start_time=1.75e9, horizon_days=2, total_duration=20, chunk_duration=20,
+        scan_pattern="daisy", scan_options={"radius": 0.083, "speed": 0.017}, sample_rate=20,
+    )[0]
+    sim = maria_tpu.Simulation(
+        instrument="MUSTANG-2", plans=plan, site="GBT",
+        atmosphere="2d", cmb="generate", map=input_map, noise=True, seed=4,
+    )
+    return sim
+
+
+def test_all_fields_from_one_program(full_scene):
+    sim = full_scene
+    obs = sim.obs_list[0]
+    tod = sim.run()[0]
+    # every field came out of the fused program (none recomputed by mixins)
+    assert sorted(obs.loading) == ["atmosphere", "cmb", "map", "noise"]
+    for name in obs.loading:
+        v = np.asarray(obs.loading[name])
+        assert np.isfinite(v).all(), name
+        assert v.std() > 0, name
+    assert np.isfinite(np.asarray(tod.signal)).all()
+
+
+def test_fused_cmb_and_map_match_mixins(full_scene):
+    """The in-program cmb/map stages must agree with the mixin physics
+    (same pwv realization) to the coarse-factor-upsampling tolerance."""
+    sim = full_scene
+    obs = sim.obs_list[0]
+    program = build_tod_program(
+        obs, with_noise=False, noise_kwargs={},
+        cmb=sim.cmb, input_map=sim.map, map_kwargs=sim.map_kwargs,
+    )
+    key = jax.random.key(123)
+    fields, pwv_fine = jax.jit(program.fields_fn())(key, *program.example_args(key)[1:])
+    obs.zenith_scaled_pwv = pwv_fine
+
+    cmb_mixin = np.asarray(sim._compute_cmb_loading(obs))
+    cmb_fused = np.asarray(fields["cmb"])
+    diff = cmb_fused - cmb_mixin
+    # RMS agreement to 5% of the anisotropy scale; the residual is the
+    # el-upsampling of the calibration factors (the sky term is exact)
+    assert diff.std() < 0.05 * cmb_mixin.std()
+    assert np.abs(diff).max() < 0.5 * cmb_mixin.std()
+
+    loading_backup = dict(obs.loading)
+    sim._sample_maps(obs)
+    map_mixin = np.asarray(obs.loading["map"])
+    obs.loading = loading_backup
+    map_fused = np.asarray(fields["map"])
+    assert np.abs(map_fused - map_mixin).max() < 0.05 * map_mixin.std()
+
+
+def test_noise_sees_cmb_and_map_loading(full_scene):
+    """NEP_per_loading inside the program must include the cmb/map
+    fields (reference sim/noise.py:33 sums all loadings)."""
+    sim = full_scene
+    obs = sim.obs_list[0]
+    program = build_tod_program(
+        obs, with_noise=True, noise_kwargs=sim.noise_kwargs,
+        cmb=sim.cmb, input_map=sim.map, map_kwargs=sim.map_kwargs,
+    )
+    for b in program.bands:
+        b.NEP_per_loading = 0.0
+    key = jax.random.key(5)
+    args = program.example_args(key)[1:]
+    base = np.asarray(jax.jit(program.fields_fn())(key, *args)[0]["noise"])
+    for b in program.bands:
+        b.NEP_per_loading = 10.0
+    loaded = np.asarray(jax.jit(program.fields_fn())(key, *args)[0]["noise"])
+    assert loaded.std() > 2 * base.std()
