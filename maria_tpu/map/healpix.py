@@ -118,6 +118,12 @@ class HEALPixMap(Map):
             f.create_dataset("nu", data=self.nu)
             f.create_dataset("t", data=self.t)
 
+    def plot(self, **kwargs):
+        """Mollweide view (reference: maria/plotting/healpix.py)."""
+        from ..plotting.healpix import plot_healpix_map
+
+        return plot_healpix_map(self, **kwargs)
+
     def __repr__(self):
         base = super().__repr__()[:-1]
         return base + f", nside={self.nside}, frame='{self.frame}')"

@@ -33,10 +33,12 @@ class BaseMapper:
         tod_preprocessing: dict = {},
         map_postprocessing: dict = {},
         t_bins: int = 1,
+        progress_bars: bool = False,
     ):
         self.frame = Frame(frame)
         self.units = units
         self.t_bins = t_bins
+        self.progress_bars = progress_bars
         self.map_postprocessing = dict(map_postprocessing)
 
         tods = tods if isinstance(tods, (list, tuple)) else [tods]

@@ -63,7 +63,9 @@ class BinMapper(BaseMapper):
         x0 = -(self.n_x - 1) / 2 * self.res
         y0 = -(self.n_y - 1) / 2 * self.res
 
-        for tod in self.tods:
+        from ..io.logging import progress_bar
+
+        for tod in progress_bar(self.tods, desc="Binning TODs", disable=not self.progress_bars):
             # detector offsets from the map center in the map frame
             pointing = tod.pointing
             if self.frame.name == "ra/dec":

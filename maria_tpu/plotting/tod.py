@@ -23,10 +23,17 @@ def plot_tod(tod, max_dets: int = 16, fields=None, fig=None):
         for field in fields:
             d = np.asarray(tod.data[field][mask])
             ts_ax.plot(t, d.T, lw=0.5, alpha=0.7)
-            # binned power spectrum
-            ps = np.abs(np.fft.rfft(d - d.mean(axis=-1, keepdims=True), axis=-1)) ** 2
-            f = np.fft.rfftfreq(d.shape[-1], d=1 / fs)
+            # binned power spectrum (PSD, signal-units^2 / Hz)
+            n = d.shape[-1]
+            ps = np.abs(np.fft.rfft(d - d.mean(axis=-1, keepdims=True), axis=-1)) ** 2 / (n * fs)
+            f = np.fft.rfftfreq(n, d=1 / fs)
             ps_ax.loglog(f[1:], ps.mean(axis=0)[1:], lw=0.8, label=field)
+        # per-band expected noise-PSD overlay: white level + 1/f knee
+        # (reference plotting/tod.py:25-160 overlays the band noise model)
+        if tod.units == "pW" and getattr(band, "NEP", 0):
+            f = np.fft.rfftfreq(len(t), d=1 / fs)[1:]
+            white = (1e12 * band.NEP) ** 2 * np.ones_like(f)
+            ps_ax.loglog(f, white * (1 + band.knee / f), color="k", ls="--", lw=1, label=f"{band.name} noise model")
         ts_ax.set_title(f"{band.name}")
         ts_ax.set_xlabel("time [s]")
         ts_ax.set_ylabel(f"signal [{tod.units}]")

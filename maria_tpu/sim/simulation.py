@@ -69,6 +69,7 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
         noise_kwargs = {**loose["noise"], **noise_kwargs}
 
         self.dtype = dtype
+        self.progress_bars = progress_bars
         self.seed = seed
         self._key = jax.random.key(seed if seed is not None else np.random.randint(2**31))
         self.keep_mean_signal = keep_mean_signal
@@ -115,8 +116,13 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
         return sub
 
     def run(self, units: str = "K_RJ"):
+        from ..io.logging import progress_bar
+
         tods = []
-        for obs_index, obs in enumerate(self.obs_list):
+        pbar = progress_bar(
+            self.obs_list, desc="Simulating observations", disable=not self.progress_bars
+        )
+        for obs_index, obs in enumerate(pbar):
             logger.info(f"Simulating observation {obs_index + 1} of {len(self.obs_list)}")
             obs_s = _time.monotonic()
             tods.append(self.run_obs(obs).to(units))

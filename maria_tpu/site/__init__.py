@@ -67,6 +67,34 @@ class Site:
             height_m=float(self.altitude.m),
         )
 
+    def plot(self, ax=None):
+        """World map of all known regions with this site highlighted
+        (reference: maria/site/site.py:92+, which draws a fetched world
+        height map; offline we draw the region catalog itself)."""
+        import matplotlib.pyplot as plt
+
+        if ax is None:
+            _, ax = plt.subplots(1, 1, figsize=(9, 4.5))
+        sc = ax.scatter(
+            REGIONS.longitude, REGIONS.latitude, c=REGIONS.altitude,
+            cmap="terrain", s=18, vmin=0,
+        )
+        ax.scatter(
+            [float(self.longitude.deg)], [float(self.latitude.deg)],
+            marker="*", s=220, facecolor="none", edgecolor="red", linewidth=1.5,
+        )
+        ax.annotate(
+            self.name, (float(self.longitude.deg), float(self.latitude.deg)),
+            textcoords="offset points", xytext=(8, 8), color="red",
+        )
+        ax.set_xlim(-180, 180)
+        ax.set_ylim(-90, 90)
+        ax.set_xlabel("longitude [deg]")
+        ax.set_ylabel("latitude [deg]")
+        ax.grid(alpha=0.3)
+        plt.colorbar(sc, ax=ax, label="altitude [m]")
+        return ax
+
     def __repr__(self):
         return (
             f"Site({self.name}):\n"
