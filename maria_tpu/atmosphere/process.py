@@ -31,14 +31,12 @@ logger = logging.getLogger("maria_tpu")
 COV_MAT_JITTER = 1e-6
 
 
-@partial(jax.jit, static_argnames=("n_steps",))
-def _ar_extrude(key, A, B, buffer_init, ext_idx, cross_idx, n_steps: int):
-    """Run the AR loop: fill buffer rows from high index down to 0.
-
-    buffer has shape (n_extrusion + n_steps, n_cross); row b is conditioned
-    on rows b + ext_idx + 1 at columns cross_idx.
-    """
-    noise = jax.random.normal(key, (n_steps, A.shape[0]), dtype=buffer_init.dtype)
+def _ar_extrude_noise(A, B, buffer_init, ext_idx, cross_idx, noise):
+    """Run the AR loop with explicit innovations: fill buffer rows from
+    high index down to 0. buffer has shape (n_steps + n_lookback, n_cross);
+    row b is conditioned on rows b + ext_idx + 1 at columns cross_idx.
+    noise is (n_steps, n_live_edge), consumed newest-row-first."""
+    n_steps = noise.shape[0]
 
     def step(buffer, inputs):
         b_index, eps = inputs
@@ -50,6 +48,13 @@ def _ar_extrude(key, A, B, buffer_init, ext_idx, cross_idx, n_steps: int):
     b_indices = jnp.arange(n_steps - 1, -1, -1)
     buffer, _ = jax.lax.scan(step, buffer_init, (b_indices, noise))
     return buffer
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def _ar_extrude(key, A, B, buffer_init, ext_idx, cross_idx, n_steps: int):
+    """PRNG-keyed wrapper around `_ar_extrude_noise`."""
+    noise = jax.random.normal(key, (n_steps, A.shape[0]), dtype=buffer_init.dtype)
+    return _ar_extrude_noise(A, B, buffer_init, ext_idx, cross_idx, noise)
 
 
 class AutoregressiveProcess:
