@@ -172,6 +172,30 @@ class ProjectionMap(Map):
             frame=self.frame, stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
         )
 
+    def recenter(self, center, degrees: bool = True) -> "ProjectionMap":
+        """Resample onto the same grid around a new center
+        (reference projection.py:405)."""
+        from ..coords.transforms import offsets_to_phi_theta, phi_theta_to_offsets
+        from ..ops.interp import interp_bilinear_grid
+
+        new_center = np.radians(np.asarray(center, dtype=float)) if degrees else np.asarray(center, dtype=float)
+        # where the new grid's pixels land in the old grid's offsets
+        X, Y = np.meshgrid(self.x_side, self.y_side)
+        pt = offsets_to_phi_theta(np.stack([X, Y], axis=-1), new_center[0], new_center[1])
+        old = np.asarray(phi_theta_to_offsets(pt, self.center[0], self.center[1]))
+        flat = self.data.reshape(-1, self.n_y, self.n_x)
+        out = jnp.stack(
+            [
+                interp_bilinear_grid(f, old[..., 0], old[..., 1], self.x_side, self.y_side)
+                for f in flat
+            ]
+        )
+        return ProjectionMap(
+            data=out.reshape(self.data.shape), center=np.degrees(new_center),
+            resolution=np.degrees(self.resolution), frame=self.frame,
+            stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+        )
+
     def trim(self) -> "ProjectionMap":
         """Crop to the bounding box of nonzero weight."""
         w = np.asarray(self.weight).sum(axis=(0, 1, 2))

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coords.transforms import phi_theta_to_offsets_jit
+from ..ops.binning import bin_windowed, make_windowed_bin_plan
 from .base import BaseMapper
 
 logger = logging.getLogger("maria_tpu")
@@ -93,6 +94,31 @@ class BinMapper(BaseMapper):
                     if len(cols) == 0:
                         continue
                     sl = slice(cols[0], cols[-1] + 1)
+
+                    # hot path: windowed MXU binning on the static pointing
+                    # (ops/binning.py); scatter fallback for wide fields
+                    bx = np.asarray(dx[band_idx, sl])
+                    by = np.asarray(dy[band_idx, sl])
+                    ix = np.round((bx - x0) / self.res).astype(np.int32)
+                    iy = np.round((by - y0) / self.res).astype(np.int32)
+                    inside = (ix >= 0) & (ix < self.n_x) & (iy >= 0) & (iy < self.n_y)
+                    plan = make_windowed_bin_plan(
+                        np.where(inside, iy, -1), np.where(inside, ix, -1),
+                        self.n_y, self.n_x,
+                    )
+                    if plan is not None:
+                        d_block = data[band_idx, sl]
+                        w_block_in = weight[band_idx, sl]
+                        for s in range(len(stokes_idx)):
+                            w_s = sw[:, s][:, None]
+                            sums = sums.at[s, i_nu, i_t].add(
+                                bin_windowed(d_block, plan, weights=w_block_in * w_s)
+                            )
+                            wgts = wgts.at[s, i_nu, i_t].add(
+                                bin_windowed(w_block_in * jnp.abs(w_s), plan)
+                            )
+                        continue
+
                     s_block, w_block = _bin_tod_block_jit(
                         data[band_idx, sl], weight[band_idx, sl],
                         dx[band_idx, sl], dy[band_idx, sl], sw,

@@ -133,3 +133,60 @@ def bin_scatter(data, pix, n_pix: int, weights=None):
     if weights is not None:
         data = data * weights
     return jax.ops.segment_sum(data.ravel(), pix.ravel(), num_segments=n_pix)
+
+
+@dataclass
+class RunLengthBinPlan:
+    """Host-precomputed run-length compression of static pixel ids.
+
+    A scanning detector dwells several consecutive samples in each map
+    pixel, so the (huge) per-sample scatter reduces exactly to a
+    (much smaller) per-run scatter: run sums come from differences of a
+    per-detector cumulative sum. NOTE: measured on v5e this is only at
+    parity with the raw scatter (~0.97 s vs 1.05 s for a 50k x 3000
+    TOD) because TPU gathers cost as much per element (~14 ns) as
+    scatters — the two boundary gathers eat the 7x scatter-volume win.
+    Kept for backends where gathers outpace scatters.
+    """
+
+    n_pix: int
+    n_t: int
+    starts: np.ndarray  # (n_runs,) int32, flat into the (n_det, n_t+1) cumsum
+    ends: np.ndarray  # (n_runs,) int32, exclusive
+    run_pix: np.ndarray  # (n_runs,) int32
+
+
+def make_runlength_bin_plan(pix, n_pix: int) -> RunLengthBinPlan:
+    """Build the plan from static per-sample pixel ids (n_det, n_t)."""
+    pix = np.asarray(pix, dtype=np.int32)
+    n_det, n_t = pix.shape
+    # run boundaries: start of row, or pixel change within a row
+    change = np.ones((n_det, n_t), dtype=bool)
+    change[:, 1:] = pix[:, 1:] != pix[:, :-1]
+    det_idx, t_start = np.nonzero(change)
+    # local end = next run's start within the same row, else n_t
+    t_end = np.empty_like(t_start)
+    same_row = det_idx[1:] == det_idx[:-1]
+    t_end[:-1] = np.where(same_row, t_start[1:], n_t)
+    t_end[-1] = n_t
+    # flat indices into the zero-prefixed (n_det, n_t+1) cumsum:
+    # run sum over [t0, t1) = cs[det, t1] - cs[det, t0]
+    row = det_idx * (n_t + 1)
+    return RunLengthBinPlan(
+        n_pix=n_pix, n_t=n_t,
+        starts=(row + t_start).astype(np.int32),
+        ends=(row + t_end).astype(np.int32),
+        run_pix=pix[det_idx, t_start].astype(np.int32),
+    )
+
+
+def bin_runlength(data, starts, ends, run_pix, n_pix: int):
+    """Exact binning via per-row cumsum + per-run differences.
+
+    `starts`/`ends`/`run_pix` are the plan arrays; pass them as jit
+    ARGUMENTS (tens of MB — closure constants blow the compile request)."""
+    n_det, n_t = data.shape
+    cs = jnp.cumsum(data, axis=-1)
+    cs = jnp.concatenate([jnp.zeros((n_det, 1), dtype=data.dtype), cs], axis=-1).ravel()
+    run_sums = jnp.take(cs, ends) - jnp.take(cs, starts)
+    return jax.ops.segment_sum(run_sums, run_pix, num_segments=n_pix)

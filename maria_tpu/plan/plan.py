@@ -186,6 +186,10 @@ class Plan:
             site=self.site,
         )
 
+    # reference exposes this as Plan.plot (maria/plan/plan.py:379)
+    def plot(self, *args, **kwargs):
+        return self.plot_hits(*args, **kwargs)
+
     def plot_hits(self, instrument=None, x_bins: int = 100, y_bins: int = 100):
         import matplotlib.pyplot as plt
 

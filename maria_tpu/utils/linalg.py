@@ -88,6 +88,10 @@ def pointing_indices_and_weights(x_list, side_list, bilinear=True):
     return pixels, weights, n_pixels
 
 
+# reference-name alias (maria/utils/linalg.py:9)
+compute_pointing_matrix_ingredients = pointing_indices_and_weights
+
+
 def fast_psd_inverse(M: np.ndarray) -> np.ndarray:
     """Cholesky-based inverse for PSD matrices (host, float64).
 

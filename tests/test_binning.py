@@ -60,3 +60,22 @@ def test_off_map_samples_are_dropped():
     data = np.ones(iy.shape, dtype=np.float32)
     m = np.asarray(bin_windowed(jnp.asarray(data), plan))
     assert m.sum() == (iy.shape[0] - 1) * iy.shape[1]
+
+
+def test_runlength_matches_scatter():
+    from maria_tpu.ops.binning import bin_runlength, make_runlength_bin_plan
+
+    rng = np.random.default_rng(5)
+    n_det, n_t, n_pix = 25, 400, 150
+    pix = (np.cumsum(rng.integers(0, 2, size=(n_det, n_t)), axis=-1) + rng.integers(0, 50, (n_det, 1))) % n_pix
+    plan = make_runlength_bin_plan(pix, n_pix)
+    assert len(plan.starts) < pix.size  # actually compressed
+    data = rng.standard_normal((n_det, n_t)).astype(np.float32)
+    m_rl = np.asarray(
+        bin_runlength(
+            jnp.asarray(data), jnp.asarray(plan.starts), jnp.asarray(plan.ends),
+            jnp.asarray(plan.run_pix), n_pix,
+        )
+    )
+    m_s = np.asarray(bin_scatter(jnp.asarray(data), jnp.asarray(pix.astype(np.int32)), n_pix))
+    np.testing.assert_allclose(m_rl, m_s, atol=1e-4 * max(1.0, np.abs(m_s).max()))
