@@ -181,3 +181,37 @@ def test_ml_gradient_descent_solver(clean_tod_and_map):
     b = m_in[mask] - m_in[mask].mean()
     corr = (a * b).sum() / np.sqrt((a**2).sum() * (b**2).sum() + 1e-30)
     assert corr > 0.8, corr
+
+
+def test_woodbury_inverse_is_exact():
+    """_apply_inverse_N with low-rank modes must equal a dense per-frequency
+    solve of N_f = diag(A_f) + U diag(lam_f) U^T."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n_det, n_t, k = 6, 64, 2
+    n_f = n_t // 2 + 1
+
+    A_inv = jnp.asarray(rng.uniform(0.5, 2.0, (n_det, n_f)).astype(np.float32))
+    U = jnp.asarray(rng.standard_normal((n_det, k)).astype(np.float32))
+    lam = jnp.asarray(rng.uniform(0.1, 3.0, (k, n_f)).astype(np.float32))
+
+    import jax
+    G = jnp.einsum("df,dk,dl->fkl", A_inv, U, U)
+    D = jax.vmap(jnp.diag, in_axes=1)(1.0 / lam)
+    block = {"A_inv": A_inv, "U": U, "core": jnp.linalg.inv(D + G)}
+
+    mapper = MaximumLikelihoodMapper.__new__(MaximumLikelihoodMapper)
+    mapper.k = k
+    v = rng.standard_normal((n_det, n_t)).astype(np.float32)
+    out = np.asarray(mapper._apply_inverse_N(block, jnp.asarray(v)))
+
+    # dense reference: per rfft frequency, solve N_f x = fv
+    fv = np.fft.rfft(v, axis=-1)
+    x_ref = np.empty_like(fv)
+    A = 1.0 / np.asarray(A_inv)
+    for f in range(n_f):
+        N_f = np.diag(A[:, f]) + np.asarray(U) @ np.diag(np.asarray(lam)[:, f]) @ np.asarray(U).T
+        x_ref[:, f] = np.linalg.solve(N_f, fv[:, f])
+    ref = np.fft.irfft(x_ref, n=n_t, axis=-1)
+    np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
