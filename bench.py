@@ -93,7 +93,7 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
     fn = program.total_power_fn()
     args = program.example_args()
 
-    pix = plan = None
+    pix = plan = plan_iy = plan_ix = None
     if obs is not None:
         from maria_tpu.ops.binning import make_windowed_bin_plan
 
@@ -101,6 +101,11 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
         plan = make_windowed_bin_plan(pix_ids // 128, pix_ids % 128, 128, 128)
         if plan is None:
             pix = jnp.asarray(pix_ids.ravel())
+        else:
+            # index arrays ride as jit arguments (closure constants of
+            # this size blow the remote-compile request limit)
+            plan_iy = jnp.asarray(plan.iy)
+            plan_ix = jnp.asarray(plan.ix)
 
     if k_chain is None:
         # bound the chain's device working set: each iteration synthesizes
@@ -112,14 +117,14 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
         # NOTE: pix rides as an ARGUMENT — a 50k-detector id array baked
         # in as a closure constant blows the remote-compile request limit
         @jax.jit
-        def run(key, offsets, bs_az, bs_el, pix_arg):
+        def run(key, offsets, bs_az, bs_el, pix_arg, iy_arg, ix_arg):
             def body(carry, k):
                 from maria_tpu.ops.binning import bin_scatter, bin_windowed
 
                 tod = fn(k, offsets, bs_az, bs_el)
                 out = tod.mean()
                 if plan is not None:
-                    binned = bin_windowed(tod, plan)
+                    binned = bin_windowed(tod, plan, iy=iy_arg, ix=ix_arg)
                     out = out + binned.max() / max(len(program.t_fine), 1)
                 elif pix_arg is not None:
                     binned = bin_scatter(tod, pix_arg, n_pix)
@@ -131,12 +136,12 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
         return run
 
     def timed(f):
-        float(np.asarray(f(*args, pix)))  # compile + warm up; forces readback
+        float(np.asarray(f(*args, pix, plan_iy, plan_ix)))  # compile + warm up
         times = []
         for i in range(n_repeats):
             fresh = (jax.random.key(i + 1), *args[1:])
             start = time.perf_counter()
-            float(np.asarray(f(*fresh, pix)))
+            float(np.asarray(f(*fresh, pix, plan_iy, plan_ix)))
             times.append(time.perf_counter() - start)
         return min(times)
 
@@ -164,9 +169,10 @@ def bench_cpu_baseline(program, obs) -> float:
     # setup: AR processes matching each screen's grid (not timed)
     processes = []
     for screen in atm.screens:
-        # the exact grid the TPU path samples — no cut-down
-        nx = screen.nx
-        ny = screen.ny
+        # the footprint-sized grid the reference AR method needs (the
+        # FFT-padded screen.nx/ny would overcharge the CPU baseline)
+        nx = screen.nx_needed or screen.nx
+        ny = screen.ny_needed or screen.ny
         cross = np.stack([screen.ty_min + screen.res * np.arange(ny), np.full(ny, screen.h)], axis=-1)
         extrusion = screen.tx_min + screen.res * np.arange(nx)
         proc = AutoregressiveProcess(cross_section=cross, extrusion=extrusion,

@@ -64,6 +64,10 @@ class LayerScreen:
     # sampler; None disables windowing for this screen
     win_x: int = None
     win_y: int = None
+    # footprint-sized grid (before FFT padding): what a non-FFT method
+    # (e.g. the reference's AR extrusion) actually needs to cover
+    nx_needed: int = None
+    ny_needed: int = None
 
 
 @dataclass
@@ -287,6 +291,7 @@ class Atmosphere:
                             pwv_rms=float(layer.pwv_rms), angle=angle, vx=vx, vy=vy,
                             tx_min=tx_min, ty_min=ty_min, nx=nx, ny=ny, W=W,
                             win_x=win_x, win_y=win_y,
+                            nx_needed=nx_needed, ny_needed=ny_needed,
                         )
                     )
             elif self.method == "fourier":

@@ -67,8 +67,9 @@ class StreamingExtrusion:
         return full[: p.n_extrusion], full[: self.chunk_rows][::-1]
 
     def run_chunks(self, key, n_chunks: int):
-        """Generate `n_chunks` consecutive screen chunks, newest-first,
-        at O(chunk) memory."""
+        """Generate `n_chunks` consecutive screen chunks in stream order
+        (each chunk oldest-row-first, so the concatenation is one
+        continuous screen), at O(chunk) memory."""
         key_init, key_noise = jax.random.split(key)
         state = self.initial_state(key_init)
         chunks = []
@@ -92,8 +93,8 @@ def extrude_time_sharded(process, key, chunk_rows: int, mesh, axis_name: str = "
     `StreamingExtrusion` stream with the same keys.
 
     Returns an array of shape (n_shards * chunk_rows, n_cross), sharded
-    along the first axis, newest rows first within each chunk and chunks
-    ordered by shard index.
+    along the first axis, in stream order (the concatenation of the
+    sequential chunks).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -107,16 +107,18 @@ class BinMapper(BaseMapper):
                         self.n_y, self.n_x,
                     )
                     if plan is not None:
+                        # one channel-stacked call: [w_s*W*D per Stokes,
+                        # |w_s|*W per Stokes] share the one-hot hats
                         d_block = data[band_idx, sl]
                         w_block_in = weight[band_idx, sl]
-                        for s in range(len(stokes_idx)):
-                            w_s = sw[:, s][:, None]
-                            sums = sums.at[s, i_nu, i_t].add(
-                                bin_windowed(d_block, plan, weights=w_block_in * w_s)
-                            )
-                            wgts = wgts.at[s, i_nu, i_t].add(
-                                bin_windowed(w_block_in * jnp.abs(w_s), plan)
-                            )
+                        channels = jnp.stack(
+                            [w_block_in * sw[:, s][:, None] * d_block for s in range(len(stokes_idx))]
+                            + [w_block_in * jnp.abs(sw[:, s])[:, None] for s in range(len(stokes_idx))]
+                        )
+                        binned = bin_windowed(channels, plan)
+                        n_sk = len(stokes_idx)
+                        sums = sums.at[:, i_nu, i_t].add(binned[:n_sk])
+                        wgts = wgts.at[:, i_nu, i_t].add(binned[n_sk:])
                         continue
 
                     s_block, w_block = _bin_tod_block_jit(

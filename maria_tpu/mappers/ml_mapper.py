@@ -70,6 +70,12 @@ class MaximumLikelihoodMapper(BaseMapper):
         self.n_nu = len(self.nu)
         self.n_m = self.n_s * self.n_nu * self.n_pix1
 
+        # built EAGERLY: creating it lazily inside a traced caller (cg's
+        # custom_linear_solve) would cache an escaping tracer
+        mask = np.ones(self.n_m, dtype=np.float32)
+        mask.reshape(self.n_s, self.n_nu, self.n_pix1)[..., -1] = 0.0
+        self._overflow_mask_cached = jnp.asarray(mask)
+
         stokes_cols = ["IQUV".index(s) for s in self.stokes]
         band_channel = {b.name: i for i, b in enumerate(self.bands)}
 
@@ -189,9 +195,7 @@ class MaximumLikelihoodMapper(BaseMapper):
         return rhs
 
     def _overflow_mask(self):
-        mask = np.ones(self.n_m, dtype=np.float32)
-        mask.reshape(self.n_s, self.n_nu, self.n_pix1)[..., -1] = 0.0
-        return jnp.asarray(mask)
+        return self._overflow_mask_cached
 
     def _apply_PNP(self, m_flat):
         out = jnp.zeros(self.n_m, dtype=jnp.float32)
@@ -248,7 +252,10 @@ class MaximumLikelihoodMapper(BaseMapper):
         ivar = jnp.zeros(self.n_m, dtype=jnp.float32)
         for block in self.blocks:
             white_ivar = block["A_inv"].mean(axis=-1, keepdims=True) * jnp.ones_like(block["data"])
-            ivar = ivar + self._project_T(white_ivar, block)
+            # squared Stokes weights: the diagonal of P^T N^-1 P — signed
+            # w_Q/w_U from mixed detector angles would cancel per pixel
+            sq_block = {**block, "sw": block["sw"] ** 2}
+            ivar = ivar + self._project_T(white_ivar, sq_block)
         self.m = m
 
         m_grid = np.asarray(m).reshape(self.n_s, self.n_nu, self.n_pix1)[..., :-1]

@@ -86,46 +86,59 @@ def make_windowed_bin_plan(iy, ix, n_y: int, n_x: int, chunk: int = 64) -> Windo
     )
 
 
-def bin_windowed(data, plan: WindowedBinPlan, weights=None):
-    """Bin (n_det, n_t) data into an (n_y, n_x) map with the MXU.
+def bin_windowed(data, plan: WindowedBinPlan, weights=None, iy=None, ix=None):
+    """Bin data into (n_y, n_x) maps with the MXU.
 
-    `weights` optionally scales each sample. Pure jnp; call under jit.
+    `data` is (n_det, n_t) or channel-stacked (n_ch, n_det, n_t) — all
+    channels share ONE set of one-hot hat matrices (built once per
+    chunk), so multi-Stokes binning costs the matmuls, not the hats.
+    `weights` optionally scales each sample (same shape as data).
+    `iy`/`ix` optionally override the plan's index arrays with device
+    arrays — pass them as jit ARGUMENTS for large detector counts, since
+    closure constants of that size blow the remote-compile request.
+    Pure jnp; call under jit.
     """
-    n_det = data.shape[0]
-    n_t = data.shape[-1]
+    squeeze = data.ndim == 2
+    if squeeze:
+        data = data[None]
+        if weights is not None:
+            weights = weights[None]
+    n_ch, n_det, n_t = data.shape
     pad = plan.n_chunks * plan.chunk - n_t
     if weights is not None:
         data = data * weights
     if pad:
-        data = jnp.pad(data, ((0, 0), (0, pad)))
+        data = jnp.pad(data, ((0, 0), (0, 0), (0, pad)))
 
-    data_c = data.reshape(n_det, plan.n_chunks, plan.chunk)
-    iy_c = jnp.asarray(plan.iy.reshape(n_det, plan.n_chunks, plan.chunk))
-    ix_c = jnp.asarray(plan.ix.reshape(n_det, plan.n_chunks, plan.chunk))
+    iy = jnp.asarray(plan.iy) if iy is None else iy
+    ix = jnp.asarray(plan.ix) if ix is None else ix
+    data_c = data.reshape(n_ch, n_det, plan.n_chunks, plan.chunk)
+    iy_c = iy.reshape(n_det, plan.n_chunks, plan.chunk)
+    ix_c = ix.reshape(n_det, plan.n_chunks, plan.chunk)
     origins = jnp.asarray(plan.origins)
 
     ky = jnp.arange(plan.wy, dtype=jnp.int32)
     kx = jnp.arange(plan.wx, dtype=jnp.int32)
 
     def body(m, args):
-        d, ly, lx, origin = args
+        d, ly, lx, origin = args  # d: (n_ch, n_det, chunk)
         # one-hot hats; out-of-window (incl. padded/off-map) rows vanish
         wY = (ly[..., None] == ky).astype(d.dtype)  # (n_det, chunk, wy)
         wX = (lx[..., None] == kx).astype(d.dtype)  # (n_det, chunk, wx)
         # full f32: the default TPU matmul precision truncates the data
         # to bf16, which is visible in binned sums
         window = jnp.einsum(
-            "dcy,dcx->yx", wY * d[..., None], wX, precision=jax.lax.Precision.HIGHEST
+            "dcy,dcx,mdc->myx", wY, wX, d, precision=jax.lax.Precision.HIGHEST
         )
-        block = jax.lax.dynamic_slice(m, (origin[0], origin[1]), (plan.wy, plan.wx))
-        m = jax.lax.dynamic_update_slice(m, block + window, (origin[0], origin[1]))
+        block = jax.lax.dynamic_slice(m, (0, origin[0], origin[1]), (n_ch, plan.wy, plan.wx))
+        m = jax.lax.dynamic_update_slice(m, block + window, (0, origin[0], origin[1]))
         return m, ()
 
-    m0 = jnp.zeros((plan.n_y, plan.n_x), dtype=data.dtype)
+    m0 = jnp.zeros((n_ch, plan.n_y, plan.n_x), dtype=data.dtype)
     ly = jnp.moveaxis(iy_c, 1, 0) - origins[:, 0][:, None, None]
     lx = jnp.moveaxis(ix_c, 1, 0) - origins[:, 1][:, None, None]
-    m, _ = jax.lax.scan(body, m0, (jnp.moveaxis(data_c, 1, 0), ly, lx, origins))
-    return m
+    m, _ = jax.lax.scan(body, m0, (jnp.moveaxis(data_c, 2, 0), ly, lx, origins))
+    return m[0] if squeeze else m
 
 
 def bin_scatter(data, pix, n_pix: int, weights=None):

@@ -239,9 +239,13 @@ class TODProgram:
                     )((pwv_f[idx], el_f[idx]))
                     piece = piece + cal.astype(jnp.float32) * jnp.asarray(samples)
                 map_pieces[i] = piece
-            fields["map"] = self._per_band_assemble(
+            map_field = self._per_band_assemble(
                 map_pieces, (len(self.offsets), len(self.t_fine))
             )
+            # triangular continuous-integration kernel AFTER calibration
+            # (mixin order, reference sim/map.py:167)
+            padded = jnp.pad(map_field, ((0, 0), (1, 1)), mode="edge")
+            fields["map"] = 0.25 * padded[:, :-2] + 0.5 * padded[:, 1:-1] + 0.25 * padded[:, 2:]
 
         if self.with_noise:
             n_det, n_t = len(self.offsets), len(self.t_fine)

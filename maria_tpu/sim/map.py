@@ -40,11 +40,13 @@ def map_offsets(input_map, pointing):
 def static_map_samples(input_map, band, band_idx, obs, bilinear: bool = True):
     """Host/build-time static sky timelines for the fused program's map
     stage: per overlapping frequency channel, the Stokes-weighted,
-    beam-smoothed, time-blended K_RJ samples along the (static) pointing,
-    with the [1/4, 1/2, 1/4] continuous-integration kernel applied.
+    beam-smoothed, time-blended K_RJ samples along the (static) pointing.
     Returns a list of (channel_index, samples (n_band_det, n_t) float32).
-    The pwv-dependent K_RJ -> pW calibration is NOT applied here — it
-    rides the program's in-jit (pwv, el) tables."""
+    Neither the pwv-dependent K_RJ -> pW calibration nor the
+    [1/4, 1/2, 1/4] continuous-integration kernel is applied here: both
+    happen in-program, calibration FIRST (matching the mixin's operation
+    order — the kernel does not commute with a time-varying
+    calibration)."""
     from ..tod.tod import Pointing
 
     stokes_weight = np.asarray(obs.instrument.dets.stokes_weight(), dtype=np.float32)
@@ -57,10 +59,10 @@ def static_map_samples(input_map, band, band_idx, obs, bilinear: bool = True):
 
     out = []
     n_frames = len(input_map.t)
+    channel_map = smoothed.to("K_RJ", band=band)
     for channel, (nu_min, nu_max) in enumerate(input_map.nu_bin_bounds):
         if (band.nu.max() < float(nu_min.Hz)) or (float(nu_max.Hz) < band.nu.min()):
             continue
-        channel_map = smoothed.to("K_RJ", band=band)
         if n_frames == 1:
             samples = channel_map.sample(
                 offsets[..., 0], offsets[..., 1],
@@ -83,10 +85,7 @@ def static_map_samples(input_map, band, band_idx, obs, bilinear: bool = True):
                     stokes_weight=stokes_weight[band_idx],
                     nu_index=channel, t_index=f, bilinear=bilinear,
                 )
-        samples = np.asarray(samples, dtype=np.float32)
-        padded = np.pad(samples, ((0, 0), (1, 1)), mode="edge")
-        samples = 0.25 * padded[:, :-2] + 0.5 * padded[:, 1:-1] + 0.25 * padded[:, 2:]
-        out.append((channel, samples))
+        out.append((channel, np.asarray(samples, dtype=np.float32)))
     return out
 
 
@@ -137,10 +136,10 @@ class MapMixin:
             offsets = self._map_offsets(obs, band_idx)
 
             band_loading = jnp.zeros((len(band_idx), obs.shape[-1]), dtype=jnp.float32)
+            channel_map = smoothed.to("K_RJ", band=band)
             for channel, (nu_min, nu_max) in enumerate(self.map.nu_bin_bounds):
                 if (band.nu.max() < float(nu_min.Hz)) or (float(nu_max.Hz) < band.nu.min()):
                     continue
-                channel_map = smoothed.to("K_RJ", band=band)
 
                 spectrum_kwargs = {}
                 if getattr(obs, "atmosphere", None) is not None and hasattr(obs, "zenith_scaled_pwv"):

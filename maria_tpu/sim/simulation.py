@@ -49,6 +49,7 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
         map_kwargs: dict = {},
         noise: bool = True,
         noise_kwargs: dict = {},
+        fused: bool = True,
         progress_bars: bool = False,
         keep_mean_signal: bool = False,
         seed: int = None,
@@ -69,6 +70,7 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
         noise_kwargs = {**loose["noise"], **noise_kwargs}
 
         self.dtype = dtype
+        self.fused = fused
         self.progress_bars = progress_bars
         self.seed = seed
         self._key = jax.random.key(seed if seed is not None else np.random.randint(2**31))
@@ -136,8 +138,9 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
 
         # fast path: atmosphere + noise (+ gains) as ONE fused jitted
         # program (fourier screens, 3-D layer groups, and AR extrusions
-        # all run inside the program)
-        fused = hasattr(obs, "atmosphere")
+        # all run inside the program); Simulation(fused=False) selects
+        # the per-stage mixin path instead
+        fused = hasattr(obs, "atmosphere") and self.fused
 
         if fused:
             from ..ops.program import build_tod_program

@@ -85,3 +85,30 @@ def test_noise_sees_cmb_and_map_loading(full_scene):
         b.NEP_per_loading = 10.0
     loaded = np.asarray(jax.jit(program.fields_fn())(key, *args)[0]["noise"])
     assert loaded.std() > 2 * base.std()
+
+
+def test_unfused_mixin_path(full_scene):
+    """Simulation(fused=False) runs the per-stage mixin path; its fields
+    must statistically match the fused program's."""
+    import maria_tpu
+    from maria_tpu.plan import Planner
+
+    input_map = maria_tpu.map.get("big_cluster", center=(150.0, 10.0))
+    plan = Planner(target=(150.0, 10.0), site="GBT").generate_plans(
+        start_time=1.75e9, horizon_days=2, total_duration=20, chunk_duration=20,
+        scan_pattern="daisy", scan_options={"radius": 0.083, "speed": 0.017}, sample_rate=20,
+    )[0]
+    sim = maria_tpu.Simulation(
+        instrument="MUSTANG-2", plans=plan, site="GBT",
+        atmosphere="2d", cmb="generate", map=input_map, noise=True, seed=4, fused=False,
+    )
+    obs = sim.obs_list[0]
+    tod = sim.run()[0]
+    assert sorted(obs.loading) == ["atmosphere", "cmb", "map", "noise"]
+    assert np.isfinite(np.asarray(tod.signal)).all()
+
+    fused_obs = full_scene.obs_list[0]
+    for name in ("atmosphere", "cmb", "map"):
+        a = np.asarray(obs.loading[name])
+        b = np.asarray(fused_obs.loading[name])
+        assert 0.5 < (a.std() + 1e-30) / (b.std() + 1e-30) < 2.0, name
