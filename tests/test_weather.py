@@ -50,3 +50,30 @@ def test_layers_pwv_consistent():
     layers = w.layers()
     assert np.isclose(layers.total_water.sum(), w.pwv, rtol=1e-6)
     assert (layers.altitude > w.base_altitude).all()
+
+
+import pytest
+
+from maria_tpu.site import all_regions
+
+
+@pytest.mark.parametrize("region", all_regions)
+def test_every_region_weather_and_spectrum(region):
+    """Reference-style all-region sweep
+    (maria/tests/atmosphere/test_atmosphere.py:10-14): every region must
+    produce physical weather and spectrum grids."""
+    import numpy as np
+
+    from maria_tpu.spectrum import AtmosphericSpectrum
+    from maria_tpu.weather import Weather
+
+    w = Weather(time=1.75e9, region=region, source="synthetic")
+    assert 0.0 < float(w.pwv) < 100.0
+    assert 150.0 < float(w.temperature[0]) < 330.0
+    assert np.isfinite(w.wind_speed).all()
+
+    spec = AtmosphericSpectrum(region=region, source="synthetic/v1")
+    t = np.asarray(spec.transmission(nu=np.array([90e9, 225e9]), pwv=1.0,
+                                     base_temperature=float(w.temperature[0]),
+                                     elevation=np.radians(60.0)))
+    assert np.isfinite(t).all() and (t > 0).all() and (t <= 1.0 + 1e-6).all()
