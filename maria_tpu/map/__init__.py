@@ -39,6 +39,45 @@ EXAMPLE_MAPS = {
         "units": "K_RJ",
         "nu": 150e9,
     },
+    "galaxy": {
+        "description": "An inclined exponential-disk galaxy with spiral arms",
+        "aliases": ["circinus_galaxy", "radio_galaxy"],
+        "width": 0.2,
+        "n": 256,
+        "units": "K_RJ",
+        "nu": 150e9,
+    },
+    "dust": {
+        "description": "Filamentary galactic dust (power-law random field)",
+        "aliases": ["30dor", "monoceros_R2", "orion_A"],
+        "width": 1.0,
+        "n": 512,
+        "units": "K_RJ",
+        "nu": 353e9,
+    },
+    "quasar": {
+        "description": "A bright unresolved quasar",
+        "aliases": ["quasar_3C_286"],
+        "width": 0.1,
+        "n": 128,
+        "units": "K_RJ",
+        "nu": 90e9,
+    },
+    "protoplanetary_disk": {
+        "description": "An inclined ring system around a point source",
+        "width": 0.02,
+        "n": 256,
+        "units": "K_RJ",
+        "nu": 230e9,
+    },
+    "time_evolving_source": {
+        "description": "A flaring point source (3 time frames)",
+        "aliases": ["time_evolving_sun"],
+        "width": 0.2,
+        "n": 128,
+        "units": "K_RJ",
+        "nu": 100e9,
+    },
 }
 
 all_maps = sorted(EXAMPLE_MAPS)
@@ -69,8 +108,55 @@ def _synthesize_example(name: str, center=(150.0, 10.0), **overrides) -> Project
             s = width_rad / n  # ~1 pixel
             amp = 10 ** rng.uniform(-5, -3.3)
             data += amp * np.exp(-((X - cx) ** 2 + (Y - cy) ** 2) / (2 * s**2))
+    elif name == "galaxy":
+        # inclined exponential disk + two-arm logarithmic spiral
+        inc, pa = 0.9, 0.6
+        Xr = np.cos(pa) * X + np.sin(pa) * Y
+        Yr = (-np.sin(pa) * X + np.cos(pa) * Y) / np.cos(inc)
+        r = np.sqrt(Xr**2 + Yr**2)
+        phi = np.arctan2(Yr, Xr)
+        scale = width_rad / 8
+        disk = np.exp(-r / scale)
+        arms = 1 + 0.6 * np.cos(2 * (phi - 4.0 * np.log(r / scale + 1e-3)))
+        data = 2e-4 * disk * arms
+    elif name == "dust":
+        # power-law (k^-2.7) Gaussian random field, exponentiated for
+        # filamentary positive emission
+        k = np.sqrt(
+            np.fft.fftfreq(n)[:, None] ** 2 + np.fft.rfftfreq(n)[None, :] ** 2
+        )
+        with np.errstate(divide="ignore"):
+            amp_k = np.where(k > 0, k**-1.35, 0.0)
+        white = rng.standard_normal((n, n))
+        g = np.fft.irfft2(np.fft.rfft2(white) * amp_k, s=(n, n))
+        g = (g - g.mean()) / (g.std() + 1e-30)
+        data = 5e-5 * np.exp(0.8 * g)
+    elif name == "quasar":
+        s = width_rad / n
+        data = 3e-3 * np.exp(-(X**2 + Y**2) / (2 * s**2))
+    elif name == "protoplanetary_disk":
+        inc, pa = 0.7, 1.1
+        Xr = np.cos(pa) * X + np.sin(pa) * Y
+        Yr = (-np.sin(pa) * X + np.cos(pa) * Y) / np.cos(inc)
+        r = np.sqrt(Xr**2 + Yr**2)
+        data = 1e-3 * np.exp(-((r - width_rad / 6) ** 2) / (2 * (width_rad / 40) ** 2))
+        data += 5e-4 * np.exp(-((r - width_rad / 3) ** 2) / (2 * (width_rad / 30) ** 2))
+        data += 2e-3 * np.exp(-(X**2 + Y**2) / (2 * (width_rad / n) ** 2))
+    elif name == "time_evolving_source":
+        s = width_rad / 30
+        frames = []
+        for amp in (1e-4, 8e-4, 2e-4):  # quiescent -> flare -> decay
+            frames.append(amp * np.exp(-(X**2 + Y**2) / (2 * s**2)))
+        data = np.stack(frames)  # (t, y, x)
     else:
         raise KeyError(name)
+
+    if data.ndim == 3:  # time-evolving
+        return ProjectionMap(
+            data=data[None, None].astype(np.float32),
+            center=center, width=cfg["width"], frame="ra/dec",
+            nu=[cfg["nu"]], t=[0.0, 300.0, 600.0], units=cfg["units"], degrees=True,
+        )
 
     return ProjectionMap(
         data=data[None, None, None].astype(np.float32),
@@ -83,8 +169,14 @@ def _synthesize_example(name: str, center=(150.0, 10.0), **overrides) -> Project
     )
 
 
+MAP_ALIASES = {
+    alias: key for key, cfg in EXAMPLE_MAPS.items() for alias in cfg.get("aliases", [])
+}
+
+
 def get(name: str, **kwargs) -> ProjectionMap:
     """Load a named input map (reference: maria/map/__init__.py:58)."""
+    name = MAP_ALIASES.get(name, name)
     if name in EXAMPLE_MAPS:
         return _synthesize_example(name, **kwargs)
     if os.path.exists(name):

@@ -116,3 +116,16 @@ def test_site():
     assert abs(site.earth_location.lat_deg - 38.433) < 0.01
     gbt = get_site("GBT")
     assert gbt.region == "green_bank"
+
+
+def test_all_example_maps_synthesize():
+    """Every registered example map (and its reference-name aliases)
+    loads finite with positive structure."""
+    import numpy as np
+
+    import maria_tpu
+
+    for name in list(maria_tpu.all_maps) + ["time_evolving_sun", "circinus_galaxy", "orion_A"]:
+        m = maria_tpu.map.get(name)
+        d = np.asarray(m.data)
+        assert np.isfinite(d).all() and d.std() > 0, name
