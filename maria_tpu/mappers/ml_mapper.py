@@ -239,8 +239,17 @@ class MaximumLikelihoodMapper(BaseMapper):
             self._update_noise_model(m)
             rhs = self._rhs()
             if method == "conjugate_gradient":
+                # Jacobi preconditioner: 1 / diag(P^T N^-1 P), estimated
+                # with the white (frequency-mean) noise level and squared
+                # Stokes weights; pixels without coverage get 1
+                diag = jnp.zeros(self.n_m, dtype=jnp.float32)
+                for block in self.blocks:
+                    white = block["A_inv"].mean(axis=-1, keepdims=True) * jnp.ones_like(block["data"])
+                    diag = diag + self._project_T(white, {**block, "sw": block["sw"] ** 2})
+                inv_diag = jnp.where(diag > 0, 1.0 / jnp.clip(diag, 1e-30, None), 1.0)
                 m, _ = jax.scipy.sparse.linalg.cg(
-                    self._apply_PNP, rhs, x0=m, maxiter=self.n_cg_iters, tol=1e-8
+                    self._apply_PNP, rhs, x0=m, maxiter=self.n_cg_iters, tol=1e-8,
+                    M=lambda x: x * inv_diag,
                 )
             elif method == "gradient_descent":
                 m = self._solve_gd(rhs, m, self.n_cg_iters)
