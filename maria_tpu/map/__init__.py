@@ -83,7 +83,7 @@ EXAMPLE_MAPS = {
 all_maps = sorted(EXAMPLE_MAPS)
 
 
-def _synthesize_example(name: str, center=(150.0, 10.0), **overrides) -> ProjectionMap:
+def _synthesize_example(name: str, center=(150.0, 10.0), t=None, **overrides) -> ProjectionMap:
     cfg = {**EXAMPLE_MAPS[name], **overrides}
     n = cfg["n"]
     width_rad = np.radians(cfg["width"])
@@ -152,10 +152,14 @@ def _synthesize_example(name: str, center=(150.0, 10.0), **overrides) -> Project
         raise KeyError(name)
 
     if data.ndim == 3:  # time-evolving
+        # frame times are ABSOLUTE unix stamps (the samplers blend by
+        # map.t - obs.t[0]); pass t=(t0, t0+dt, ...) to align with a plan
+        if t is None:
+            t = 1.75e9 + np.array([0.0, 300.0, 600.0])
         return ProjectionMap(
             data=data[None, None].astype(np.float32),
             center=center, width=cfg["width"], frame="ra/dec",
-            nu=[cfg["nu"]], t=[0.0, 300.0, 600.0], units=cfg["units"], degrees=True,
+            nu=[cfg["nu"]], t=np.asarray(t, dtype=np.float64), units=cfg["units"], degrees=True,
         )
 
     return ProjectionMap(

@@ -183,17 +183,22 @@ class ProjectionMap(Map):
         X, Y = np.meshgrid(self.x_side, self.y_side)
         pt = offsets_to_phi_theta(np.stack([X, Y], axis=-1), new_center[0], new_center[1])
         old = np.asarray(phi_theta_to_offsets(pt, self.center[0], self.center[1]))
-        flat = self.data.reshape(-1, self.n_y, self.n_x)
-        out = jnp.stack(
-            [
-                interp_bilinear_grid(f, old[..., 0], old[..., 1], self.x_side, self.y_side)
-                for f in flat
-            ]
-        )
+
+        def resample(cube):
+            flat = cube.reshape(-1, self.n_y, self.n_x)
+            out = jnp.stack(
+                [
+                    interp_bilinear_grid(f, old[..., 0], old[..., 1], self.x_side, self.y_side)
+                    for f in flat
+                ]
+            )
+            return out.reshape(cube.shape)
+
         return ProjectionMap(
-            data=out.reshape(self.data.shape), center=np.degrees(new_center),
+            data=resample(self.data), center=np.degrees(new_center),
             resolution=np.degrees(self.resolution), frame=self.frame,
             stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+            weight=resample(self.weight) if self.weight is not None else None,
         )
 
     def trim(self) -> "ProjectionMap":

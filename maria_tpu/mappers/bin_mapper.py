@@ -89,6 +89,17 @@ class BinMapper(BaseMapper):
                 sw = jnp.asarray(
                     tod.dets.stokes_weight()[band_idx][:, stokes_idx], dtype=jnp.float32
                 )
+                # pixel indices once per band (ONE host readback; they
+                # are static pointing, not data)
+                bx = np.asarray(dx[band_idx])
+                by = np.asarray(dy[band_idx])
+                ix_all = np.round((bx - x0) / self.res).astype(np.int32)
+                iy_all = np.round((by - y0) / self.res).astype(np.int32)
+                inside = (ix_all >= 0) & (ix_all < self.n_x) & (iy_all >= 0) & (iy_all < self.n_y)
+                ix_all = np.where(inside, ix_all, -1)
+                iy_all = np.where(inside, iy_all, -1)
+                try_windowed = True
+
                 for i_t in range(n_t):
                     cols = np.where(t_index == i_t)[0]
                     if len(cols) == 0:
@@ -97,15 +108,13 @@ class BinMapper(BaseMapper):
 
                     # hot path: windowed MXU binning on the static pointing
                     # (ops/binning.py); scatter fallback for wide fields
-                    bx = np.asarray(dx[band_idx, sl])
-                    by = np.asarray(dy[band_idx, sl])
-                    ix = np.round((bx - x0) / self.res).astype(np.int32)
-                    iy = np.round((by - y0) / self.res).astype(np.int32)
-                    inside = (ix >= 0) & (ix < self.n_x) & (iy >= 0) & (iy < self.n_y)
-                    plan = make_windowed_bin_plan(
-                        np.where(inside, iy, -1), np.where(inside, ix, -1),
-                        self.n_y, self.n_x,
+                    plan = (
+                        make_windowed_bin_plan(iy_all[:, sl], ix_all[:, sl], self.n_y, self.n_x)
+                        if try_windowed
+                        else None
                     )
+                    if plan is None:
+                        try_windowed = False  # wide field: stop re-trying per bin
                     if plan is not None:
                         # one channel-stacked call: [w_s*W*D per Stokes,
                         # |w_s|*W per Stokes] share the one-hot hats

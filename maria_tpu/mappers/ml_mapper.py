@@ -206,6 +206,16 @@ class MaximumLikelihoodMapper(BaseMapper):
         mask = self._overflow_mask()
         return out * mask + m_flat * (1 - mask)
 
+    def _white_diag(self):
+        """diag(P^T N^-1 P) with the white (frequency-mean) noise level
+        and SQUARED Stokes weights — signed w_Q/w_U from mixed detector
+        angles would cancel per pixel."""
+        diag = jnp.zeros(self.n_m, dtype=jnp.float32)
+        for block in self.blocks:
+            white = block["A_inv"].mean(axis=-1, keepdims=True) * jnp.ones_like(block["data"])
+            diag = diag + self._project_T(white, {**block, "sw": block["sw"] ** 2})
+        return diag
+
     # -- solvers ----------------------------------------------------------------
     def _solve_gd(self, rhs, m0, n_iters):
         """Steepest descent with exact line search on the quadratic
@@ -235,6 +245,7 @@ class MaximumLikelihoodMapper(BaseMapper):
         m = jnp.where(hits > 0, raw / jnp.clip(hits, 1e-8, None), 0.0)
         self.naive_map = m
 
+        diag = None
         for epoch in range(self.n_epochs):
             self._update_noise_model(m)
             rhs = self._rhs()
@@ -242,10 +253,7 @@ class MaximumLikelihoodMapper(BaseMapper):
                 # Jacobi preconditioner: 1 / diag(P^T N^-1 P), estimated
                 # with the white (frequency-mean) noise level and squared
                 # Stokes weights; pixels without coverage get 1
-                diag = jnp.zeros(self.n_m, dtype=jnp.float32)
-                for block in self.blocks:
-                    white = block["A_inv"].mean(axis=-1, keepdims=True) * jnp.ones_like(block["data"])
-                    diag = diag + self._project_T(white, {**block, "sw": block["sw"] ** 2})
+                diag = self._white_diag()
                 inv_diag = jnp.where(diag > 0, 1.0 / jnp.clip(diag, 1e-30, None), 1.0)
                 m, _ = jax.scipy.sparse.linalg.cg(
                     self._apply_PNP, rhs, x0=m, maxiter=self.n_cg_iters, tol=1e-8,
@@ -258,13 +266,8 @@ class MaximumLikelihoodMapper(BaseMapper):
             logger.info(f"ML mapper epoch {epoch + 1}/{self.n_epochs} done.")
 
         # inverse-variance pixel weights from the final noise model
-        ivar = jnp.zeros(self.n_m, dtype=jnp.float32)
-        for block in self.blocks:
-            white_ivar = block["A_inv"].mean(axis=-1, keepdims=True) * jnp.ones_like(block["data"])
-            # squared Stokes weights: the diagonal of P^T N^-1 P — signed
-            # w_Q/w_U from mixed detector angles would cancel per pixel
-            sq_block = {**block, "sw": block["sw"] ** 2}
-            ivar = ivar + self._project_T(white_ivar, sq_block)
+        # (reuse the last epoch's preconditioner diagonal — same quantity)
+        ivar = diag if diag is not None else self._white_diag()
         self.m = m
 
         m_grid = np.asarray(m).reshape(self.n_s, self.n_nu, self.n_pix1)[..., :-1]

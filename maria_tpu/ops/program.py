@@ -243,9 +243,10 @@ class TODProgram:
                 map_pieces, (len(self.offsets), len(self.t_fine))
             )
             # triangular continuous-integration kernel AFTER calibration
-            # (mixin order, reference sim/map.py:167)
-            padded = jnp.pad(map_field, ((0, 0), (1, 1)), mode="edge")
-            fields["map"] = 0.25 * padded[:, :-2] + 0.5 * padded[:, 1:-1] + 0.25 * padded[:, 2:]
+            # (mixin order; one shared implementation)
+            from ..sim.map import apply_integration_kernel
+
+            fields["map"] = apply_integration_kernel(map_field)
 
         if self.with_noise:
             n_det, n_t = len(self.offsets), len(self.t_fine)

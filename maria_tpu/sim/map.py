@@ -25,6 +25,14 @@ logger = logging.getLogger("maria_tpu")
 DEFAULT_MAP_SIM_KWARGS = {"bilinear_sampling": True}
 
 
+def apply_integration_kernel(x):
+    """[1/4, 1/2, 1/4] triangular kernel along the time axis, mimicking
+    continuous integration (reference sim/map.py:167). Shared by the
+    mixin and the fused program so the two paths stay provably equal."""
+    padded = jnp.pad(x, ((0, 0), (1, 1)), mode="edge")
+    return 0.25 * padded[:, :-2] + 0.5 * padded[:, 1:-1] + 0.25 * padded[:, 2:]
+
+
 def map_offsets(input_map, pointing):
     """Tangent-plane offsets of each detector sample from the map center,
     in the map's frame; pure jnp, shape (n_det, n_t, 2)."""
@@ -188,12 +196,4 @@ class MapMixin:
 
             map_loading = map_loading.at[band_idx].set(band_loading)
 
-        # triangular time kernel to mimic continuous sampling
-        # (reference sim/map.py:167)
-        kernel = jnp.array([0.25, 0.5, 0.25], dtype=jnp.float32)
-        padded = jnp.pad(map_loading, ((0, 0), (1, 1)), mode="edge")
-        map_loading = (
-            kernel[0] * padded[:, :-2] + kernel[1] * padded[:, 1:-1] + kernel[2] * padded[:, 2:]
-        )
-
-        obs.loading["map"] = map_loading
+        obs.loading["map"] = apply_integration_kernel(map_loading)

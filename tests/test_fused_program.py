@@ -108,6 +108,8 @@ def test_unfused_mixin_path(full_scene):
     assert np.isfinite(np.asarray(tod.signal)).all()
 
     fused_obs = full_scene.obs_list[0]
+    if not fused_obs.loading:  # independent of sibling-test ordering
+        full_scene.run()
     for name in ("atmosphere", "cmb", "map"):
         a = np.asarray(obs.loading[name])
         b = np.asarray(fused_obs.loading[name])
