@@ -53,6 +53,12 @@ class BandBlock:
     cmb_dPdT_table: np.ndarray = None  # (n_pwv, n_el) pW / K_CMB
     # fused input-map stage: [(table (n_pwv, n_el) pW/K_RJ, samples (n_band_det, n_t))]
     map_stages: list = None
+    # gather-free (pwv, el) -> value evaluators (ops/interp.make_table_eval),
+    # built at program assembly; fall back to gather bilinear when absent
+    power_eval: object = None
+    cmb_P0_eval: object = None
+    cmb_dPdT_eval: object = None
+    map_evals: list = None
 
 
 @dataclass
@@ -185,8 +191,11 @@ class TODProgram:
         mueller_I = jnp.asarray(self.mueller_I, dtype=jnp.float32)
         loading_pieces = {}
         for i, band in enumerate(self.bands):
-            interp = RegularGridInterpolator((band.pwv_side, band.el_side), band.power_table)
-            p = interp((pwv[band.det_index], el_clip[band.det_index]))
+            if band.power_eval is not None:
+                p = band.power_eval(pwv[band.det_index], el_clip[band.det_index])
+            else:
+                interp = RegularGridInterpolator((band.pwv_side, band.el_side), band.power_table)
+                p = interp((pwv[band.det_index], el_clip[band.det_index]))
             loading_pieces[i] = mueller_I[band.det_index, None] * p.astype(jnp.float32)
         loading_c = self._per_band_assemble(loading_pieces, pwv.shape)
 
@@ -214,12 +223,16 @@ class TODProgram:
             for i, band in enumerate(self.bands):
                 idx = band.det_index
                 xi = (pwv_f[idx], el_f[idx])
-                P0 = RegularGridInterpolator(
-                    (band.pwv_side, band.el_side), jnp.asarray(band.cmb_P0_table)
-                )(xi)
-                dPdT = RegularGridInterpolator(
-                    (band.pwv_side, band.el_side), jnp.asarray(band.cmb_dPdT_table)
-                )(xi)
+                if band.cmb_P0_eval is not None:
+                    P0 = band.cmb_P0_eval(*xi)
+                    dPdT = band.cmb_dPdT_eval(*xi)
+                else:
+                    P0 = RegularGridInterpolator(
+                        (band.pwv_side, band.el_side), jnp.asarray(band.cmb_P0_table)
+                    )(xi)
+                    dPdT = RegularGridInterpolator(
+                        (band.pwv_side, band.el_side), jnp.asarray(band.cmb_dPdT_table)
+                    )(xi)
                 cmb_pieces[i] = (
                     P0.astype(jnp.float32) * mueller_I[idx, None]
                     + dPdT.astype(jnp.float32) * jnp.asarray(band.cmb_samples)
@@ -233,10 +246,13 @@ class TODProgram:
             for i, band in enumerate(self.bands):
                 idx = band.det_index
                 piece = jnp.zeros((len(idx), len(self.t_fine)), dtype=jnp.float32)
-                for table, samples in band.map_stages or []:
-                    cal = RegularGridInterpolator(
-                        (band.pwv_side, band.el_side), jnp.asarray(table)
-                    )((pwv_f[idx], el_f[idx]))
+                for stage_i, (table, samples) in enumerate(band.map_stages or []):
+                    if band.map_evals is not None:
+                        cal = band.map_evals[stage_i](pwv_f[idx], el_f[idx])
+                    else:
+                        cal = RegularGridInterpolator(
+                            (band.pwv_side, band.el_side), jnp.asarray(table)
+                        )((pwv_f[idx], el_f[idx]))
                     piece = piece + cal.astype(jnp.float32) * jnp.asarray(samples)
                 map_pieces[i] = piece
             map_field = self._per_band_assemble(
@@ -341,6 +357,7 @@ def build_tod_program(
     from ..sim.map import map_transmission_table, static_map_samples
     from ..tod.tod import Pointing
     from ..utils import compute_diameter, generate_spatial_basis
+    from .interp import make_table_eval
 
     atm = obs.atmosphere
     T_base = float(atm.weather.temperature[0])
@@ -351,8 +368,10 @@ def build_tod_program(
     for band in obs.instrument.dets.bands:
         det_index = np.where(obs.instrument.dets.band_name == band.name)[0]
         pwv_side, el_side, table = band.atmosphere_power_table(atm.spectrum, T_base)
+        power_eval = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), np.asarray(table))
 
         cmb_samples = cmb_P0 = cmb_dPdT = None
+        cmb_P0_eval = cmb_dPdT_eval = None
         if cmb is not None:
             pointing = Pointing(obs.boresight, obs.offsets[det_index], obs.q)
             cmb_samples = np.asarray(
@@ -360,8 +379,10 @@ def build_tod_program(
                 dtype=np.float32,
             )
             _, _, cmb_P0, cmb_dPdT = cmb_power_tables(band, atm.spectrum, T_base)
+            cmb_P0_eval = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), cmb_P0)
+            cmb_dPdT_eval = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), cmb_dPdT)
 
-        map_stages = None
+        map_stages = map_evals = None
         if input_map is not None:
             bilinear = map_kwargs.get("bilinear_sampling", True)
             map_stages = [
@@ -369,6 +390,10 @@ def build_tod_program(
                 for channel, samples in static_map_samples(
                     input_map, band, det_index, obs, bilinear=bilinear
                 )
+            ]
+            map_evals = [
+                make_table_eval(np.asarray(pwv_side), np.asarray(el_side), tab)
+                for tab, _ in map_stages
             ]
         basis, corr_prop = None, 0.0
         cp = noise_kwargs.get("correlated_noise_proportion", 0.0)
@@ -388,6 +413,8 @@ def build_tod_program(
                 NEP_per_loading=band.NEP_per_loading,
                 cmb_samples=cmb_samples, cmb_P0_table=cmb_P0, cmb_dPdT_table=cmb_dPdT,
                 map_stages=map_stages,
+                power_eval=power_eval, cmb_P0_eval=cmb_P0_eval,
+                cmb_dPdT_eval=cmb_dPdT_eval, map_evals=map_evals,
             )
         )
 
