@@ -13,7 +13,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["interp_1d", "RegularGridInterpolator", "interp_bilinear_grid"]
+__all__ = [
+    "interp_1d",
+    "RegularGridInterpolator",
+    "interp_bilinear_grid",
+    "make_table_eval",
+    "fit_chebyshev_2d",
+    "eval_chebyshev_2d",
+]
 
 
 def _axis_transform(side):
@@ -319,8 +326,10 @@ def interp_bilinear_grid(values, x, y, x_side, y_side, fill_value=0.0):
 #
 # TPU gathers cost ~1 ns/element, so bilinear lookups of tiny smooth
 # (pwv, el) tables at 10^7-10^8 sample points are gather-bound (~1 s at
-# AtLAST scale). A Chebyshev surface fit of the table evaluates with
-# pure VPU flops instead — no gathers anywhere.
+# AtLAST scale). The hot path is `make_table_eval` below — an EXACT
+# clamped-ramp reformulation of bilinear interpolation with zero
+# gathers. The Chebyshev pair is a general-purpose smooth-surface
+# alternative for non-tabular use.
 
 
 def fit_chebyshev_2d(x_side, y_side, table, deg_x: int = 12, deg_y: int = 8, log_x: bool = None):
@@ -412,14 +421,15 @@ def make_table_eval(x_side, y_side, table):
     def fn(x, y):
         u = jnp.clip(_fractional_index_transformed(tx, x), 0.0, nx - 1.0)
         v = jnp.clip(_fractional_index_transformed(ty, y), 0.0, ny - 1.0)
+        rv = [jnp.clip(v - j, 0.0, 1.0) for j in range(ny - 1)]  # hoisted
         out = c00
         for j in range(ny - 1):
-            out = out + np.float32(b[j]) * jnp.clip(v - j, 0.0, 1.0)
+            out = out + np.float32(b[j]) * rv[j]
         for i in range(nx - 1):
             ru = jnp.clip(u - i, 0.0, 1.0)
             g = np.float32(a[i])
             for j in range(ny - 1):
-                g = g + np.float32(m[i, j]) * jnp.clip(v - j, 0.0, 1.0)
+                g = g + np.float32(m[i, j]) * rv[j]
             out = out + ru * g
         return out
 

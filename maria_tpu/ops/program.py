@@ -51,14 +51,14 @@ class BandBlock:
     cmb_samples: np.ndarray = None  # (n_band_det, n_t) Stokes-weighted K_CMB
     cmb_P0_table: np.ndarray = None  # (n_pwv, n_el) pW at T_CMB
     cmb_dPdT_table: np.ndarray = None  # (n_pwv, n_el) pW / K_CMB
-    # fused input-map stage: [(table (n_pwv, n_el) pW/K_RJ, samples (n_band_det, n_t))]
+    # fused input-map stage:
+    # [(table (n_pwv, n_el) pW/K_RJ, samples (n_band_det, n_t), eval|None)]
     map_stages: list = None
     # gather-free (pwv, el) -> value evaluators (ops/interp.make_table_eval),
     # built at program assembly; fall back to gather bilinear when absent
     power_eval: object = None
     cmb_P0_eval: object = None
     cmb_dPdT_eval: object = None
-    map_evals: list = None
 
 
 @dataclass
@@ -246,9 +246,9 @@ class TODProgram:
             for i, band in enumerate(self.bands):
                 idx = band.det_index
                 piece = jnp.zeros((len(idx), len(self.t_fine)), dtype=jnp.float32)
-                for stage_i, (table, samples) in enumerate(band.map_stages or []):
-                    if band.map_evals is not None:
-                        cal = band.map_evals[stage_i](pwv_f[idx], el_f[idx])
+                for table, samples, cal_eval in band.map_stages or []:
+                    if cal_eval is not None:
+                        cal = cal_eval(pwv_f[idx], el_f[idx])
                     else:
                         cal = RegularGridInterpolator(
                             (band.pwv_side, band.el_side), jnp.asarray(table)
@@ -382,19 +382,16 @@ def build_tod_program(
             cmb_P0_eval = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), cmb_P0)
             cmb_dPdT_eval = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), cmb_dPdT)
 
-        map_stages = map_evals = None
+        map_stages = None
         if input_map is not None:
             bilinear = map_kwargs.get("bilinear_sampling", True)
-            map_stages = [
-                (map_transmission_table(band, input_map, channel, atm.spectrum, T_base), samples)
-                for channel, samples in static_map_samples(
-                    input_map, band, det_index, obs, bilinear=bilinear
-                )
-            ]
-            map_evals = [
-                make_table_eval(np.asarray(pwv_side), np.asarray(el_side), tab)
-                for tab, _ in map_stages
-            ]
+            map_stages = []
+            for channel, samples in static_map_samples(
+                input_map, band, det_index, obs, bilinear=bilinear
+            ):
+                tab = map_transmission_table(band, input_map, channel, atm.spectrum, T_base)
+                cal_eval = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), tab)
+                map_stages.append((tab, samples, cal_eval))
         basis, corr_prop = None, 0.0
         cp = noise_kwargs.get("correlated_noise_proportion", 0.0)
         band_offsets = obs.instrument.dets.offsets[det_index]
@@ -414,7 +411,7 @@ def build_tod_program(
                 cmb_samples=cmb_samples, cmb_P0_table=cmb_P0, cmb_dPdT_table=cmb_dPdT,
                 map_stages=map_stages,
                 power_eval=power_eval, cmb_P0_eval=cmb_P0_eval,
-                cmb_dPdT_eval=cmb_dPdT_eval, map_evals=map_evals,
+                cmb_dPdT_eval=cmb_dPdT_eval,
             )
         )
 
