@@ -19,6 +19,7 @@ from .errors import *  # noqa: F401,F403
 from .units import Angle, Quantity  # noqa: F401
 
 __version__ = "0.1.0"
+__version_tuple__ = (0, 1, 0)
 
 logger = logging.getLogger("maria_tpu")
 if not logger.handlers:
@@ -49,10 +50,14 @@ try:
     from .band import Band, all_bands, get_band  # noqa: E402,F401
     from .array import Array, all_arrays, get_array  # noqa: E402,F401
     from .instrument import Instrument, all_instruments, get_instrument  # noqa: E402,F401
-    from .site import Site, all_regions, all_sites, get_site  # noqa: E402,F401
+    from .site import Site, all_regions, all_sites, get_site, site_data  # noqa: E402,F401
     from .plan import Plan, Planner, all_plans, get_plan  # noqa: E402,F401
     from .map import all_maps  # noqa: E402,F401
-    from .map.transfer import TransferFunction, compute_transfer_function  # noqa: E402,F401
+    from .map.transfer import (  # noqa: E402,F401
+        TransferFunction,
+        compute_transfer_function,
+        plot_transfer_function,
+    )
     from .sim import Simulation  # noqa: E402,F401
     from .tod import TOD  # noqa: E402,F401
 except ImportError as _e:  # pragma: no cover
@@ -85,6 +90,8 @@ __all__ = [
     "get_instrument",
     "get_plan",
     "get_site",
+    "plot_transfer_function",
     "set_cache_dir",
+    "site_data",
     "undebug",
 ]

@@ -136,7 +136,7 @@ def extrude_time_sharded(process, key, chunk_rows: int, mesh, axis_name: str = "
         out0 = jnp.zeros((chunk_rows, process.n_cross_section), dtype=jnp.float32)
         # the out carry becomes device-varying inside the loop (it
         # depends on axis_index); mark the initial value accordingly
-        out0 = jax.lax.pvary(out0, (axis_name,))
+        out0 = jax.lax.pcast(out0, (axis_name,), to="varying")
         _, out = jax.lax.fori_loop(0, n_shards, body, (state, out0))
         return out[None]
 

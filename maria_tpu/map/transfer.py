@@ -100,3 +100,43 @@ def compute_transfer_function(
 
     good = np.isfinite(tf)
     return TransferFunction(k=kc[good], tf=tf[good], input_map=input_map, output_map=output_map)
+
+
+def plot_transfer_function(
+    u, T, nu=None, beam_fwhm=None, ax=None, x_unit: str = "arcmin", filename: str = None
+):
+    """Plot transfer-function curves against angular scale, with optional
+    per-channel Gaussian beam overlays (reference: maria/map/transfer.py:225).
+
+    u: spatial frequency bin centers [rad^-1]; T: (n_nu, n_bins) or (n_bins,).
+    """
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 4), constrained_layout=True)
+    per_rad = {"arcsec": 206264.8, "arcmin": 3437.75, "deg": 57.29578}[x_unit]
+    u = np.asarray(u)
+    T = np.atleast_2d(np.asarray(T))
+    labels = (
+        [f"{Quantity(v, 'Hz')}" for v in np.atleast_1d(np.asarray(nu, dtype=float))]
+        if nu is not None
+        else [None] * len(T)
+    )
+    for i, row in enumerate(T):
+        (line,) = ax.semilogx(per_rad / u, row, label=labels[i % len(labels)])
+        if beam_fwhm is not None:
+            fwhm = np.atleast_1d(beam_fwhm)[i % len(np.atleast_1d(beam_fwhm))]
+            sigma = fwhm / np.sqrt(8 * np.log(2))
+            ax.semilogx(
+                per_rad / u,
+                np.exp(-2 * (np.pi * sigma * u) ** 2),
+                ls="--", lw=1, color=line.get_color(), alpha=0.6,
+            )
+    ax.axhline(1.0, color="gray", ls=":")
+    ax.set_xlabel(f"angular scale [{x_unit}]")
+    ax.set_ylabel(r"$T$")
+    if nu is not None:
+        ax.legend()
+    if filename:
+        ax.figure.savefig(filename)
+    return ax

@@ -76,8 +76,13 @@ class BaseMapper:
             height_rad = (height if height is not None else width) * to_rad
 
         if resolution is None:
-            raise ValueError("Supply a map 'resolution'.")
-        res_rad = resolution * to_rad
+            # half the smallest detector beam FWHM (reference base.py:231-233)
+            res_rad = min(
+                float(np.nanmin(tod.dets.angular_fwhm(np.inf).rad)) for tod in self.tods
+            ) / 2
+            logger.info(f"Inferred map resolution {np.degrees(res_rad):.2e} deg from detector FWHM.")
+        else:
+            res_rad = resolution * to_rad
 
         self.center = center_rad
         self.n_x = max(int(np.ceil(width_rad / res_rad)), 1)

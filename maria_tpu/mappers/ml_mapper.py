@@ -60,6 +60,10 @@ class MaximumLikelihoodMapper(BaseMapper):
         self.n_cg_iters = n_cg_iters
         self.spectrum_smoothing = spectrum_smoothing
         self.k = k
+        # per-epoch noise-model diagnostics (reference ml_mapper.py keeps
+        # per-epoch noise-model plots); each entry is a list of per-TOD
+        # dicts {f, median_psd, mode_psd}
+        self.noise_model_history = []
         self._prepare()
 
     def _prepare(self):
@@ -141,6 +145,7 @@ class MaximumLikelihoodMapper(BaseMapper):
         from map-subtracted residuals (reference ml_mapper.py:192-299)."""
         from ..utils.signal import decompose
 
+        epoch_diag = []
         for block in self.blocks:
             d = block["data"]
             resid = d - self._project(m_flat, block)
@@ -173,6 +178,15 @@ class MaximumLikelihoodMapper(BaseMapper):
                 block["core"] = jnp.linalg.inv(D + G)  # (n_f, k, k)
             else:
                 block["U"] = None
+
+            epoch_diag.append(
+                {
+                    "f": np.fft.rfftfreq(n, d=1 / block["fs"]),
+                    "median_psd": np.median(np.asarray(spec), axis=0),
+                    "mode_psd": np.asarray(lam) if lam is not None else None,
+                }
+            )
+        self.noise_model_history.append(epoch_diag)
 
     def _apply_inverse_N(self, block, v):
         """N^-1 v with N_f = diag(A_f) + U diag(lam_f) U^T, exact per
@@ -230,6 +244,30 @@ class MaximumLikelihoodMapper(BaseMapper):
             alpha = jnp.where(denom > 0, jnp.vdot(r, r) / jnp.maximum(denom, 1e-30), 0.0)
             m = m + alpha * r
         return m
+
+    def plot_noise_model(self, epoch: int = -1, ax=None):
+        """Per-epoch noise-model diagnostic: median detector PSD (and the
+        low-rank mode spectra when k > 0) for each TOD (reference
+        ml_mapper.py's per-epoch noise-model plots)."""
+        import matplotlib.pyplot as plt
+
+        if not self.noise_model_history:
+            raise RuntimeError("No noise model yet — call fit() first.")
+        if ax is None:
+            _, ax = plt.subplots(figsize=(6, 4), constrained_layout=True)
+        for i, diag in enumerate(self.noise_model_history[epoch]):
+            f = diag["f"][1:]
+            ax.loglog(f, diag["median_psd"][1:], label=f"TOD {i} median PSD")
+            if diag["mode_psd"] is not None:
+                for j, mode in enumerate(diag["mode_psd"]):
+                    ax.loglog(f, mode[1:], ls="--", lw=0.8, alpha=0.6,
+                              label=f"TOD {i} mode {j}" if j < 3 else None)
+        n_epochs = len(self.noise_model_history)
+        ax.set_title(f"noise model, epoch {epoch % n_epochs + 1}/{n_epochs}")
+        ax.set_xlabel("frequency [Hz]")
+        ax.set_ylabel(f"PSD [{self.units}^2 / Hz]")
+        ax.legend(fontsize=7)
+        return ax
 
     def fit(self, method: str = "conjugate_gradient"):
         # naive (binned) starting map + hit/weight maps; hit counts use

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["generate_noise_with_knee"]
+__all__ = ["generate_noise_with_knee", "generate_2d_fourier_noise"]
 
 DEFAULT_NOISE_SIM_KWARGS = {
     "correlated_noise_proportion": 0.5,
@@ -74,3 +74,17 @@ def generate_noise_with_knee(
         noise = noise + pink
 
     return noise
+
+
+def generate_2d_fourier_noise(
+    key, nx: int = 1024, ny: int = 1024, k0: float = 5.0, beta: float = 8 / 3
+):
+    """Standardized 2-D field with an isotropic (k0^2 + |k|^2)^-(beta+1)/2
+    power-law spectrum (reference: maria/noise/generation.py:54 — there a
+    numpy helper; here key-threaded jnp so it composes under jit)."""
+    kx = jnp.fft.fftfreq(nx, d=1 / nx)
+    ky = jnp.fft.fftfreq(ny, d=1 / ny)
+    P = jnp.sqrt(k0**2 + kx[None, :] ** 2 + ky[:, None] ** 2) ** (-beta - 1)
+    white = jax.random.normal(key, (ny, nx), dtype=jnp.float32)
+    F = jnp.fft.fft2(jnp.sqrt(P) * jnp.fft.ifft2(white)).real
+    return (F - F.mean()) / F.std()

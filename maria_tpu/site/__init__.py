@@ -7,7 +7,7 @@ from ..errors import InvalidRegionError
 from ..units import Quantity
 from .regions import REGIONS, all_regions
 
-__all__ = ["Site", "REGIONS", "all_regions", "all_sites", "get_site", "InvalidRegionError"]
+__all__ = ["Site", "REGIONS", "all_regions", "all_sites", "get_site", "site_data", "InvalidRegionError"]
 
 # named sites: telescope facilities mapped to regions, with any overrides
 SITE_CONFIGS = {
@@ -32,6 +32,26 @@ SITE_CONFIGS = {
 }
 
 all_sites = sorted(SITE_CONFIGS)
+
+
+def _build_site_data():
+    """DataFrame of all named sites (reference: maria/site/__init__.py:30)."""
+    import pandas as pd
+
+    rows = {}
+    for name, cfg in SITE_CONFIGS.items():
+        entry = REGIONS.loc[cfg["region"]]
+        rows[name] = {
+            "description": cfg.get("description", ""),
+            "region": cfg["region"],
+            "latitude": float(entry.latitude),
+            "longitude": float(entry.longitude),
+            "altitude": float(cfg.get("altitude", entry.altitude)),
+        }
+    return pd.DataFrame(rows).T.sort_values("region")
+
+
+site_data = _build_site_data()
 
 
 class Site:

@@ -37,10 +37,11 @@ PRESSURE_LEVELS = np.array(
 )
 
 
-def vapor_pressure(temperature, humidity):  # (K, %)
-    T = temperature - 273.15
-    a, b, c = 611.21, 17.67, 238.88
-    return a * np.exp(np.log(np.clip(humidity, 1e-6, None) / 100) + b * T / (c + T)) * 100
+def vapor_pressure(temperature, humidity):  # (K, %) -> Pa
+    """Partial pressure of water vapor at the given relative humidity
+    (Magnus form; reference maria/weather/__init__.py:23-27, with the
+    humidity consistently in percent: 100% RH -> saturation pressure)."""
+    return np.clip(humidity, 1e-6, None) / 100 * saturation_pressure(temperature)
 
 
 def saturation_pressure(temperature):  # K -> Pa
@@ -56,6 +57,29 @@ def relative_to_absolute_humidity(temperature, humidity_frac):
 
 def absolute_to_relative_humidity(temperature, abs_hum):
     return 461.5 * temperature * abs_hum / saturation_pressure(temperature)
+
+
+def dew_point(temperature, humidity):  # (K, %) -> K
+    """Magnus-formula dew point (reference: maria/weather/__init__.py:36-40)."""
+    a, b, c = 611.21, 17.67, 238.88
+    log_ratio = np.log(vapor_pressure(temperature, humidity) / a)
+    return c * log_ratio / (b - log_ratio) + 273.15
+
+
+def dew_point_to_relative_humidity(temperature, dew_point):  # (K, K) -> %
+    T, DP = temperature - 273.15, dew_point - 273.15
+    b, c = 17.67, 238.88
+    return 1e2 * np.exp(b * DP / (c + DP) - b * T / (c + T))
+
+
+def air_density(pressure, temperature, humidity):  # (Pa, K, %) -> kg/m^3
+    """Moist-air density via partial pressures (reference weather/__init__.py:48-53)."""
+    from ..constants import DRY_AIR_SPECIFIC_GAS_CONSTANT, WATER_VAPOR_SPECIFIC_GAS_CONSTANT
+
+    vp = vapor_pressure(temperature, humidity)
+    return vp / (WATER_VAPOR_SPECIFIC_GAS_CONSTANT * temperature) + (pressure - vp) / (
+        DRY_AIR_SPECIFIC_GAS_CONSTANT * temperature
+    )
 
 
 def _standard_altitude_of_pressure(p_hPa):

@@ -130,3 +130,42 @@ def test_map_parity_and_concat():
 
     both = PM.concatenate([a, b], dim="t")
     assert both.data.shape[2] == 2
+
+
+def test_site_data_and_exports():
+    import maria_tpu
+
+    sd = maria_tpu.site_data
+    assert "GBT" in sd.index and {"region", "latitude", "longitude", "altitude"} <= set(sd.columns)
+    assert sd.loc["GBT", "region"] == "green_bank"
+    assert maria_tpu.__version_tuple__ == tuple(int(x) for x in maria_tpu.__version__.split("."))
+    assert callable(maria_tpu.plot_transfer_function)
+
+
+def test_plot_transfer_function():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from maria_tpu.map.transfer import plot_transfer_function
+
+    u = np.geomspace(10, 1e4, 24)
+    T = np.stack([np.exp(-(u / 3e3) ** 2), np.exp(-(u / 1e3) ** 2)])
+    ax = plot_transfer_function(u, T, nu=[90e9, 150e9], beam_fwhm=[1e-3, 6e-4])
+    assert len(ax.lines) >= 4  # two curves + two beam overlays
+    matplotlib.pyplot.close(ax.figure)
+
+
+def test_generate_2d_fourier_noise():
+    import jax
+
+    from maria_tpu.noise import generate_2d_fourier_noise
+
+    F = np.asarray(generate_2d_fourier_noise(jax.random.key(0), nx=128, ny=96, beta=8 / 3))
+    assert F.shape == (96, 128)
+    assert abs(F.mean()) < 1e-5 and np.isclose(F.std(), 1.0, rtol=1e-4)
+    # red spectrum: large scales carry more power than small scales
+    P = np.abs(np.fft.fft2(F)) ** 2
+    k = np.hypot(*np.meshgrid(np.fft.fftfreq(128), np.fft.fftfreq(96), indexing="xy"))
+    lo = P[(k > 0) & (k < 0.05)].mean()
+    hi = P[k > 0.25].mean()
+    assert lo > 10 * hi

@@ -215,3 +215,24 @@ def test_woodbury_inverse_is_exact():
         x_ref[:, f] = np.linalg.solve(N_f, fv[:, f])
     ref = np.fft.irfft(x_ref, n=n_t, axis=-1)
     np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_noise_model_diagnostics(noisy_tod_and_map):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    input_map, tod = noisy_tod_and_map
+    mapper = MaximumLikelihoodMapper(
+        [tod], center=(150.0, 10.0), width=np.degrees(input_map.width),
+        resolution=np.degrees(input_map.resolution),
+        frame="ra/dec", units="K_RJ", n_epochs=2, n_cg_iters=5, k=2,
+    )
+    mapper.fit()
+    assert len(mapper.noise_model_history) == 2  # one entry per epoch
+    diag = mapper.noise_model_history[-1][0]
+    assert diag["median_psd"].shape == diag["f"].shape
+    assert (diag["median_psd"][1:] > 0).all()
+    assert diag["mode_psd"].shape[0] == 2  # k detector modes
+    ax = mapper.plot_noise_model()
+    assert len(ax.lines) >= 3
+    matplotlib.pyplot.close(ax.figure)

@@ -77,3 +77,27 @@ def test_every_region_weather_and_spectrum(region):
                                      base_temperature=float(w.temperature[0]),
                                      elevation=np.radians(60.0)))
     assert np.isfinite(t).all() and (t > 0).all() and (t <= 1.0 + 1e-6).all()
+
+
+def test_thermodynamic_helpers():
+    from maria_tpu.weather import (
+        air_density,
+        dew_point,
+        dew_point_to_relative_humidity,
+        vapor_pressure,
+    )
+
+    T, RH = 290.0, 40.0  # K, %
+    dp = dew_point(T, RH)
+    assert dp < T  # dew point below ambient for RH < 100%
+    # round trip: RH -> dew point -> RH
+    assert np.isclose(dew_point_to_relative_humidity(T, dp), RH, rtol=1e-6)
+    # saturation: dew point equals temperature at 100% RH
+    assert np.isclose(dew_point(T, 100.0), T, atol=1e-6)
+    # moist air is lighter than dry air at the same (P, T)
+    rho_dry = air_density(101325.0, T, 0.01)
+    rho_wet = air_density(101325.0, T, 99.0)
+    assert 1.0 < rho_wet < rho_dry < 1.4
+    # vapor pressure increases with RH and T
+    assert vapor_pressure(T, 80.0) > vapor_pressure(T, 40.0)
+    assert vapor_pressure(T + 10, RH) > vapor_pressure(T, RH)
