@@ -93,19 +93,20 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
     fn = program.total_power_fn()
     args = program.example_args()
 
-    pix = plan = plan_iy = plan_ix = None
+    pix = plan = plan_args = None
     if obs is not None:
-        from maria_tpu.ops.binning import make_windowed_bin_plan
+        from maria_tpu.ops.binning import make_blocked_bin_plan
 
         pix_ids, n_pix = _pixel_ids(program, obs)
-        plan = make_windowed_bin_plan(pix_ids // 128, pix_ids % 128, 128, 128)
+        # det-blocked MXU binning: handles narrow (MUSTANG-2) and wide
+        # (AtLAST) fields alike; scatter only as a last resort
+        plan = make_blocked_bin_plan(pix_ids // 128, pix_ids % 128, 128, 128)
         if plan is None:
             pix = jnp.asarray(pix_ids.ravel())
         else:
             # index arrays ride as jit arguments (closure constants of
             # this size blow the remote-compile request limit)
-            plan_iy = jnp.asarray(plan.iy)
-            plan_ix = jnp.asarray(plan.ix)
+            plan_args = plan.device_args()
 
     if k_chain is None:
         # bound the chain's device working set: each iteration synthesizes
@@ -117,14 +118,15 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
         # NOTE: pix rides as an ARGUMENT — a 50k-detector id array baked
         # in as a closure constant blows the remote-compile request limit
         @jax.jit
-        def run(key, offsets, bs_az, bs_el, pix_arg, iy_arg, ix_arg):
+        def run(key, offsets, bs_az, bs_el, pix_arg, bin_args):
             def body(carry, k):
-                from maria_tpu.ops.binning import bin_scatter, bin_windowed
+                from maria_tpu.ops.binning import bin_blocked, bin_scatter
 
                 tod = fn(k, offsets, bs_az, bs_el)
                 out = tod.mean()
                 if plan is not None:
-                    binned = bin_windowed(tod, plan, iy=iy_arg, ix=ix_arg)
+                    ly, lx, origins, order = bin_args
+                    binned = bin_blocked(tod, plan, ly=ly, lx=lx, origins=origins, order=order)
                     out = out + binned.max() / max(len(program.t_fine), 1)
                 elif pix_arg is not None:
                     binned = bin_scatter(tod, pix_arg, n_pix)
@@ -136,12 +138,12 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
         return run
 
     def timed(f):
-        float(np.asarray(f(*args, pix, plan_iy, plan_ix)))  # compile + warm up
+        float(np.asarray(f(*args, pix, plan_args)))  # compile + warm up
         times = []
         for i in range(n_repeats):
             fresh = (jax.random.key(i + 1), *args[1:])
             start = time.perf_counter()
-            float(np.asarray(f(*fresh, pix, plan_iy, plan_ix)))
+            float(np.asarray(f(*fresh, pix, plan_args)))
             times.append(time.perf_counter() - start)
         return min(times)
 

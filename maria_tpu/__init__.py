@@ -19,7 +19,7 @@ from .errors import *  # noqa: F401,F403
 from .units import Angle, Quantity  # noqa: F401
 
 __version__ = "0.1.0"
-__version_tuple__ = (0, 1, 0)
+__version_tuple__ = tuple(int(x) for x in __version__.split("."))
 
 logger = logging.getLogger("maria_tpu")
 if not logger.handlers:

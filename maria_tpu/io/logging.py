@@ -31,3 +31,23 @@ def log_duration(message: str, level: int = logging.DEBUG):
     start = _time.monotonic()
     yield
     logger.log(level, f"{message} in {_time.monotonic() - start:.2f} s")
+
+
+@contextlib.contextmanager
+def profiler(log_dir: str = "/tmp/maria-tpu-profile", host_trace: bool = False):
+    """Capture a device profile of the enclosed block (the TPU-native
+    counterpart of the reference's per-phase duration logging, SURVEY §5):
+
+        with maria_tpu.io.logging.profiler("/tmp/prof"):
+            sim.run()
+
+    Writes an XLA trace viewable in TensorBoard / Perfetto. Falls back to
+    plain duration logging when jax.profiler is unavailable."""
+    import jax.profiler as _jprof
+
+    start = _time.monotonic()
+    with _jprof.trace(log_dir, create_perfetto_trace=host_trace):
+        yield
+    logger.info(
+        f"device profile captured to {log_dir} ({_time.monotonic() - start:.2f} s traced)"
+    )

@@ -117,15 +117,19 @@ def plot_transfer_function(
     per_rad = {"arcsec": 206264.8, "arcmin": 3437.75, "deg": 57.29578}[x_unit]
     u = np.asarray(u)
     T = np.atleast_2d(np.asarray(T))
+    if nu is not None and len(np.atleast_1d(nu)) != len(T):
+        raise ValueError(f"Got {len(T)} curves but {len(np.atleast_1d(nu))} frequencies.")
+    if beam_fwhm is not None and len(np.atleast_1d(beam_fwhm)) != len(T):
+        raise ValueError(f"Got {len(T)} curves but {len(np.atleast_1d(beam_fwhm))} beam widths.")
     labels = (
         [f"{Quantity(v, 'Hz')}" for v in np.atleast_1d(np.asarray(nu, dtype=float))]
         if nu is not None
         else [None] * len(T)
     )
     for i, row in enumerate(T):
-        (line,) = ax.semilogx(per_rad / u, row, label=labels[i % len(labels)])
+        (line,) = ax.semilogx(per_rad / u, row, label=labels[i])
         if beam_fwhm is not None:
-            fwhm = np.atleast_1d(beam_fwhm)[i % len(np.atleast_1d(beam_fwhm))]
+            fwhm = np.atleast_1d(beam_fwhm)[i]
             sigma = fwhm / np.sqrt(8 * np.log(2))
             ax.semilogx(
                 per_rad / u,

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coords.transforms import phi_theta_to_offsets_jit
-from ..ops.binning import bin_windowed, make_windowed_bin_plan
+from ..ops.binning import bin_blocked, make_blocked_bin_plan
 from .base import BaseMapper
 
 logger = logging.getLogger("maria_tpu")
@@ -106,15 +106,16 @@ class BinMapper(BaseMapper):
                         continue
                     sl = slice(cols[0], cols[-1] + 1)
 
-                    # hot path: windowed MXU binning on the static pointing
-                    # (ops/binning.py); scatter fallback for wide fields
+                    # hot path: det-blocked MXU binning on the static
+                    # pointing (ops/binning.py) — handles narrow and
+                    # wide fields; scatter fallback for pathological ones
                     plan = (
-                        make_windowed_bin_plan(iy_all[:, sl], ix_all[:, sl], self.n_y, self.n_x)
+                        make_blocked_bin_plan(iy_all[:, sl], ix_all[:, sl], self.n_y, self.n_x)
                         if try_windowed
                         else None
                     )
                     if plan is None:
-                        try_windowed = False  # wide field: stop re-trying per bin
+                        try_windowed = False  # pathological: stop re-trying per bin
                     if plan is not None:
                         # one channel-stacked call: [w_s*W*D per Stokes,
                         # |w_s|*W per Stokes] share the one-hot hats
@@ -124,7 +125,7 @@ class BinMapper(BaseMapper):
                             [w_block_in * sw[:, s][:, None] * d_block for s in range(len(stokes_idx))]
                             + [w_block_in * jnp.abs(sw[:, s])[:, None] for s in range(len(stokes_idx))]
                         )
-                        binned = bin_windowed(channels, plan)
+                        binned = bin_blocked(channels, plan)
                         n_sk = len(stokes_idx)
                         sums = sums.at[:, i_nu, i_t].add(binned[:n_sk])
                         wgts = wgts.at[:, i_nu, i_t].add(binned[n_sk:])

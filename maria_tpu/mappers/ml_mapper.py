@@ -182,7 +182,9 @@ class MaximumLikelihoodMapper(BaseMapper):
             epoch_diag.append(
                 {
                     "f": np.fft.rfftfreq(n, d=1 / block["fs"]),
-                    "median_psd": np.median(np.asarray(spec), axis=0),
+                    # median on device: only the n_f-length result crosses
+                    # to the host, not the (n_det, n_f) PSD matrix
+                    "median_psd": np.asarray(jnp.median(spec, axis=0)),
                     "mode_psd": np.asarray(lam) if lam is not None else None,
                 }
             )

@@ -26,7 +26,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["WindowedBinPlan", "make_windowed_bin_plan", "bin_windowed", "bin_scatter"]
+__all__ = [
+    "WindowedBinPlan",
+    "make_windowed_bin_plan",
+    "bin_windowed",
+    "bin_scatter",
+    "BlockedBinPlan",
+    "make_blocked_bin_plan",
+    "bin_blocked",
+]
 
 
 @dataclass
@@ -138,6 +146,195 @@ def bin_windowed(data, plan: WindowedBinPlan, weights=None, iy=None, ix=None):
     ly = jnp.moveaxis(iy_c, 1, 0) - origins[:, 0][:, None, None]
     lx = jnp.moveaxis(ix_c, 1, 0) - origins[:, 1][:, None, None]
     m, _ = jax.lax.scan(body, m0, (jnp.moveaxis(data_c, 2, 0), ly, lx, origins))
+    return m[0] if squeeze else m
+
+
+@dataclass
+class BlockedBinPlan:
+    """Host-precomputed geometry for `bin_blocked`.
+
+    Generalizes `WindowedBinPlan` by blocking the DETECTOR axis too:
+    for wide-field arrays (AtLAST-scale) the instantaneous footprint of
+    all detectors covers most of the map, so per-time-chunk windows
+    don't pay — but a Morton-ordered block of neighboring detectors
+    over a short time chunk still lands in a small window. Each
+    (det-block, time-chunk) pair gets its own window origin; local
+    offsets are stored as int8 when the window allows (4x less index
+    bandwidth than the flat int32 pixel ids)."""
+
+    n_y: int
+    n_x: int
+    wy: int
+    wx: int
+    chunk: int
+    n_chunks: int
+    det_block: int
+    n_blocks: int
+    n_t: int
+    order: np.ndarray  # (n_blocks * det_block,) int32 padded detector order
+    ly: np.ndarray  # (n_blocks, det_block, n_chunks, chunk) local y offsets, -1 = skip
+    lx: np.ndarray
+    origins: np.ndarray  # (n_blocks, n_chunks, 2) int32 window corners
+
+    def device_args(self):
+        """Index arrays as jit ARGUMENTS (closure constants of this size
+        blow the remote-compile request limit)."""
+        return (
+            jnp.asarray(self.ly),
+            jnp.asarray(self.lx),
+            jnp.asarray(self.origins),
+            jnp.asarray(self.order),
+        )
+
+
+def _hilbert_order(my, mx, order_bits: int = 16):
+    """Sort detectors along a Hilbert curve of their mean pixel position.
+    Unlike a Morton/Z-order sort (whose quadrant crossings put spatially
+    distant detectors in the same block, inflating the global window),
+    every consecutive Hilbert range is spatially compact."""
+    y = np.asarray(my, dtype=np.int64).copy()
+    x = np.asarray(mx, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (order_bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the quadrant frame
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_s, y_s = x.copy(), y.copy()
+        x[swap], y[swap] = y_s[swap], x_s[swap]
+        x[flip] = s - 1 - x[flip]
+        y[flip] = s - 1 - y[flip]
+        s //= 2
+    return np.argsort(d, kind="stable")
+
+
+def make_blocked_bin_plan(
+    iy,
+    ix,
+    n_y: int,
+    n_x: int,
+    chunk: int = 64,
+    det_block: int = 512,
+    max_window_frac: float = 0.5,
+) -> BlockedBinPlan:
+    """Build the plan from static per-sample pixel rows/cols (n_det, n_t).
+
+    Out-of-map samples must be marked with negative indices (they get
+    zero one-hot weight). Returns None when even blocked windows would
+    span most of the map (then use `bin_scatter`)."""
+    iy = np.asarray(iy, dtype=np.int32)
+    ix = np.asarray(ix, dtype=np.int32)
+    n_det, n_t = iy.shape
+    # small arrays: don't pad a 217-detector instrument up to a full
+    # 512-row block (dead rows cost real matmul work)
+    det_block = min(det_block, -(-n_det // 8) * 8)
+
+    valid0 = (iy >= 0) & (ix >= 0)
+    my = np.where(valid0, iy, 0).sum(axis=1) / np.maximum(valid0.sum(axis=1), 1)
+    mx = np.where(valid0, ix, 0).sum(axis=1) / np.maximum(valid0.sum(axis=1), 1)
+    order = _hilbert_order(np.round(my).astype(np.int64), np.round(mx).astype(np.int64))
+
+    n_blocks = -(-n_det // det_block)
+    pad_d = n_blocks * det_block - n_det
+    order_p = (
+        np.concatenate([order, np.full(pad_d, order[-1], dtype=order.dtype)]) if pad_d else order
+    )
+    n_chunks = -(-n_t // chunk)
+    pad_t = n_chunks * chunk - n_t
+
+    def blockify(a):
+        a = a[order_p]
+        if pad_t:
+            a = np.pad(a, ((0, 0), (0, pad_t)), constant_values=-1)
+        if pad_d:
+            a[n_det:] = -1  # padded detector rows contribute nothing
+        return a.reshape(n_blocks, det_block, n_chunks, chunk)
+
+    iy_b, ix_b = blockify(iy), blockify(ix)
+    # a sample off-map in EITHER axis is invalid (the docstring contract
+    # allows marking just one); judging by iy alone would drag that
+    # pair's x-origin to -1 and inflate the global window
+    valid = (iy_b >= 0) & (ix_b >= 0)
+
+    def span(a):
+        lo = np.where(valid, a, np.iinfo(np.int32).max).min(axis=(1, 3))
+        hi = np.where(valid, a, -1).max(axis=(1, 3))
+        return np.minimum(lo, hi), hi
+
+    oy, hi_y = span(iy_b)
+    ox, hi_x = span(ix_b)
+    wy = int(-(-(hi_y - oy + 1).max() // 8) * 8)
+    wx = int(-(-(hi_x - ox + 1).max() // 8) * 8)
+    if wy * wx > max_window_frac * n_y * n_x or wy > n_y or wx > n_x:
+        return None
+    oy = np.clip(oy, 0, n_y - wy)
+    ox = np.clip(ox, 0, n_x - wx)
+
+    off_dtype = np.int8 if max(wy, wx) < 127 else np.int32
+    ly = np.where(valid, iy_b - oy[:, None, :, None], -1).astype(off_dtype)
+    lx = np.where(valid, ix_b - ox[:, None, :, None], -1).astype(off_dtype)
+    return BlockedBinPlan(
+        n_y=n_y, n_x=n_x, wy=wy, wx=wx, chunk=chunk, n_chunks=n_chunks,
+        det_block=det_block, n_blocks=n_blocks, n_t=n_t,
+        order=order_p.astype(np.int32), ly=ly, lx=lx,
+        origins=np.stack([oy, ox], axis=-1).astype(np.int32),
+    )
+
+
+def bin_blocked(data, plan: BlockedBinPlan, weights=None, ly=None, lx=None, origins=None, order=None):
+    """Bin data into (n_y, n_x) maps with per-(det-block, time-chunk)
+    MXU one-hot contractions — no scatters of any size.
+
+    `data` is (n_det, n_t) or channel-stacked (n_ch, n_det, n_t); all
+    channels share one set of one-hot hats per (block, chunk). Pass the
+    plan's `device_args()` as jit arguments for large arrays. Pure jnp;
+    call under jit."""
+    ly = jnp.asarray(plan.ly) if ly is None else ly
+    lx = jnp.asarray(plan.lx) if lx is None else lx
+    origins = jnp.asarray(plan.origins) if origins is None else origins
+    order = jnp.asarray(plan.order) if order is None else order
+
+    squeeze = data.ndim == 2
+    if squeeze:
+        data = data[None]
+        if weights is not None:
+            weights = weights[None]
+    if weights is not None:
+        data = data * weights
+    n_ch, n_det, n_t = data.shape
+    pad_t = plan.n_chunks * plan.chunk - n_t
+
+    d = jnp.take(data, order, axis=1)
+    if pad_t:
+        d = jnp.pad(d, ((0, 0), (0, 0), (0, pad_t)))
+    d = d.reshape(n_ch, plan.n_blocks, plan.det_block, plan.n_chunks, plan.chunk)
+
+    ky = jnp.arange(plan.wy, dtype=jnp.int32)
+    kx = jnp.arange(plan.wx, dtype=jnp.int32)
+
+    def chunk_body(m, c):
+        def block_body(b, m):
+            # one-hot hats; out-of-window (padded / off-map, offset -1)
+            # samples vanish
+            wY = (ly[b, :, c][..., None] == ky).astype(jnp.float32)
+            wX = (lx[b, :, c][..., None] == kx).astype(jnp.float32)
+            # full f32: default TPU matmul precision truncates the data
+            # to bf16, which is visible in binned sums
+            win = jnp.einsum(
+                "dcy,dcx,mdc->myx", wY, wX, d[:, b, :, c],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            o = origins[b, c]
+            blk = jax.lax.dynamic_slice(m, (0, o[0], o[1]), (n_ch, plan.wy, plan.wx))
+            return jax.lax.dynamic_update_slice(m, blk + win, (0, o[0], o[1]))
+
+        return jax.lax.fori_loop(0, plan.n_blocks, block_body, m), ()
+
+    m0 = jnp.zeros((n_ch, plan.n_y, plan.n_x), dtype=jnp.float32)
+    m, _ = jax.lax.scan(chunk_body, m0, jnp.arange(plan.n_chunks))
     return m[0] if squeeze else m
 
 

@@ -79,3 +79,99 @@ def test_runlength_matches_scatter():
     )
     m_s = np.asarray(bin_scatter(jnp.asarray(data), jnp.asarray(pix.astype(np.int32)), n_pix))
     np.testing.assert_allclose(m_rl, m_s, atol=1e-4 * max(1.0, np.abs(m_s).max()))
+
+
+def _widefield_pixels(n_det=600, n_t=300, n_map=128, rng_seed=5):
+    """Wide-field: detector footprint covers most of the map (the case
+    where per-time-chunk windows fail but det-blocked windows work)."""
+    rng = np.random.default_rng(rng_seed)
+    # detectors spread across ~80% of the map, slow boresight drift
+    det_y = rng.uniform(0.1, 0.9, n_det) * n_map
+    det_x = rng.uniform(0.1, 0.9, n_det) * n_map
+    t = np.arange(n_t) / 50.0
+    cy = 6 * np.sin(2 * np.pi * t / 30)
+    cx = 6 * np.cos(2 * np.pi * t / 30)
+    iy = np.clip((det_y[:, None] + cy[None]).astype(np.int32), -1, n_map - 1)
+    ix = np.clip((det_x[:, None] + cx[None]).astype(np.int32), -1, n_map - 1)
+    return iy, ix, n_map
+
+
+def test_blocked_matches_scatter_widefield():
+    from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan
+
+    iy, ix, n_map = _widefield_pixels()
+    # the time-chunk-only plan must refuse this geometry...
+    assert make_windowed_bin_plan(iy, ix, n_map, n_map) is None
+    # ...while the det-blocked plan handles it
+    plan = make_blocked_bin_plan(iy, ix, n_map, n_map, chunk=32, det_block=64)
+    assert plan is not None
+    assert plan.wy * plan.wx < 0.5 * n_map * n_map
+
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal(iy.shape).astype(np.float32)
+    m_b = np.asarray(jax.jit(lambda d: bin_blocked(d, plan))(jnp.asarray(data)))
+    pix = jnp.asarray((iy.astype(np.int64) * n_map + ix).ravel().astype(np.int32))
+    m_s = np.asarray(bin_scatter(jnp.asarray(data), pix, n_map * n_map)).reshape(n_map, n_map)
+    np.testing.assert_allclose(m_b, m_s, atol=1e-4 * max(1.0, np.abs(m_s).max()))
+
+
+def test_blocked_channels_weights_and_offmap():
+    from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan
+
+    iy, ix, n_map = _widefield_pixels(rng_seed=11)
+    # mark a stripe of samples off-map; they must be dropped
+    iy[::7, 10:20] = -1
+    ix[::7, 10:20] = -1
+    plan = make_blocked_bin_plan(iy, ix, n_map, n_map, chunk=32, det_block=64)
+    rng = np.random.default_rng(13)
+    data = rng.standard_normal((3, *iy.shape)).astype(np.float32)
+    w = rng.uniform(0.5, 2.0, iy.shape).astype(np.float32)
+
+    m_b = np.asarray(bin_blocked(jnp.asarray(data), plan, weights=jnp.asarray(w)[None]))
+    assert m_b.shape == (3, n_map, n_map)
+    good = iy.ravel() >= 0
+    pix = (iy.astype(np.int64) * n_map + ix).ravel()[good].astype(np.int32)
+    for ch in range(3):
+        ref = np.zeros(n_map * n_map, dtype=np.float64)
+        np.add.at(ref, pix, (data[ch] * w).ravel()[good])
+        np.testing.assert_allclose(
+            m_b[ch].ravel(), ref, atol=1e-4 * max(1.0, np.abs(ref).max())
+        )
+
+
+def test_blocked_matches_scatter_on_narrow_field():
+    """Blocked plan also subsumes the narrow-field (MUSTANG-2-like) case."""
+    from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan
+
+    iy, ix, n_map = _daisy_pixels(rng_seed=17)
+    plan = make_blocked_bin_plan(iy, ix, n_map, n_map, chunk=32, det_block=256)
+    assert plan is not None
+    rng = np.random.default_rng(19)
+    data = rng.standard_normal(iy.shape).astype(np.float32)
+    m_b = np.asarray(bin_blocked(jnp.asarray(data), plan))
+    pix = jnp.asarray((iy.astype(np.int64) * n_map + ix).ravel().astype(np.int32))
+    m_s = np.asarray(bin_scatter(jnp.asarray(data), pix, n_map * n_map)).reshape(n_map, n_map)
+    np.testing.assert_allclose(m_b, m_s, atol=1e-4 * max(1.0, np.abs(m_s).max()))
+
+
+def test_blocked_window_not_inflated_by_single_axis_offmap():
+    """A sample marked off-map in only ONE axis (legal per the plan
+    contract) must not drag that pair's window origin to -1 and inflate
+    the global window."""
+    from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan
+
+    n_map = 512
+    rng = np.random.default_rng(23)
+    iy = rng.integers(200, 220, (64, 128)).astype(np.int32)
+    ix = rng.integers(460, 480, (64, 128)).astype(np.int32)
+    ix[3, 7] = -1  # off-map in x only
+    plan = make_blocked_bin_plan(iy, ix, n_map, n_map, chunk=32, det_block=64)
+    assert plan is not None
+    assert plan.wx <= 32  # not inflated to span from x=0
+
+    data = rng.standard_normal(iy.shape).astype(np.float32)
+    m = np.asarray(bin_blocked(jnp.asarray(data), plan))
+    good = (iy.ravel() >= 0) & (ix.ravel() >= 0)
+    ref = np.zeros(n_map * n_map)
+    np.add.at(ref, (iy.astype(np.int64) * n_map + ix).ravel()[good], data.ravel()[good])
+    np.testing.assert_allclose(m.ravel(), ref, atol=1e-4 * max(1.0, np.abs(ref).max()))
