@@ -27,6 +27,23 @@ def _pink_weights(n: int, sample_rate: float, knee: float, beta: float):
     return jnp.asarray(np.sqrt(2 * sample_rate * ps), dtype=jnp.float32)
 
 
+def _spectral_white(key, shape, n_fft: int):
+    """Complex spectrum distributed as rfft(N(0,1)^n_fft) — drawn
+    directly in the frequency domain, skipping the forward FFT (the
+    rfft of white noise IS complex white noise). Var(Re X_k) =
+    Var(Im X_k) = n/2 for interior bins; DC and Nyquist are real with
+    variance n."""
+    n_f = n_fft // 2 + 1
+    z = jax.random.normal(key, (*shape, n_f, 2), dtype=jnp.float32)
+    re, im = z[..., 0], z[..., 1]
+    scale = jnp.full(n_f, np.sqrt(n_fft / 2), dtype=jnp.float32)
+    scale = scale.at[0].set(np.sqrt(n_fft))
+    if n_fft % 2 == 0:
+        scale = scale.at[-1].set(np.sqrt(n_fft))
+    edge = jnp.zeros(n_f, dtype=jnp.float32).at[1 : n_f - (1 - n_fft % 2)].set(1.0)
+    return scale * (re + 1j * im * edge)
+
+
 def generate_noise_with_knee(
     key,
     shape: tuple,
@@ -48,27 +65,21 @@ def generate_noise_with_knee(
 
     if knee > 0:
         # synthesize the pink component on a TPU-fast FFT length and
-        # truncate: the series is stationary, so a slice has the same PSD
+        # truncate: the series is stationary, so a slice has the same
+        # PSD. The white spectrum is drawn directly in the frequency
+        # domain (one irfft instead of an rfft+irfft pair).
         from ..atmosphere.fourier import good_fft_size
 
         n_fft = good_fft_size(n)
         weights = _pink_weights(n_fft, sample_rate, knee, beta)
         pink = jnp.fft.irfft(
-            weights
-            * jnp.fft.rfft(
-                jax.random.normal(key_pink, (*shape[:-1], n_fft), dtype=jnp.float32), axis=-1
-            ),
-            n=n_fft,
-            axis=-1,
+            weights * _spectral_white(key_pink, shape[:-1], n_fft), n=n_fft, axis=-1
         )[..., :n]
         if basis is not None and corr_prop > 0:
             basis = jnp.asarray(basis, dtype=jnp.float32)
             k = basis.shape[-1]
             mode_noise = jnp.fft.irfft(
-                weights
-                * jnp.fft.rfft(jax.random.normal(key_modes, (k, n_fft), dtype=jnp.float32), axis=-1),
-                n=n_fft,
-                axis=-1,
+                weights * _spectral_white(key_modes, (k,), n_fft), n=n_fft, axis=-1
             )[..., :n]
             pink = jnp.sqrt(corr_prop) * basis @ mode_noise + jnp.sqrt(1 - corr_prop) * pink
         noise = noise + pink
