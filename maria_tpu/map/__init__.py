@@ -207,6 +207,7 @@ def read_hdf_map(path: str, **kwargs) -> Map:
         nu = f["nu"][:] if "nu" in f else None
         t = f["t"][:] if "t" in f else None
         weight = f["weight"][:] if "weight" in f else None
+    axis3 = {str(attrs.get("axis3_label", "t")): t}
     if "resolution_deg" in attrs:
         return ProjectionMap(
             data=data,
@@ -216,11 +217,11 @@ def read_hdf_map(path: str, **kwargs) -> Map:
             frame=attrs.get("frame", "ra/dec"),
             stokes=attrs.get("stokes"),
             nu=nu,
-            t=t,
             units=attrs.get("units", "K_RJ"),
             degrees=True,
+            **axis3,
         )
     return HEALPixMap(
         data=data, frame=attrs.get("frame", "galactic"), stokes=attrs.get("stokes"),
-        nu=nu, t=t, units=attrs.get("units", "K_CMB"),
+        nu=nu, units=attrs.get("units", "K_CMB"), **axis3,
     )

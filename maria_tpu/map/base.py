@@ -1,8 +1,12 @@
 """Map base class (reference: maria/map/base.py:53-560).
 
-A Map is a data cube with *slice dims* (stokes, nu, t) times *map dims*
-(eta/xi for projections, pixel for HEALPix). Data lives as jnp arrays;
-units convert through the calibration graph per frequency channel.
+A Map is a data cube with *slice dims* (stokes, nu, t/z/v) times *map
+dims* (eta/xi for projections, pixel for HEALPix). The third slice slot
+carries ONE labeled axis: time (`t`), redshift (`z`), or velocity (`v`)
+— matching how the reference's optional z/v dims are used in practice
+(container bookkeeping for spectral-line cubes and redshift stacks;
+reference map/base.py:36-40,104-108). Data lives as jnp arrays; units
+convert through the calibration graph per frequency channel.
 """
 
 from __future__ import annotations
@@ -41,6 +45,8 @@ class Map:
         stokes: str = None,
         nu=None,
         t=None,
+        z=None,
+        v=None,
         units: str = "K_RJ",
         weight=None,
         dtype=jnp.float32,
@@ -72,9 +78,18 @@ class Map:
         if len(self.nu) != data.shape[1]:
             raise ValueError(f"nu axis ({len(self.nu)}) does not match data shape {data.shape}.")
 
-        self.t = np.atleast_1d(np.asarray(t if t is not None else [0.0], dtype=float))
+        # the labeled third slice axis: time (default), redshift, or
+        # velocity (reference's optional z/v slice dims, map/base.py:36-40)
+        given = {k: val for k, val in (("t", t), ("z", z), ("v", v)) if val is not None}
+        if len(given) > 1:
+            raise ValueError(f"Give at most one of t/z/v (got {sorted(given)}).")
+        self.axis3_label = next(iter(given), "t")
+        vals = given.get(self.axis3_label)
+        self.t = np.atleast_1d(np.asarray(vals if vals is not None else [0.0], dtype=float))
         if len(self.t) != data.shape[2]:
-            raise ValueError(f"t axis ({len(self.t)}) does not match data shape {data.shape}.")
+            raise ValueError(
+                f"{self.axis3_label} axis ({len(self.t)}) does not match data shape {data.shape}."
+            )
 
         self.weight = jnp.asarray(weight, dtype=dtype) if weight is not None else jnp.ones_like(self.data)
 
@@ -90,6 +105,26 @@ class Map:
     @property
     def n_nu(self):
         return len(self.nu)
+
+    @property
+    def z(self):
+        """Redshift axis (only when the third slice axis is labeled z)."""
+        if self.axis3_label != "z":
+            raise AttributeError("This map's third slice axis is "
+                                 f"'{self.axis3_label}', not 'z'.")
+        return self.t
+
+    @property
+    def v(self):
+        """Velocity axis (only when the third slice axis is labeled v)."""
+        if self.axis3_label != "v":
+            raise AttributeError("This map's third slice axis is "
+                                 f"'{self.axis3_label}', not 'v'.")
+        return self.t
+
+    def _axis3_kwargs(self):
+        """Constructor kwargs that re-create the labeled third axis."""
+        return {self.axis3_label: self.t}
 
     @property
     def nu_bin_bounds(self):
@@ -130,7 +165,7 @@ class Map:
 
     # -- structure manipulation (reference map/base.py:297-351) ----------------
     def squeeze(self, dim: str) -> "Map":
-        axis = {"stokes": 0, "nu": 1, "t": 2}[dim]
+        axis = {"stokes": 0, "nu": 1, "t": 2, "z": 2, "v": 2}[dim]
         if self.data.shape[axis] != 1:
             raise ValueError(f"Cannot squeeze dim '{dim}' of size {self.data.shape[axis]}.")
         return self  # dims are always carried explicitly; squeeze is a no-op view
@@ -143,7 +178,7 @@ class Map:
         return {
             "stokes": self.n_stokes,
             "nu": self.n_nu,
-            "t": len(self.t),
+            self.axis3_label: len(self.t),
             **{d: n for d, n in zip(self.map_dims, self.data.shape[3:])},
         }
 
@@ -162,22 +197,27 @@ class Map:
     @classmethod
     def concatenate(cls, maps: list, dim: str = "t") -> "Map":
         """Concatenate along a slice dim (reference map/base.py:534)."""
-        axis = {"stokes": 0, "nu": 1, "t": 2}[dim]
+        axis = {"stokes": 0, "nu": 1, "t": 2, "z": 2, "v": 2}[dim]
         first = maps[0]
         data = jnp.concatenate([m.data for m in maps], axis=axis)
         weight = jnp.concatenate([m.weight for m in maps], axis=axis)
         kwargs = {}
         if dim == "nu":
             kwargs["nu"] = np.concatenate([m.nu for m in maps])
-        elif dim == "t":
-            kwargs["t"] = np.concatenate([m.t for m in maps])
+        elif axis == 2:
+            if any(m.axis3_label != dim for m in maps):
+                raise ValueError(f"Not every map's third axis is labeled '{dim}'.")
+            kwargs[dim] = np.concatenate([m.t for m in maps])
         elif dim == "stokes":
             kwargs["stokes"] = "".join(m.stokes for m in maps)
         return first._replace(data=data, weight=weight, **kwargs)
 
     def __repr__(self):
         rms = float(np.asarray(self.data).std())
+        axis3 = "" if self.axis3_label == "t" and len(self.t) == 1 else (
+            f", {self.axis3_label}=[{self.t.min():.3g}..{self.t.max():.3g}] (n={len(self.t)})"
+        )
         return (
             f"{type(self).__name__}(shape={tuple(self.shape)}, stokes='{self.stokes}', "
-            f"nu={[f'{n/1e9:.0f} GHz' for n in self.nu]}, units='{self.units}', rms={rms:.3e})"
+            f"nu={[f'{n/1e9:.0f} GHz' for n in self.nu]}{axis3}, units='{self.units}', rms={rms:.3e})"
         )

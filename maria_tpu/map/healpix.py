@@ -29,19 +29,23 @@ class HEALPixMap(Map):
         stokes: str = None,
         nu=None,
         t=None,
+        z=None,
+        v=None,
         units: str = "K_CMB",
         weight=None,
         dtype=jnp.float32,
         degrees: bool = True,
     ):
-        super().__init__(data, stokes=stokes, nu=nu, t=t, units=units, weight=weight, dtype=dtype)
+        super().__init__(
+            data, stokes=stokes, nu=nu, t=t, z=z, v=v, units=units, weight=weight, dtype=dtype
+        )
         self.frame = frame
         self.nside = npix2nside(self.data.shape[-1])
 
     def _replace(self, **kwargs):
         params = dict(
             data=self.data, frame=self.frame, stokes=self.stokes,
-            nu=self.nu, t=self.t, units=self.units, weight=self.weight,
+            nu=self.nu, **self._axis3_kwargs(), units=self.units, weight=self.weight,
         )
         params.update(kwargs)
         return HEALPixMap(**params)

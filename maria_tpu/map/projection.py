@@ -36,12 +36,16 @@ class ProjectionMap(Map):
         stokes: str = None,
         nu=None,
         t=None,
+        z=None,
+        v=None,
         units: str = "K_RJ",
         weight=None,
         degrees: bool = True,
         dtype=jnp.float32,
     ):
-        super().__init__(data, stokes=stokes, nu=nu, t=t, units=units, weight=weight, dtype=dtype)
+        super().__init__(
+            data, stokes=stokes, nu=nu, t=t, z=z, v=v, units=units, weight=weight, dtype=dtype
+        )
         self.frame = frame
         n_eta, n_xi = self.data.shape[-2:]
 
@@ -74,7 +78,7 @@ class ProjectionMap(Map):
             frame=self.frame,
             stokes=self.stokes,
             nu=self.nu,
-            t=self.t,
+            **self._axis3_kwargs(),
             units=self.units,
             weight=self.weight,
             degrees=True,
@@ -169,7 +173,7 @@ class ProjectionMap(Map):
         )
         return ProjectionMap(
             data=padded, center=np.degrees(self.center), resolution=np.degrees(self.resolution),
-            frame=self.frame, stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+            frame=self.frame, stokes=self.stokes, nu=self.nu, **self._axis3_kwargs(), units=self.units,
         )
 
     def recenter(self, center, degrees: bool = True) -> "ProjectionMap":
@@ -197,7 +201,7 @@ class ProjectionMap(Map):
         return ProjectionMap(
             data=resample(self.data), center=np.degrees(new_center),
             resolution=np.degrees(self.resolution), frame=self.frame,
-            stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+            stokes=self.stokes, nu=self.nu, **self._axis3_kwargs(), units=self.units,
             weight=resample(self.weight) if self.weight is not None else None,
         )
 
@@ -211,7 +215,7 @@ class ProjectionMap(Map):
         sl = (slice(None), slice(None), slice(None), slice(rows[0], rows[-1] + 1), slice(cols[0], cols[-1] + 1))
         return ProjectionMap(
             data=self.data[sl], center=np.degrees(self.center), resolution=np.degrees(self.resolution),
-            frame=self.frame, stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+            frame=self.frame, stokes=self.stokes, nu=self.nu, **self._axis3_kwargs(), units=self.units,
             weight=self.weight[sl],
         )
 
@@ -223,7 +227,7 @@ class ProjectionMap(Map):
         return ProjectionMap(
             data=d.mean(axis=(-3, -1)), center=np.degrees(self.center),
             resolution=np.degrees(self.resolution * factor), frame=self.frame,
-            stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+            stokes=self.stokes, nu=self.nu, **self._axis3_kwargs(), units=self.units,
         )
 
     def resample(self, resolution=None, shape=None) -> "ProjectionMap":
@@ -245,7 +249,7 @@ class ProjectionMap(Map):
         return ProjectionMap(
             data=out.reshape(*self.data.shape[:3], ny, nx), center=np.degrees(self.center),
             width=np.degrees(self.width), height=np.degrees(self.height), frame=self.frame,
-            stokes=self.stokes, nu=self.nu, t=self.t, units=self.units,
+            stokes=self.stokes, nu=self.nu, **self._axis3_kwargs(), units=self.units,
         )
 
     # -- i/o -------------------------------------------------------------------------
@@ -261,6 +265,7 @@ class ProjectionMap(Map):
             f.attrs["center_deg"] = np.degrees(self.center)
             f.attrs["resolution_deg"] = np.degrees(self.resolution)
             f.create_dataset("nu", data=self.nu)
+            f.attrs["axis3_label"] = self.axis3_label
             f.create_dataset("t", data=self.t)
 
     def to_fits(self, path: str):

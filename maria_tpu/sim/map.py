@@ -67,6 +67,11 @@ def static_map_samples(input_map, band, band_idx, obs, bilinear: bool = True):
 
     out = []
     n_frames = len(input_map.t)
+    if input_map.axis3_label != "t" and n_frames > 1:
+        raise NotImplementedError(
+            f"Observing a multi-slice '{input_map.axis3_label}' cube is not supported; "
+            f"pass one slice (e.g. map.data[:, :, i:i+1]) or a time-labeled map."
+        )
     channel_map = smoothed.to("K_RJ", band=band)
     for channel, (nu_min, nu_max) in enumerate(input_map.nu_bin_bounds):
         if (band.nu.max() < float(nu_min.Hz)) or (float(nu_max.Hz) < band.nu.min()):
@@ -119,6 +124,11 @@ class MapMixin:
             self.map = map
         else:
             raise ValueError("'map' must be either a Map or a string.")
+        if self.map.axis3_label != "t" and len(self.map.t) > 1:
+            raise NotImplementedError(
+                f"Observing a multi-slice '{self.map.axis3_label}' cube is not supported; "
+                f"pass one slice or a time-labeled map."
+            )
 
     def _map_offsets(self, obs, band_idx):
         """Tangent-plane offsets of each detector sample from the map

@@ -169,3 +169,56 @@ def test_generate_2d_fourier_noise():
     lo = P[(k > 0) & (k < 0.05)].mean()
     hi = P[k > 0.25].mean()
     assert lo > 10 * hi
+
+
+def test_map_zv_axes(tmp_path):
+    """The third slice axis may be labeled t (default), z (redshift), or
+    v (velocity) — reference maria/map/base.py:36-40,104-108."""
+    import pytest
+
+    from maria_tpu.map.projection import ProjectionMap
+
+    data = np.random.default_rng(0).standard_normal((1, 1, 3, 16, 16)).astype(np.float32)
+    m = ProjectionMap(data, center=(10.0, 5.0), resolution=0.01, z=[0.1, 0.5, 1.0])
+    assert m.dims["z"] == 3 and "t" not in m.dims
+    assert np.allclose(m.z, [0.1, 0.5, 1.0])
+    with pytest.raises(AttributeError):
+        m.v  # noqa: B018 — wrong label must raise
+    assert "z=[0.1..1]" in repr(m)
+
+    # label survives structural ops and the HDF round trip
+    m2 = m.to("K_CMB")
+    assert m2.axis3_label == "z"
+    both = ProjectionMap.concatenate([m, m], dim="z")
+    assert both.dims["z"] == 6
+    with pytest.raises(ValueError):
+        ProjectionMap.concatenate([m, m], dim="t")
+
+    path = str(tmp_path / "zcube.h5")
+    m.to_hdf(path)
+    from maria_tpu.map import read_hdf_map
+
+    loaded = read_hdf_map(path)
+    assert loaded.axis3_label == "z" and np.allclose(loaded.z, m.z)
+
+    # velocity cubes work the same way
+    mv = ProjectionMap(data, center=(0, 0), resolution=0.01, v=[-1e3, 0.0, 1e3])
+    assert mv.dims["v"] == 3 and np.allclose(mv.v, [-1e3, 0.0, 1e3])
+    with pytest.raises(ValueError):
+        ProjectionMap(data, center=(0, 0), resolution=0.01, z=[1, 2, 3], v=[1, 2, 3])
+
+
+def test_sim_rejects_multislice_z_cube():
+    import pytest
+
+    import maria_tpu
+    from maria_tpu.map.projection import ProjectionMap
+
+    data = np.ones((1, 1, 2, 16, 16), dtype=np.float32)
+    zmap = ProjectionMap(data, center=(150.0, 10.0), resolution=0.01, z=[0.1, 0.5],
+                         frame="ra/dec")
+    with pytest.raises(NotImplementedError):
+        maria_tpu.Simulation(
+            instrument="test/1deg", plans=_plan(), site="chajnantor",
+            atmosphere=None, noise=False, map=zmap,
+        ).run()
