@@ -284,14 +284,28 @@ def make_blocked_bin_plan(
     )
 
 
-def bin_blocked(data, plan: BlockedBinPlan, weights=None, ly=None, lx=None, origins=None, order=None):
+def bin_blocked(
+    data,
+    plan: BlockedBinPlan,
+    weights=None,
+    ly=None,
+    lx=None,
+    origins=None,
+    order=None,
+    precision=None,
+):
     """Bin data into (n_y, n_x) maps with per-(det-block, time-chunk)
     MXU one-hot contractions — no scatters of any size.
 
     `data` is (n_det, n_t) or channel-stacked (n_ch, n_det, n_t); all
     channels share one set of one-hot hats per (block, chunk). Pass the
-    plan's `device_args()` as jit arguments for large arrays. Pure jnp;
-    call under jit."""
+    plan's `device_args()` as jit arguments for large arrays.
+    `precision` sets the contraction precision. Default HIGH (3-pass
+    bf16): measured max error 5.8e-6 vs 5.0e-6 for HIGHEST at 19% less
+    time — both are dominated by f32 accumulation order, while DEFAULT
+    (single-pass) truncates the data to bf16 (~2e-3). Pure jnp; call
+    under jit."""
+    precision = jax.lax.Precision.HIGH if precision is None else precision
     ly = jnp.asarray(plan.ly) if ly is None else ly
     lx = jnp.asarray(plan.lx) if lx is None else lx
     origins = jnp.asarray(plan.origins) if origins is None else origins
@@ -321,11 +335,10 @@ def bin_blocked(data, plan: BlockedBinPlan, weights=None, ly=None, lx=None, orig
             # samples vanish
             wY = (ly[b, :, c][..., None] == ky).astype(jnp.float32)
             wX = (lx[b, :, c][..., None] == kx).astype(jnp.float32)
-            # full f32: default TPU matmul precision truncates the data
-            # to bf16, which is visible in binned sums
+            # default HIGH: the bf16 single-pass path truncates the
+            # data to bf16, which is visible in binned sums
             win = jnp.einsum(
-                "dcy,dcx,mdc->myx", wY, wX, d[:, b, :, c],
-                precision=jax.lax.Precision.HIGHEST,
+                "dcy,dcx,mdc->myx", wY, wX, d[:, b, :, c], precision=precision
             )
             o = origins[b, c]
             blk = jax.lax.dynamic_slice(m, (0, o[0], o[1]), (n_ch, plan.wy, plan.wx))
