@@ -111,6 +111,8 @@ class Atmosphere:
         timestep: float = None,
         method: str = "fourier",
         n_layers: int = None,
+        min_height: float = None,
+        outer_scale: float = None,
         seed: int = None,
         disable_progress_bars: bool = True,
     ):
@@ -132,6 +134,10 @@ class Atmosphere:
         )
         self.pwv_rms_frac = pwv_rms_frac
         self.max_height = max_height
+        self.min_height = min_height
+        # reference exposes `turbulent_outer_scale` (sim/params.yml); when
+        # unset we use the height-dependent default max(1km, 300+h/10)
+        self.outer_scale = outer_scale
         self.timestep = timestep
         # the 3-D model defaults to 12 log-spaced slabs: the fourier path
         # carries vertical correlation in its cross-spectra and the AR
@@ -153,6 +159,7 @@ class Atmosphere:
             max_height=self.max_height,
             pwv_rms_frac=self.pwv_rms_frac,
             n_layers=self.n_layers,
+            min_height=self.min_height,
         )
 
         if self.timestep is None:
@@ -224,7 +231,7 @@ class Atmosphere:
             tx = ca * pts[:, 0] + sa * pts[:, 1]
             ty = -sa * pts[:, 0] + ca * pts[:, 1]
 
-            outer_scale = max(1e3, 300 + float(process_layers.h.mean()) / 10)
+            outer_scale = self.outer_scale or max(1e3, 300 + float(process_layers.h.mean()) / 10)
             nu = 5 / 6 if self.model == "2d" else 1 / 3
 
             def window_bounds(h, res, nx, ny):

@@ -40,6 +40,7 @@ def generate_layers(
     min_res_per_fov: float = None,
     pwv_rms_frac: float = 3e-2,
     n_layers: int = None,
+    min_height: float = None,
 ) -> pd.DataFrame:
     """Layer table. The model is implicitly parameterized at the minimum
     scan elevation."""
@@ -62,6 +63,8 @@ def generate_layers(
 
     if mode == "2d":
         h_boundaries = H_BOUNDARIES_2D.copy()
+        if min_height:
+            h_boundaries = np.unique(np.maximum(h_boundaries, min_height))
         process_index = np.arange(len(h_boundaries) - 1)
     elif mode == "3d":
         if n_layers is not None:
@@ -69,8 +72,8 @@ def generate_layers(
             # correlation lives in the cross-spectra, so layers only
             # discretize the pwv-variance integral (thin near the ground
             # where the boundary-layer profile concentrates turbulence)
-            h0 = float(res_func(0.0))
-            h_boundaries = np.concatenate([[0.0], np.geomspace(h0, max_height, n_layers)])
+            h0 = max(float(res_func(0.0)), min_height or 0.0)
+            h_boundaries = np.concatenate([[min_height or 0.0], np.geomspace(h0, max_height, n_layers)])
         else:
             # resolution-matched stack (the AR model's isotropic grid)
             h_list = [0.0]

@@ -11,7 +11,7 @@ MASTER_PARAMS = {
     "atmosphere": [
         "model", "region", "altitude", "weather", "weather_quantiles",
         "weather_source", "spectrum_source", "pwv_rms_frac", "pwv",
-        "max_height", "timestep", "method", "n_layers",
+        "max_height", "min_height", "timestep", "method", "n_layers", "outer_scale",
     ],
     "cmb": ["nside", "lmax"],
     "map": ["nu", "units", "bilinear_sampling"],

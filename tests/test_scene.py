@@ -129,3 +129,31 @@ def test_all_example_maps_synthesize():
         m = maria_tpu.map.get(name)
         d = np.asarray(m.data)
         assert np.isfinite(d).all() and d.std() > 0, name
+
+
+def test_atmosphere_outer_scale_and_min_height():
+    """Reference exposes turbulent_outer_scale / min_atmosphere_height
+    (maria/sim/params.yml); both must route through Simulation kwargs."""
+    from maria_tpu.atmosphere import Atmosphere
+
+    atm = Atmosphere(model="3d", region="chajnantor", timestamp=1.75e9,
+                     outer_scale=500.0, min_height=800.0, n_layers=6)
+    assert atm.outer_scale == 500.0 and atm.min_height == 800.0
+
+    from maria_tpu.sim.params import parse_sim_kwargs
+
+    parsed = parse_sim_kwargs({"outer_scale": 500.0, "min_height": 800.0})
+    assert parsed["atmosphere"] == {"outer_scale": 500.0, "min_height": 800.0}
+
+
+def test_min_height_shifts_layers():
+    import maria_tpu
+    from maria_tpu.atmosphere.layers import generate_layers
+
+    plan = maria_tpu.get_plan("five_second_stare", start_time=1.75e9,
+                              scan_center=(60.0, 45.0))
+    sim = maria_tpu.Simulation(instrument="test/1deg", plans=plan,
+                               site="chajnantor", atmosphere="3d",
+                               noise=False, min_height=1000.0, n_layers=5)
+    atm = sim.obs_list[0].atmosphere
+    assert float(atm.layers.h.min()) >= 1000.0
