@@ -111,3 +111,44 @@ class Timer:
         if self.logger is not None:
             self.logger.debug(f"{self.message} in {humanize_time(self.duration)}")
         return False
+
+
+# -- sexagesimal angles (reference: maria/utils/coords.py) -----------------------
+def dms_to_rad(d: float = 0, m: float = 0, s: float = 0) -> float:
+    """Degrees/arcminutes/arcseconds -> radians."""
+    return np.radians(d + m / 60 + s / 3600)
+
+
+def hms_to_rad(h: float = 0, m: float = 0, s: float = 0) -> float:
+    """Hours/minutes/seconds of right ascension -> radians."""
+    return np.radians(15 * (h + m / 60 + s / 3600))
+
+
+def deg_to_signed_dms(x: float, precision: int = 6):
+    """Degrees -> (sign, deg, arcmin, arcsec)."""
+    x = round(float(x), precision)
+    sign = -1 if x < 0 else 1
+    mnt, sec = divmod(abs(x) * 3600, 60)
+    deg, mnt = divmod(mnt, 60)
+    return int(sign), int(deg), int(mnt), sec
+
+
+def deg_to_signed_hms(x: float, precision: int = 6):
+    """Degrees -> (sign, hours, minutes, seconds) of right ascension."""
+    x = round(float(x), precision)
+    sign = -1 if x < 0 else 1
+    mnt, sec = divmod(abs(x) * 3600 / 15, 60)
+    hrs, mnt = divmod(mnt, 60)
+    return int(sign), int(hrs), int(mnt), sec
+
+
+def great_circle_distance(phi1, theta1, phi2, theta2):
+    """Haversine angular separation between (lon, lat) points in rad
+    (reference: maria/utils/functions.py)."""
+    dphi = np.asarray(phi2) - np.asarray(phi1)
+    dtheta = np.asarray(theta2) - np.asarray(theta1)
+    hav = (
+        np.sin(dtheta / 2) ** 2
+        + np.cos(theta1) * np.cos(theta2) * np.sin(dphi / 2) ** 2
+    )
+    return 2 * np.arcsin(np.sqrt(np.clip(hav, 0.0, 1.0)))

@@ -75,3 +75,27 @@ def test_angle_display():
 def test_humanize():
     assert "GHz" in repr(Quantity(90e9, "Hz"))
     assert "mm" in repr(Quantity(2e-3, "m"))
+
+
+def test_sexagesimal_helpers():
+    from maria_tpu.utils import (
+        deg_to_signed_dms,
+        deg_to_signed_hms,
+        dms_to_rad,
+        great_circle_distance,
+        hms_to_rad,
+    )
+
+    assert np.isclose(np.degrees(dms_to_rad(12, 30, 0)), 12.5)
+    assert np.isclose(np.degrees(hms_to_rad(1, 0, 0)), 15.0)
+    sign, d, m, sec = deg_to_signed_dms(-12.5125)
+    assert (sign, d, m) == (-1, 12, 30) and np.isclose(sec, 45.0)
+    # round trip
+    assert np.isclose(dms_to_rad(d, m, sec), np.radians(12.5125))
+    sign, h, hm, hs = deg_to_signed_hms(15.25)
+    assert (sign, h, hm) == (1, 1, 1) and np.isclose(hs, 0.0)
+    # great-circle: quarter turn along the equator
+    assert np.isclose(great_circle_distance(0.0, 0.0, np.pi / 2, 0.0), np.pi / 2)
+    # small-angle consistency
+    assert np.isclose(great_circle_distance(0.0, 1.0, 1e-6, 1.0),
+                      1e-6 * np.cos(1.0), rtol=1e-6)
