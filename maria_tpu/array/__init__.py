@@ -63,6 +63,17 @@ class Array:
         name = c.pop("name", str(uuid.uuid4())[:8])
         c.pop("description", None)
 
+        # CSV detector tables: columns become per-detector kwargs
+        # (reference array/array.py:326-334); paths resolve against the
+        # package's array directory first, then the filesystem
+        if "file" in c:
+            file = c.pop("file")
+            path = file if os.path.exists(file) else os.path.join(here, file)
+            table = pd.read_csv(path)
+            for col in table.columns:
+                if col not in ("pad", "det_index") and not col.startswith("Unnamed"):
+                    c.setdefault(col, table[col].values)
+
         bands = BandList([parse_band(b) for b in c.pop("bands")]) if "bands" in c else None
         if bands is None and "band" in c:
             bands = BandList([parse_band(c.pop("band"))])
@@ -78,10 +89,21 @@ class Array:
                 if param in c:
                     c[param] = np.radians(np.asarray(c[param], dtype=float))
 
+        baselines = {
+            k: np.atleast_1d(np.asarray(c.pop(k), dtype=float))
+            for k in ("baseline_x", "baseline_y", "baseline_z")
+            if k in c
+        }
+        c.pop("band_name", None)  # per-det band names: bands list governs
+
         if "xi" in c and "eta" in c:
             offsets = np.stack(
                 [np.atleast_1d(c.pop("xi")), np.atleast_1d(c.pop("eta"))], axis=-1
             )
+        elif baselines:
+            # baseline-only tables (interferometer pads): co-pointed
+            # antennas, zero focal-plane offsets
+            offsets = np.zeros((len(next(iter(baselines.values()))), 2))
         else:
             max_resolution = max(
                 compute_angular_fwhm(primary_size, z=np.inf, nu=band.center) for band in bands
@@ -114,9 +136,9 @@ class Array:
                 "base_det_index": np.arange(n),
                 "xi": offsets[:, 0],
                 "eta": offsets[:, 1],
-                "baseline_x": np.zeros(n),
-                "baseline_y": np.zeros(n),
-                "baseline_z": np.zeros(n),
+                "baseline_x": baselines.get("baseline_x", np.zeros(n)),
+                "baseline_y": baselines.get("baseline_y", np.zeros(n)),
+                "baseline_z": baselines.get("baseline_z", np.zeros(n)),
                 "primary_size": float(np.mean(primary_size)) * np.ones(n),
                 "bath_temp": float(c.pop("bath_temp", 0.0)) * np.ones(n),
             }

@@ -58,7 +58,23 @@ class Instrument:
         if "array" in c:
             array_configs[name or "array"] = c.pop("array")
         if "arrays" in c:
-            array_configs.update(c.pop("arrays"))
+            arrs = c.pop("arrays")
+            if isinstance(arrs, dict):
+                array_configs.update(arrs)
+            else:
+                # list form: names resolved through the array registry
+                # (reference instrument configs, e.g. apex.yml "arrays: [apex/saboca]")
+                from ..array import ARRAY_CONFIGS
+
+                for entry in arrs:
+                    if isinstance(entry, str):
+                        if entry not in ARRAY_CONFIGS:
+                            raise KeyError(
+                                f"Unknown array '{entry}' (known: {sorted(ARRAY_CONFIGS)})."
+                            )
+                        array_configs[entry] = ARRAY_CONFIGS[entry]
+                    else:
+                        array_configs[entry.get("name", f"array-{len(array_configs)}")] = entry
         arrays = [
             cfg if isinstance(cfg, Array) else Array.from_config({"name": key, **cfg})
             for key, cfg in array_configs.items()

@@ -157,3 +157,26 @@ def test_min_height_shifts_layers():
                                noise=False, min_height=1000.0, n_layers=5)
     atm = sim.obs_list[0].atmosphere
     assert float(atm.layers.h.min()) >= 1000.0
+
+
+def test_array_registry_and_new_instruments():
+    """Named arrays resolve through the registry (reference
+    maria/array/configs/*), incl. CSV pad tables and instruments built
+    from registry-name lists."""
+    import maria_tpu
+
+    assert {"act/pa4", "alma/cycle-1", "apex/saboca", "apex/artemis", "so/sat-wafer"} <= set(
+        maria_tpu.all_arrays
+    )
+    alma = maria_tpu.get_array("alma/cycle-1")
+    assert alma.n == 43
+    # co-pointed antennas with nonzero pad baselines
+    assert np.allclose(alma.offsets, 0.0)
+    assert np.abs(alma.dets.baseline_x).max() > 50
+
+    for name, n in (("ABS", 250), ("saboca", 37), ("artemis", 2304)):
+        inst = maria_tpu.get_instrument(name)
+        assert inst.dets.n == n, name
+    assert maria_tpu.get_instrument("AdvACT").dets.n == 3 * 2 * 2 * 397
+    assert maria_tpu.get_instrument("TolTEC").dets.n == 2 * (586 + 1266 + 2006)
+    assert maria_tpu.get_instrument("AtLAST-SZ_mini").dets.n > 1000
