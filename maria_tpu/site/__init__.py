@@ -29,6 +29,14 @@ SITE_CONFIGS = {
     "meerkat": {"aliases": [], "region": "meerkat", "altitude": 1075, "description": "MeerKAT"},
     "summit_camp": {"aliases": ["summit_station"], "region": "summit_camp", "altitude": 3202, "description": "Summit Station, Greenland"},
     "teide": {"aliases": [], "region": "teide", "altitude": 2390, "description": "Teide Observatory"},
+    "alicpt": {"aliases": [], "region": "ngari", "altitude": 5250, "description": "Ali CMB Polarization Telescope, Tibet"},
+    "amundsen_scott": {"aliases": [], "region": "south_pole", "altitude": 2835, "description": "Amundsen-Scott South Pole Station"},
+    "cerro_chajnantor": {"aliases": [], "region": "chajnantor", "altitude": 5612, "description": "Cerro Chajnantor summit (TAO/FYST)"},
+    "cerro_toco": {"aliases": [], "region": "chajnantor", "altitude": 5300, "description": "Cerro Toco (ACT/CLASS/SO site)"},
+    "llano_de_chajnantor": {"aliases": [], "region": "chajnantor", "altitude": 5064, "description": "Llano de Chajnantor plateau"},
+    "pituffik": {"aliases": [], "region": "thule", "altitude": 76, "description": "Pituffik Space Base, Greenland"},
+    "qitai": {"aliases": [], "region": "qitai", "altitude": 1800, "description": "Qitai Radio Telescope, Xinjiang"},
+    "very_large_array": {"aliases": ["vla"], "region": "san_agustin", "altitude": 2124, "description": "Very Large Array"},
 }
 
 all_sites = sorted(SITE_CONFIGS)
