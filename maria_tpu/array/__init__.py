@@ -68,7 +68,8 @@ class Array:
         # package's array directory first, then the filesystem
         if "file" in c:
             file = c.pop("file")
-            path = file if os.path.exists(file) else os.path.join(here, file)
+            packaged = os.path.join(here, file)
+            path = packaged if os.path.exists(packaged) else file
             table = pd.read_csv(path)
             for col in table.columns:
                 if col not in ("pad", "det_index") and not col.startswith("Unnamed"):

@@ -72,8 +72,11 @@ def generate_layers(
             # correlation lives in the cross-spectra, so layers only
             # discretize the pwv-variance integral (thin near the ground
             # where the boundary-layer profile concentrates turbulence)
-            h0 = max(float(res_func(0.0)), min_height or 0.0)
-            h_boundaries = np.concatenate([[min_height or 0.0], np.geomspace(h0, max_height, n_layers)])
+            base = min_height or 0.0
+            # first slab starts one resolution above the base so the
+            # boundaries are strictly increasing (no zero-thickness layer)
+            h0 = base + float(res_func(base))
+            h_boundaries = np.concatenate([[base], np.geomspace(h0, max_height, n_layers)])
         else:
             # resolution-matched stack (the AR model's isotropic grid)
             h_list = [0.0]

@@ -119,6 +119,7 @@ class HEALPixMap(Map):
             f.attrs["stokes"] = self.stokes
             f.attrs["units"] = self.units
             f.attrs["frame"] = self.frame
+            f.attrs["axis3_label"] = self.axis3_label
             f.create_dataset("nu", data=self.nu)
             f.create_dataset("t", data=self.t)
 

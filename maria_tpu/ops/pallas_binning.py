@@ -69,8 +69,9 @@ def _kernel(origins_ref, d_ref, ly_ref, lx_ref, out_ref, acc_ref, *, wy, n_x, n_
     # process the tile in row sub-slices so the VMEM-resident hats stay
     # small; MUST be a fori_loop — a Python loop unrolls and the compiler
     # keeps every iteration's hats alive, blowing the 16 MB scoped-vmem
-    # budget (the AOT helper crashes rather than erroring)
-    R = min(32, n_rows)
+    # budget (the AOT helper crashes rather than erroring). R must divide
+    # n_rows exactly or the tail rows would be silently dropped.
+    R = next(r for r in range(min(32, n_rows), 0, -1) if n_rows % r == 0)
     N = R * _LANE
     # y-hats built directly TRANSPOSED (wy, N) so the dot is in standard
     # (M,K)@(K,N) orientation — contraction on lhs dim 0 makes Mosaic

@@ -45,6 +45,17 @@ def map_offsets(input_map, pointing):
     return phi_theta_to_offsets_jit(pt, input_map.center[0], input_map.center[1])
 
 
+def check_map_observable(input_map):
+    """Multi-slice z/v cubes cannot be observed (only time-labeled maps
+    interpolate over the scan); shared by the fused-program and mixin
+    entry points."""
+    if input_map.axis3_label != "t" and len(input_map.t) > 1:
+        raise NotImplementedError(
+            f"Observing a multi-slice '{input_map.axis3_label}' cube is not supported; "
+            f"pass one slice (e.g. map.data[:, :, i:i+1]) or a time-labeled map."
+        )
+
+
 def static_map_samples(input_map, band, band_idx, obs, bilinear: bool = True):
     """Host/build-time static sky timelines for the fused program's map
     stage: per overlapping frequency channel, the Stokes-weighted,
@@ -65,13 +76,9 @@ def static_map_samples(input_map, band, band_idx, obs, bilinear: bool = True):
     pointing = Pointing(obs.boresight, obs.offsets[band_idx], obs.q)
     offsets = map_offsets(input_map, pointing)
 
+    check_map_observable(input_map)
     out = []
     n_frames = len(input_map.t)
-    if input_map.axis3_label != "t" and n_frames > 1:
-        raise NotImplementedError(
-            f"Observing a multi-slice '{input_map.axis3_label}' cube is not supported; "
-            f"pass one slice (e.g. map.data[:, :, i:i+1]) or a time-labeled map."
-        )
     channel_map = smoothed.to("K_RJ", band=band)
     for channel, (nu_min, nu_max) in enumerate(input_map.nu_bin_bounds):
         if (band.nu.max() < float(nu_min.Hz)) or (float(nu_max.Hz) < band.nu.min()):
@@ -124,11 +131,7 @@ class MapMixin:
             self.map = map
         else:
             raise ValueError("'map' must be either a Map or a string.")
-        if self.map.axis3_label != "t" and len(self.map.t) > 1:
-            raise NotImplementedError(
-                f"Observing a multi-slice '{self.map.axis3_label}' cube is not supported; "
-                f"pass one slice or a time-labeled map."
-            )
+        check_map_observable(self.map)
 
     def _map_offsets(self, obs, band_idx):
         """Tangent-plane offsets of each detector sample from the map

@@ -222,3 +222,15 @@ def test_sim_rejects_multislice_z_cube():
             instrument="test/1deg", plans=_plan(), site="chajnantor",
             atmosphere=None, noise=False, map=zmap,
         ).run()
+
+
+def test_healpix_zv_hdf_roundtrip(tmp_path):
+    from maria_tpu.map import read_hdf_map
+    from maria_tpu.map.healpix import HEALPixMap
+
+    data = np.random.default_rng(3).standard_normal((1, 1, 2, 12 * 4**2)).astype(np.float32)
+    m = HEALPixMap(data, z=[0.1, 0.5], units="K_CMB")
+    path = str(tmp_path / "zpix.h5")
+    m.to_hdf(path)
+    loaded = read_hdf_map(path)
+    assert loaded.axis3_label == "z" and np.allclose(loaded.z, [0.1, 0.5])

@@ -148,7 +148,6 @@ def test_atmosphere_outer_scale_and_min_height():
 
 def test_min_height_shifts_layers():
     import maria_tpu
-    from maria_tpu.atmosphere.layers import generate_layers
 
     plan = maria_tpu.get_plan("five_second_stare", start_time=1.75e9,
                               scan_center=(60.0, 45.0))
@@ -180,3 +179,18 @@ def test_array_registry_and_new_instruments():
     assert maria_tpu.get_instrument("AdvACT").dets.n == 3 * 2 * 2 * 397
     assert maria_tpu.get_instrument("TolTEC").dets.n == 2 * (586 + 1266 + 2006)
     assert maria_tpu.get_instrument("AtLAST-SZ_mini").dets.n > 1000
+
+
+def test_min_height_layers_strictly_increasing():
+    """min_height must not create a duplicated boundary (zero-thickness
+    layer that still draws pwv variance)."""
+    import maria_tpu
+
+    plan = maria_tpu.get_plan("five_second_stare", start_time=1.75e9,
+                              scan_center=(60.0, 45.0))
+    sim = maria_tpu.Simulation(instrument="test/1deg", plans=plan,
+                               site="chajnantor", atmosphere="3d",
+                               noise=False, min_height=1000.0, n_layers=5)
+    layers = sim.obs_list[0].atmosphere.layers
+    assert (layers.dh > 0).all()
+    assert float(layers.h.min()) >= 1000.0
