@@ -20,6 +20,7 @@ logger = logging.getLogger("maria_tpu")
 EXAMPLE_MAPS = {
     "cluster": {
         "description": "A beta-model galaxy-cluster decrement at 150 GHz",
+        "aliases": ["cluster1", "cluster2", "cluster3"],
         "width": 0.25,
         "n": 256,
         "units": "K_RJ",
@@ -41,7 +42,7 @@ EXAMPLE_MAPS = {
     },
     "galaxy": {
         "description": "An inclined exponential-disk galaxy with spiral arms",
-        "aliases": ["circinus_galaxy", "radio_galaxy"],
+        "aliases": ["circinus_galaxy", "radio_galaxy", "radio_galaxy_3C_288", "M51HA"],
         "width": 0.2,
         "n": 256,
         "units": "K_RJ",
@@ -49,7 +50,8 @@ EXAMPLE_MAPS = {
     },
     "dust": {
         "description": "Filamentary galactic dust (power-law random field)",
-        "aliases": ["30dor", "monoceros_R2", "orion_A"],
+        "aliases": ["30dor", "monoceros_R2", "orion_A", "crab_nebula", "M1",
+                    "12CO(2-1)", "einstein", "maria"],
         "width": 1.0,
         "n": 512,
         "units": "K_RJ",

@@ -234,3 +234,19 @@ def test_healpix_zv_hdf_roundtrip(tmp_path):
     m.to_hdf(path)
     loaded = read_hdf_map(path)
     assert loaded.axis3_label == "z" and np.allclose(loaded.z, [0.1, 0.5])
+
+
+def test_all_reference_map_names_resolve():
+    """Every example-map name the reference ships (maria/map/maps.txt)
+    must resolve to a synthetic equivalent offline."""
+    import maria_tpu.map as M
+
+    ref_names = [
+        "12CO(2-1)", "30dor", "M1", "M51HA", "circinus_galaxy", "cluster1",
+        "cluster2", "cluster3", "crab_nebula", "dust", "einstein", "maria",
+        "monoceros_R2", "orion_A", "protoplanetary_disk", "quasar_3C_286",
+        "radio_galaxy_3C_288", "time_evolving_sun",
+    ]
+    for n in ref_names:
+        m = M.get(n)
+        assert np.isfinite(np.asarray(m.data)).all(), n
