@@ -95,7 +95,17 @@ class Array:
             for k in ("baseline_x", "baseline_y", "baseline_z")
             if k in c
         }
-        c.pop("band_name", None)  # per-det band names: bands list governs
+        # explicit per-detector band assignment (reference PER_DET_KWARGS,
+        # array/array.py:28-37): detectors are NOT replicated per band
+        det_band_names = c.pop("band_name", None)
+        if det_band_names is not None:
+            det_band_names = np.atleast_1d(np.asarray(det_band_names, dtype=object))
+            unknown = set(det_band_names) - {b.name for b in bands}
+            if unknown:
+                raise ValueError(
+                    f"band_name values {sorted(unknown)} are not in bands "
+                    f"{[b.name for b in bands]}."
+                )
 
         if "xi" in c and "eta" in c:
             offsets = np.stack(
@@ -166,14 +176,23 @@ class Array:
             dets["gamma"] = np.nan
             dets["pol_label"] = "none"
 
-        # per-band replication (reference: array/array.py:496-502)
-        band_dets = []
-        for band in bands:
-            bd = dets.copy()
-            bd["band_name"] = band.name
-            bd["time_constant"] = band.time_constant
-            band_dets.append(bd)
-        dets = pd.concat(band_dets, ignore_index=True)
+        if det_band_names is not None:
+            # explicit assignment: one row per detector as supplied
+            # (polarization doubling above already duplicated rows, so
+            # tile the names to match)
+            reps = len(dets) // len(det_band_names)
+            dets["band_name"] = np.tile(det_band_names, reps)
+            tc = {b.name: b.time_constant for b in bands}
+            dets["time_constant"] = [tc[n] for n in dets.band_name]
+        else:
+            # per-band replication (reference: array/array.py:496-502)
+            band_dets = []
+            for band in bands:
+                bd = dets.copy()
+                bd["band_name"] = band.name
+                bd["time_constant"] = band.time_constant
+                band_dets.append(bd)
+            dets = pd.concat(band_dets, ignore_index=True)
         dets = dets.sort_values(["band_name", "base_det_index"], ignore_index=True)
         return cls(name=name, dets=dets, bands=bands)
 

@@ -194,3 +194,32 @@ def test_min_height_layers_strictly_increasing():
     layers = sim.obs_list[0].atmosphere.layers
     assert (layers.dh > 0).all()
     assert float(layers.h.min()) >= 1000.0
+
+
+def test_custom_array_with_per_detector_bands():
+    """Custom arrays may assign each detector its band explicitly
+    (reference PER_DET_KWARGS; docs usage/inputs/instruments/arrays/custom)."""
+    import pytest
+
+    from maria_tpu.array import Array
+    from maria_tpu.band import Band
+
+    f090 = Band(name="f090", center=90e9, width=20e9, NET_RJ=5e-5)
+    f150 = Band(name="f150", center=150e9, width=30e9, NET_RJ=5e-5)
+    xi = [0.0, 0.01, 0.02, 0.03]
+    eta = [0.0, 0.0, 0.01, 0.01]
+    arr = Array.from_config({
+        "bands": [f090, f150], "primary_size": 5,
+        "xi": xi, "eta": eta,
+        "band_name": ["f090", "f090", "f150", "f150"],
+    })
+    assert arr.n == 4  # NOT replicated per band
+    assert sorted(arr.dets.band_name) == ["f090", "f090", "f150", "f150"]
+    # detectors keep their own offsets
+    assert np.isclose(np.degrees(arr.offsets).max(), 0.03)
+
+    with pytest.raises(ValueError):
+        Array.from_config({
+            "bands": [f090], "primary_size": 5, "xi": xi, "eta": eta,
+            "band_name": ["f090", "nope", "f090", "f090"],
+        })
