@@ -71,6 +71,17 @@ class Pointing:
     def __getitem__(self, idx):
         return Pointing(self.boresight, self.offsets[idx], self.q)
 
+    def time_subset(self, idx):
+        """Pointing restricted to a time index/slice (frames recompute
+        lazily on the sliced boresight)."""
+        b = self.boresight
+        nb = Coordinates(
+            phi=np.asarray(b._phi)[idx], theta=np.asarray(b._theta)[idx],
+            t=np.asarray(b.t)[idx], earth_location=b.earth_location,
+            frame=b.frame.name,
+        )
+        return Pointing(nb, self.offsets, self.q[idx])
+
 
 class TOD:
     def __init__(
@@ -151,13 +162,21 @@ class TOD:
         return np.asarray(self.pointing.boresight.el)
 
     def __getitem__(self, idx):
-        """Detector subset (reference tod.py:188-222)."""
+        """Detector (and optionally time) subset: `tod["f090"]`,
+        `tod[mask]`, `tod[::2, :10000]` (reference tod.py:188-222,470)."""
+        time_idx = None
+        if isinstance(idx, tuple):
+            if len(idx) > 2:
+                raise IndexError(f"A TOD has 2 axes (det, time); got {len(idx)} indices.")
+            idx, time_idx = (idx + (None,))[:2]
         if isinstance(idx, str):
             idx = self.dets.band_name == idx
+        if isinstance(idx, slice):
+            idx = np.arange(self.shape[0])[idx]
         idx = np.atleast_1d(idx)
         if idx.dtype == bool:
             idx = np.where(idx)[0]
-        return TOD(
+        out = TOD(
             data={k: v[idx] for k, v in self.data.items()},
             pointing=self.pointing[idx] if self.pointing is not None else None,
             weight=self.weight[idx],
@@ -165,6 +184,25 @@ class TOD:
             dets=self.dets.subset(np.isin(np.arange(self.dets.n), idx)) if self.dets is not None else None,
             metadata=self.metadata,
         )
+        if time_idx is not None:
+            if not isinstance(time_idx, slice):
+                time_idx = np.atleast_1d(time_idx)
+            out = TOD(
+                data={k: v[:, time_idx] for k, v in out.data.items()},
+                pointing=out.pointing.time_subset(time_idx) if out.pointing is not None else None,
+                weight=out.weight[:, time_idx],
+                units=out.units,
+                dets=out.dets,
+                metadata=out.metadata,
+            )
+        return out
+
+    def get_field(self, field: str):
+        """One simulated component, e.g. tod.get_field("atmosphere")
+        (reference docs usage/tods)."""
+        if field not in self.data:
+            raise KeyError(f"No field '{field}' (available: {sorted(self.data)}).")
+        return self.data[field]
 
     def subset(self, det_mask=None, time_range=None):
         out = self[det_mask] if det_mask is not None else self

@@ -54,3 +54,24 @@ def test_tod_splits(tod):
     assert len(splits) >= 1
     for s, e in splits:
         assert 0 <= s < e <= tod.shape[-1]
+
+
+def test_tod_2d_slicing_and_get_field(tod):
+    n_det, n_t = tod.shape
+
+    sub = tod[::2, : n_t // 2]
+    assert sub.shape == ((n_det + 1) // 2, n_t // 2)
+    assert len(sub.pointing.t) == n_t // 2
+    np.testing.assert_allclose(
+        np.asarray(sub.signal), np.asarray(tod.signal)[::2, : n_t // 2]
+    )
+    # time axis of the sliced pointing matches
+    np.testing.assert_allclose(np.asarray(sub.time), np.asarray(tod.time)[: n_t // 2])
+
+    atm = tod.get_field("atmosphere")
+    assert np.asarray(atm).shape == (n_det, n_t)
+    try:
+        tod.get_field("nope")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
