@@ -152,6 +152,21 @@ class Band:
             self.NET_RJ = 50e-6
 
     # -- derived spectral properties ------------------------------------------
+    def to_config(self) -> dict:
+        """Reconstruction dict: Band(**band.to_config()) round-trips the
+        explicit passband and noise/readout parameters."""
+        return {
+            "name": self.name,
+            "nu": np.asarray(self.nu, dtype=float).tolist(),
+            "tau": np.asarray(self.tau, dtype=float).tolist(),
+            "efficiency": float(self.efficiency),
+            "NEP": float(self.NEP),
+            "NEP_per_loading": float(self.NEP_per_loading),
+            "gain_error": float(self.gain_error),
+            "knee": float(self.knee),
+            "time_constant": float(self.time_constant),
+        }
+
     @property
     def center(self) -> float:
         """Band center in Hz (tau-weighted mean)."""

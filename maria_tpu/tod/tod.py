@@ -303,6 +303,88 @@ class TOD:
         return out
 
     # -- i/o --------------------------------------------------------------------
+    def to_hdf(self, fname: str):
+        """Full-fidelity HDF5 round trip: per-field data, weights, the
+        factorized pointing (boresight + offsets + q), detector table and
+        metadata. (The reference documents tod.to_hdf but ships it
+        commented out, maria/tod/tod.py:361-363; this one works.)"""
+        import json
+
+        import h5py
+
+        with h5py.File(fname, "w") as f:
+            g = f.create_group("data")
+            for k, v in self.data.items():
+                g.create_dataset(k, data=np.asarray(v))
+            f.create_dataset("weight", data=np.asarray(self.weight))
+            f.attrs["units"] = self.units
+            f.attrs["metadata"] = json.dumps(self.metadata, default=float)
+            if self.pointing is not None:
+                b = self.pointing.boresight
+                p = f.create_group("pointing")
+                p.create_dataset("phi", data=np.asarray(b._phi))
+                p.create_dataset("theta", data=np.asarray(b._theta))
+                p.create_dataset("t", data=np.asarray(b.t))
+                p.create_dataset("offsets", data=np.asarray(self.pointing.offsets))
+                p.create_dataset("q", data=np.asarray(self.pointing.q))
+                p.attrs["frame"] = b.frame.name
+                p.attrs["lat_deg"] = b.earth_location.lat_deg
+                p.attrs["lon_deg"] = b.earth_location.lon_deg
+                p.attrs["height_m"] = b.earth_location.height_m
+            if self.dets is not None:
+                d = f.create_group("dets")
+                d.attrs["table"] = self.dets.dets.to_json()
+                d.attrs["name"] = self.dets.name
+                d.attrs["bands"] = json.dumps(
+                    [b.to_config() for b in self.dets.bands]
+                    if hasattr(self.dets.bands[0], "to_config")
+                    else [b.name for b in self.dets.bands]
+                )
+
+    @classmethod
+    def from_hdf(cls, fname: str) -> "TOD":
+        import json
+
+        import h5py
+        import pandas as pd
+
+        from ..band import BandList, parse_band
+        from ..coords.earth import EarthLocation
+
+        with h5py.File(fname, "r") as f:
+            data = {k: np.array(v) for k, v in f["data"].items()}
+            weight = np.array(f["weight"])
+            units = str(f.attrs["units"])
+            metadata = json.loads(f.attrs["metadata"])
+            pointing = None
+            if "pointing" in f:
+                p = f["pointing"]
+                boresight = Coordinates(
+                    phi=np.array(p["phi"]), theta=np.array(p["theta"]),
+                    t=np.array(p["t"]),
+                    earth_location=EarthLocation(
+                        lat_deg=float(p.attrs["lat_deg"]),
+                        lon_deg=float(p.attrs["lon_deg"]),
+                        height_m=float(p.attrs["height_m"]),
+                    ),
+                    frame=str(p.attrs["frame"]),
+                )
+                pointing = Pointing(boresight, np.array(p["offsets"]), np.array(p["q"]))
+            dets = None
+            if "dets" in f:
+                from ..array import Array
+
+                from io import StringIO
+
+                table = pd.read_json(StringIO(str(f["dets"].attrs["table"])))
+                band_spec = json.loads(f["dets"].attrs["bands"])
+                bands = BandList([parse_band(b) for b in band_spec])
+                dets = Array(name=str(f["dets"].attrs["name"]), dets=table, bands=bands)
+        return cls(
+            data=data, pointing=pointing, weight=weight, units=units,
+            dets=dets, metadata=metadata,
+        )
+
     def to_fits(self, fname: str, format: str = "MUSTANG-2"):
         """Serialize in the MUSTANG-2 TOD format
         (reference: maria/tod/tod.py:291-359)."""

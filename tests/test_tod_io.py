@@ -75,3 +75,23 @@ def test_tod_2d_slicing_and_get_field(tod):
         raise AssertionError("expected KeyError")
     except KeyError:
         pass
+
+
+def test_tod_hdf_roundtrip(tod, tmp_path):
+    """Full-fidelity HDF round trip (the reference documents to_hdf but
+    ships it commented out, maria/tod/tod.py:361-363)."""
+    from maria_tpu.tod.tod import TOD
+
+    p = str(tmp_path / "tod.h5")
+    tod.to_hdf(p)
+    back = TOD.from_hdf(p)
+
+    assert back.units == tod.units
+    assert sorted(back.fields) == sorted(tod.fields)
+    np.testing.assert_allclose(np.asarray(back.signal), np.asarray(tod.signal), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.time), np.asarray(tod.time))
+    np.testing.assert_allclose(back.pointing.offsets, tod.pointing.offsets)
+    assert list(back.dets.band_name) == list(tod.dets.band_name)
+    # calibration still works on the reloaded TOD
+    pw = back.to("pW")
+    assert np.isfinite(np.asarray(pw.signal)).all()
