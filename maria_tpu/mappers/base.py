@@ -14,7 +14,7 @@ import numpy as np
 
 from ..coords import Frame
 from ..map.projection import ProjectionMap
-from ..units import Quantity
+from ..units import Quantity, parse_units
 
 logger = logging.getLogger("maria_tpu")
 
@@ -37,6 +37,14 @@ class BaseMapper:
     ):
         self.frame = Frame(frame)
         self.units = units
+        # TODs can only carry power/temperature quantities; for map-only
+        # units (Jy/pixel, ...) accumulate in K_RJ and convert the final
+        # map (reference base.py:46-54)
+        from ..tod.tod import VALID_TOD_QUANTITIES
+
+        self.tod_units = (
+            units if parse_units(units).quantity in VALID_TOD_QUANTITIES else "K_RJ"
+        )
         self.t_bins = t_bins
         self.progress_bars = progress_bars
         self.map_postprocessing = dict(map_postprocessing)
@@ -115,9 +123,9 @@ class BaseMapper:
             processed = tod.process(**preprocessing)
         else:
             processed = tod
-        if processed.units != self.units:
+        if processed.units != self.tod_units:
             # processing collapses fields into 'signal'; keep dets/pointing
-            processed = processed.to(self.units) if processed.dets is not None else processed
+            processed = processed.to(self.tod_units) if processed.dets is not None else processed
         self.tods.append(processed)
 
     def postprocess(self, sums, weights):
@@ -145,7 +153,7 @@ class BaseMapper:
         return m, weights
 
     def make_map(self, data, weights) -> ProjectionMap:
-        return ProjectionMap(
+        out = ProjectionMap(
             data=jnp.asarray(np.nan_to_num(data), dtype=jnp.float32),
             weight=jnp.asarray(weights, dtype=jnp.float32),
             center=np.degrees(self.center),
@@ -154,6 +162,9 @@ class BaseMapper:
             stokes=self.stokes,
             nu=self.nu,
             t=self.t_centers,
-            units=self.units,
+            units=self.tod_units,
             degrees=True,
         )
+        if self.units != self.tod_units:
+            out = out.to(self.units)
+        return out

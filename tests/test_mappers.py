@@ -102,3 +102,15 @@ def test_map_io_roundtrip(tmp_path):
     m3 = load(pf)
     assert m3.data.shape[-2:] == m.data.shape[-2:]
     assert np.allclose(np.asarray(m3.data), np.asarray(m.data), atol=1e-9)
+
+
+def test_mapper_map_only_units(recovery):
+    """Map-only units (Jy/pixel): TODs accumulate in K_RJ and the final
+    map converts (reference base.py:46-54)."""
+    _, tod, _ = recovery
+    from maria_tpu.mappers import BinMapper
+
+    out = BinMapper([tod], frame="ra/dec", units="Jy/pixel").run()
+    assert out.units == "Jy/pixel"
+    w = np.asarray(out.weight)
+    assert (w > 0).any() and np.isfinite(np.nan_to_num(np.asarray(out.data))).all()
