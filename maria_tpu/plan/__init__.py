@@ -34,5 +34,15 @@ def get_plan_config(plan_name: str = "ten_second_zenith_stare", **kwargs) -> dic
     return config
 
 
-def get_plan(plan_name: str = "ten_second_zenith_stare", **kwargs) -> Plan:
+def get_plan(plan_name: str = None, **kwargs) -> Plan:
+    """A Plan from the registry, or built directly from kwargs when no
+    name is given (the reference's get_plan accepts bare kwargs, e.g.
+    get_plan(scan_pattern="stare", duration=60, ...))."""
+    if "pointing_frame" in kwargs:  # reference alias (docs usage/inputs/plans)
+        kwargs["frame"] = kwargs.pop("pointing_frame")
+    if plan_name is None:
+        if not kwargs:
+            plan_name = "ten_second_zenith_stare"
+        else:
+            return Plan.generate(**kwargs)
     return Plan.generate(**get_plan_config(plan_name, **kwargs))

@@ -44,16 +44,25 @@ class Planner:
         frame: str = "ra/dec",
         constraints: dict = None,
     ):
-        """`target` is (phi, theta) in degrees in `frame`; constraints may
-        include el_range, az_range (degrees), local_hour_range, and
-        min_sun_distance (degrees)."""
+        """`target` is (phi, theta) in degrees in `frame`, or a Map whose
+        center is used (reference docs usage/inputs/plans). Constraints
+        may include el_range/az_range (degrees), local_hour_range, and
+        min_sun_distance (degrees); the reference's doc aliases "el",
+        "az" and "hour" are accepted."""
         self.site = get_site(site) if isinstance(site, str) else site
+        from ..map.base import Map
+
+        if isinstance(target, Map):
+            frame = getattr(target, "frame", frame)
+            target = np.degrees(target.center)
         self.target = np.radians(np.asarray(target, dtype=float))
         self.frame = frame
+        aliases = {"el": "el_range", "az": "az_range", "hour": "local_hour_range"}
+        constraints = {aliases.get(k, k): v for k, v in (constraints or {}).items()}
         self.constraints = {
             "el_range": (30.0, 85.0),
             "min_sun_distance": 20.0,
-            **(constraints or {}),
+            **constraints,
         }
 
     def _target_azel(self, t):
@@ -97,6 +106,14 @@ class Planner:
             ok &= np.arccos(np.clip(cos_d, -1, 1)) >= min_sun
 
         return ok
+
+    def generate_plan(self, total_duration: float = 600.0, **kwargs) -> "Plan":
+        """One feasible Plan of `total_duration` seconds (the reference
+        docs' singular form); chunking is disabled."""
+        plans = self.generate_plans(
+            total_duration=total_duration, chunk_duration=total_duration, **kwargs
+        )
+        return plans[0]
 
     def generate_plans(
         self,

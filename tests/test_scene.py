@@ -223,3 +223,27 @@ def test_custom_array_with_per_detector_bands():
             "bands": [f090], "primary_size": 5, "xi": xi, "eta": eta,
             "band_name": ["f090", "nope", "f090", "f090"],
         })
+
+
+def test_planner_doc_workflows():
+    """Reference-docs Planner forms: Map target, constraint aliases,
+    singular generate_plan, kwargs-only get_plan with pointing_frame."""
+    import maria_tpu
+
+    input_map = maria_tpu.map.get("crab_nebula", center=(150.0, 10.0))
+    planner = maria_tpu.Planner(
+        target=input_map, site="green_bank",
+        constraints={"el": (40, 90), "min_sun_distance": 20, "hour": (6, 18)},
+    )
+    assert planner.constraints["el_range"] == (40, 90)
+    plan = planner.generate_plan(
+        start_time=1.75e9, total_duration=120, sample_rate=20,
+        scan_pattern="daisy", scan_options={"radius": 0.1},
+    )
+    assert float(plan.duration.s) >= 119
+
+    stare = maria_tpu.get_plan(
+        start_time="2022-02-10T06:00:00", scan_pattern="stare",
+        duration=60, sample_rate=20, pointing_frame="az/el", scan_center=(0, 90),
+    )
+    assert abs(float(stare.duration.s) - 60) < 1
