@@ -246,14 +246,23 @@ def read_fits_map(path: str, index: int = 0, **kwargs):
     header, data = hdus[index]
     res = abs(header.get("CDELT1", header.get("CD1_1", np.nan)))
     center = (header.get("CRVAL1", 0.0), header.get("CRVAL2", 0.0))
-    nu = header.get("RESTFRQ", kwargs.get("nu", 150e9))
-    units = kwargs.get("units", header.get("BUNIT", "K_RJ"))
+    nu = header.get("RESTFRQ", 150e9)
+    units = header.get("BUNIT", "K_RJ")
     frame = "ra/dec" if str(header.get("CTYPE1", "RA")).startswith("RA") else "az/el"
     data = np.asarray(data, dtype=np.float32)
     # flip x so ascending pixel index = ascending tangent-plane dx
     if header.get("CDELT1", -1) < 0:
         data = data[..., ::-1]
-    return ProjectionMap(
+    # explicit kwargs override inferred metadata (reference docs
+    # usage/inputs/maps: load("f.fits", width=1, units="uK_RJ", nu=150e9))
+    kw = dict(
         data=data, center=center, resolution=res, frame=frame,
         nu=np.atleast_1d(nu), units=units, degrees=True,
     )
+    if "width" in kwargs or "height" in kwargs:
+        kw.pop("resolution", None)
+    if "nu" in kwargs:
+        kwargs["nu"] = np.atleast_1d(kwargs["nu"])
+    kw.update(kwargs)
+    kw.pop("index", None)
+    return ProjectionMap(**kw)

@@ -200,7 +200,9 @@ def load(path: str, **kwargs) -> Map:
     raise ValueError(f"Cannot infer map format from '{path}'.")
 
 
-def read_hdf_map(path: str, **kwargs) -> Map:
+def read_hdf_map(path: str, **overrides) -> Map:
+    """Explicit kwargs override any metadata inferred from the file
+    (reference docs usage/inputs/maps)."""
     import h5py
 
     with h5py.File(path, "r") as f:
@@ -211,7 +213,7 @@ def read_hdf_map(path: str, **kwargs) -> Map:
         weight = f["weight"][:] if "weight" in f else None
     axis3 = {str(attrs.get("axis3_label", "t")): t}
     if "resolution_deg" in attrs:
-        return ProjectionMap(
+        kw = dict(
             data=data,
             weight=weight,
             center=attrs["center_deg"],
@@ -223,7 +225,13 @@ def read_hdf_map(path: str, **kwargs) -> Map:
             degrees=True,
             **axis3,
         )
-    return HEALPixMap(
+        if "width" in overrides or "height" in overrides:
+            kw.pop("resolution", None)
+        kw.update(overrides)
+        return ProjectionMap(**kw)
+    kw = dict(
         data=data, frame=attrs.get("frame", "galactic"), stokes=attrs.get("stokes"),
         nu=nu, units=attrs.get("units", "K_CMB"), **axis3,
     )
+    kw.update(overrides)
+    return HEALPixMap(**kw)

@@ -170,8 +170,27 @@ class Map:
             raise ValueError(f"Cannot squeeze dim '{dim}' of size {self.data.shape[axis]}.")
         return self  # dims are always carried explicitly; squeeze is a no-op view
 
-    def unsqueeze(self, dim: str) -> "Map":
-        return self  # all three slice dims always exist in this implementation
+    def unsqueeze(self, dim: str, value=None) -> "Map":
+        """All slice dims always exist here, so unsqueezing only assigns
+        the coordinate value when one is given — e.g.
+        `m.unsqueeze("nu", 150e9)` tags a frequency-less map with its
+        frequency (reference docs usage/inputs/maps)."""
+        if value is None:
+            return self
+        axis = {"stokes": 0, "nu": 1, "t": 2, "z": 2, "v": 2}[dim]
+        if self.data.shape[axis] != 1:
+            raise ValueError(
+                f"Cannot assign a single {dim}={value} to a {dim} axis of "
+                f"size {self.data.shape[axis]}."
+            )
+        if dim == "nu":
+            return self._replace(nu=np.atleast_1d(float(value)))
+        if dim == "stokes":
+            return self._replace(stokes=str(value))
+        out = self._replace()
+        out.axis3_label = dim
+        out.t = np.atleast_1d(float(value))
+        return out
 
     @property
     def dims(self):

@@ -250,3 +250,35 @@ def test_all_reference_map_names_resolve():
     for n in ref_names:
         m = M.get(n)
         assert np.isfinite(np.asarray(m.data)).all(), n
+
+
+def test_map_load_overrides_and_unsqueeze(tmp_path):
+    """Explicit kwargs to map.load override file metadata; unsqueeze
+    with a value tags a singleton axis (reference docs usage/inputs/maps)."""
+    import maria_tpu.map as M
+    from maria_tpu.map.projection import ProjectionMap
+
+    m = M.get("cluster", center=(150.0, 10.0))
+    fpath = str(tmp_path / "m.fits")
+    hpath = str(tmp_path / "m.h5")
+    m.to_fits(fpath)
+    m.to_hdf(hpath)
+
+    # width override rescales; nu/units overrides reinterpret
+    m2 = M.load(fpath, width=1.0, units="uK_RJ", nu=90e9)
+    assert np.isclose(np.degrees(m2.width), 1.0)
+    assert m2.units == "uK_RJ" and np.isclose(m2.nu[0], 90e9)
+    m3 = M.load(hpath, units="mK_RJ")
+    assert m3.units == "mK_RJ"
+
+    # unsqueeze with values
+    tagged = m.unsqueeze("nu", 220e9)
+    assert np.isclose(tagged.nu[0], 220e9)
+    ztagged = m.unsqueeze("z", 0.5)
+    assert ztagged.axis3_label == "z" and np.isclose(ztagged.z[0], 0.5)
+    import pytest
+
+    multi = ProjectionMap(np.ones((1, 2, 1, 8, 8)), center=(0, 0), resolution=0.01,
+                          nu=[90e9, 150e9])
+    with pytest.raises(ValueError):
+        multi.unsqueeze("nu", 90e9)
