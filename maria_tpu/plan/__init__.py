@@ -45,4 +45,8 @@ def get_plan(plan_name: str = None, **kwargs) -> Plan:
             plan_name = "ten_second_zenith_stare"
         else:
             return Plan.generate(**kwargs)
+    if plan_name not in PLAN_CONFIGS and plan_name in SCAN_PATTERNS:
+        # bare pattern name, e.g. Simulation(plans="stare")
+        # (reference docs usage/getting-started)
+        return Plan.generate(scan_pattern=plan_name, **kwargs)
     return Plan.generate(**get_plan_config(plan_name, **kwargs))

@@ -247,3 +247,16 @@ def test_planner_doc_workflows():
         duration=60, sample_rate=20, pointing_frame="az/el", scan_center=(0, 90),
     )
     assert abs(float(stare.duration.s) - 60) < 1
+
+
+def test_bare_pattern_name_plan():
+    """Simulation(plans="stare") builds a default plan from the bare
+    pattern name (reference docs usage/getting-started)."""
+    import maria_tpu
+
+    plan = maria_tpu.get_plan("stare", start_time=1.75e9, duration=5, sample_rate=20)
+    assert abs(float(plan.duration.s) - 5) < 0.1
+    daisy = maria_tpu.get_plan("daisy", start_time=1.75e9, duration=5, sample_rate=20,
+                               scan_options={"radius": 0.1})
+    # the daisy actually scans (boresight wanders)
+    assert float(np.asarray(daisy.coords.az).std()) > 0
