@@ -106,6 +106,15 @@ class Array:
                     f"band_name values {sorted(unknown)} are not in bands "
                     f"{[b.name for b in bands]}."
                 )
+            n_given = (
+                len(np.atleast_1d(c["xi"])) if "xi" in c
+                else len(next(iter(baselines.values()))) if baselines
+                else None
+            )
+            if n_given is not None and len(det_band_names) != n_given:
+                raise ValueError(
+                    f"band_name has {len(det_band_names)} entries for {n_given} detectors."
+                )
 
         if "xi" in c and "eta" in c:
             offsets = np.stack(
@@ -221,6 +230,17 @@ class Array:
 
     def subset(self, mask) -> "Array":
         return Array(name=self.name, dets=self.dets.loc[np.asarray(mask)], bands=self.bands)
+
+    def take(self, idx) -> "Array":
+        """Row selection preserving ORDER and duplicates (unlike the
+        boolean-mask `subset`) — the detector-axis analogue of fancy
+        indexing, used by TOD slicing."""
+        idx = np.asarray(idx)
+        return Array(
+            name=self.name,
+            dets=self.dets.iloc[idx].reset_index(drop=True),
+            bands=self.bands,
+        )
 
     def mask(self, **kwargs) -> np.ndarray:
         mask = np.ones(self.n, dtype=bool)

@@ -264,5 +264,4 @@ def read_fits_map(path: str, index: int = 0, **kwargs):
     if "nu" in kwargs:
         kwargs["nu"] = np.atleast_1d(kwargs["nu"])
     kw.update(kwargs)
-    kw.pop("index", None)
     return ProjectionMap(**kw)

@@ -142,10 +142,13 @@ class Map:
         return kwargs
 
     def to(self, units: str, band=None) -> "Map":
-        """Convert per frequency channel (reference map/base.py:392)."""
+        """Convert per frequency channel (reference map/base.py:392).
+        Weights are inverse variances, so they scale with 1/slope^2 of
+        the conversion (the reference leaves them in the old units)."""
         if parse_units(units).dims == parse_units(self.units).dims and parse_units(units).factor == parse_units(self.units).factor:
             return self
         new_data = []
+        new_weight = []
         for i, nu in enumerate(self.nu):
             cal = Calibration(
                 f"{self.units} -> {units}",
@@ -156,9 +159,19 @@ class Map:
             if cal.linear():
                 factor = float(np.asarray(cal(1.0)))
                 new_data.append(self.data[:, i] * factor)
+                new_weight.append(self.weight[:, i] / factor**2)
             else:
-                new_data.append(jnp.asarray(cal(np.asarray(self.data[:, i]))))
-        return self._replace(data=jnp.stack(new_data, axis=1), units=units)
+                x = np.asarray(self.data[:, i])
+                new_data.append(jnp.asarray(cal(x)))
+                # local slope for inverse-variance propagation
+                eps = 1e-6 * max(float(np.abs(x).max()), 1e-30)
+                slope = (np.asarray(cal(x + eps)) - np.asarray(cal(x))) / eps
+                new_weight.append(self.weight[:, i] / jnp.asarray(slope**2 + 1e-300))
+        return self._replace(
+            data=jnp.stack(new_data, axis=1),
+            weight=jnp.stack(new_weight, axis=1),
+            units=units,
+        )
 
     def _replace(self, **kwargs):
         raise NotImplementedError

@@ -41,10 +41,11 @@ def get_plan(plan_name: str = None, **kwargs) -> Plan:
     if "pointing_frame" in kwargs:  # reference alias (docs usage/inputs/plans)
         kwargs["frame"] = kwargs.pop("pointing_frame")
     if plan_name is None:
-        if not kwargs:
-            plan_name = "ten_second_zenith_stare"
-        else:
+        if "scan_pattern" in kwargs or "scan_center" in kwargs:
+            # fully-specified bare kwargs (reference docs get_plan form)
             return Plan.generate(**kwargs)
+        # plain overrides (e.g. duration=) still modify the default plan
+        plan_name = "ten_second_zenith_stare"
     if plan_name not in PLAN_CONFIGS and plan_name in SCAN_PATTERNS:
         # bare pattern name, e.g. Simulation(plans="stare")
         # (reference docs usage/getting-started)

@@ -53,6 +53,11 @@ class Planner:
         from ..map.base import Map
 
         if isinstance(target, Map):
+            if not hasattr(target, "center"):
+                raise TypeError(
+                    f"Cannot plan on a {type(target).__name__} (no center); "
+                    f"pass a ProjectionMap or explicit (phi, theta) degrees."
+                )
             frame = getattr(target, "frame", frame)
             target = np.degrees(target.center)
         self.target = np.radians(np.asarray(target, dtype=float))
@@ -113,6 +118,12 @@ class Planner:
         plans = self.generate_plans(
             total_duration=total_duration, chunk_duration=total_duration, **kwargs
         )
+        got = float(plans[0].duration.s)
+        if got < 0.95 * total_duration:
+            logger.warning(
+                f"Longest feasible window is {got:.0f} s of the requested "
+                f"{total_duration:.0f} s; consider generate_plans for a chunked PlanList."
+            )
         return plans[0]
 
     def generate_plans(

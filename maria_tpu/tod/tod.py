@@ -181,7 +181,9 @@ class TOD:
             pointing=self.pointing[idx] if self.pointing is not None else None,
             weight=self.weight[idx],
             units=self.units,
-            dets=self.dets.subset(np.isin(np.arange(self.dets.n), idx)) if self.dets is not None else None,
+            # order-preserving: dets rows must stay aligned with data rows
+            # for reversed/fancy indices
+            dets=self.dets.take(idx) if self.dets is not None else None,
             metadata=self.metadata,
         )
         if time_idx is not None:
@@ -210,7 +212,7 @@ class TOD:
             s, e = time_range
             out = TOD(
                 data={k: v[..., s:e] for k, v in out.data.items()},
-                pointing=out.pointing,
+                pointing=out.pointing.time_subset(slice(s, e)) if out.pointing is not None else None,
                 weight=out.weight[..., s:e],
                 units=out.units,
                 dets=out.dets,

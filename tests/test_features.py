@@ -282,3 +282,16 @@ def test_map_load_overrides_and_unsqueeze(tmp_path):
                           nu=[90e9, 150e9])
     with pytest.raises(ValueError):
         multi.unsqueeze("nu", 90e9)
+
+
+def test_map_unit_conversion_scales_weight():
+    """Weights are inverse variances: converting a map's units must
+    scale them by 1/slope^2 (the reference leaves them stale)."""
+    from maria_tpu.map.projection import ProjectionMap
+
+    m = ProjectionMap(np.ones((1, 1, 1, 8, 8), np.float32), center=(0, 0),
+                      resolution=0.01, units="K_RJ",
+                      weight=4.0 * np.ones((1, 1, 1, 8, 8), np.float32))
+    mk = m.to("mK_RJ")  # x1000 in data
+    np.testing.assert_allclose(np.asarray(mk.data), 1000.0)
+    np.testing.assert_allclose(np.asarray(mk.weight), 4.0 / 1000.0**2)

@@ -95,3 +95,23 @@ def test_tod_hdf_roundtrip(tod, tmp_path):
     # calibration still works on the reloaded TOD
     pw = back.to("pW")
     assert np.isfinite(np.asarray(pw.signal)).all()
+
+
+def test_tod_fancy_indexing_keeps_dets_aligned(tod):
+    """Reversed/fancy detector indices must reorder the detector table
+    with the data (a membership mask would silently misalign them)."""
+    rev = tod[::-1]
+    np.testing.assert_allclose(
+        np.asarray(rev.signal), np.asarray(tod.signal)[::-1]
+    )
+    np.testing.assert_allclose(rev.dets.offsets, tod.dets.offsets[::-1])
+    dup = tod[[0, 0, 1]]
+    assert dup.shape[0] == 3 and dup.dets.n == 3
+    np.testing.assert_allclose(dup.dets.offsets[0], dup.dets.offsets[1])
+
+
+def test_tod_subset_time_range_slices_pointing(tod):
+    sub = tod.subset(time_range=(0, 100))
+    assert sub.shape[-1] == 100
+    assert len(sub.pointing.t) == 100
+    np.testing.assert_allclose(np.asarray(sub.time), np.asarray(tod.time)[:100])
