@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..coords.transforms import offsets_to_phi_theta_jit
+from ..coords.transforms import offsets_to_phi_theta, offsets_to_phi_theta_jit
 from ..spectrum import AtmosphericSpectrum
 from ..units import Quantity
 from ..weather import Weather
@@ -182,12 +182,11 @@ class Atmosphere:
         bs_az = np.asarray(self.boresight.az)
         bs_el = np.asarray(self.boresight.el)
 
-        # outer-detector pointing for hull bounds
-        pt = np.asarray(
-            offsets_to_phi_theta_jit(
-                jnp.asarray(outer_offsets[:, None, :]), jnp.asarray(bs_az), jnp.asarray(bs_el)
-            )
-        )
+        # outer-detector pointing for hull bounds — numpy on purpose:
+        # this is host-side setup on a small hull, and reading back the
+        # jit version's broadcast-layout output degenerates to
+        # per-element transfers (minutes through the device tunnel)
+        pt = offsets_to_phi_theta(outer_offsets[:, None, :], bs_az, bs_el)
         hull_az, hull_el = pt[..., 0], pt[..., 1]
         # unit-height projection: x=East, y=North
         cot_el = 1 / np.tan(np.clip(hull_el, np.radians(5), None))
