@@ -17,12 +17,54 @@ from ..utils.signal import bandpass, bspline_basis, highpass, lowpass
 
 logger = logging.getLogger("maria_tpu")
 
-PROCESS_ORDER = ["remove_slope", "remove_spline", "window", "filter", "remove_modes"]
+PROCESS_ORDER = ["despike", "remove_slope", "remove_spline", "window", "filter", "remove_modes"]
 
 
 def _check_nan(name, data):
     if bool(jnp.isnan(data).any()):
         raise RuntimeError(f"Processing op '{name}' introduced NaNs.")
+
+
+def despike(data, weight, threshold: float = 10.0, window: int = 16, pad: int = 2):
+    """Flag and repair glitches: samples whose deviation from a local
+    boxcar baseline exceeds `threshold` robust sigmas are replaced by the
+    baseline and zero-weighted (±`pad` neighbors too). The reference
+    documents cuts but ships them in a dead module
+    (maria/tod/signal.py:make_cuts, never imported); this op is live.
+    Pure jnp, runs on device."""
+    n = data.shape[-1]
+    w = int(min(window, max(3, n // 4)))
+    kernel = jnp.ones(w) / w
+    baseline = jnp.apply_along_axis(
+        lambda d: jnp.convolve(d, kernel, mode="same"), -1, data
+    )
+    resid = data - baseline
+    sigma = 1.4826 * jnp.median(jnp.abs(resid), axis=-1, keepdims=True)
+    bad = jnp.abs(resid) > threshold * jnp.maximum(sigma, 1e-30)
+    if pad > 0:
+        dil = jnp.ones(2 * pad + 1)
+        bad = (
+            jnp.apply_along_axis(
+                lambda b: jnp.convolve(b, dil, mode="same"), -1, bad.astype(jnp.float32)
+            )
+            > 0
+        )
+    # repair with a MASKED boxcar (the plain baseline still contains the
+    # spike's own power)
+    good = (~bad).astype(jnp.float32)
+    num = jnp.apply_along_axis(
+        lambda d: jnp.convolve(d, kernel, mode="same"), -1, data * good
+    )
+    den = jnp.apply_along_axis(
+        lambda d: jnp.convolve(d, kernel, mode="same"), -1, good
+    )
+    repair = num / jnp.maximum(den, 1e-6)
+    data = jnp.where(bad, repair, data)
+    weight = jnp.where(bad, 0.0, weight)
+    n_cut = int(np.asarray(bad.sum()))
+    if n_cut:
+        logger.info(f"despike: flagged {n_cut} samples.")
+    return data, weight
 
 
 def remove_slope(data, **kwargs):
@@ -83,6 +125,11 @@ def process_tod(tod, **config):
     data = tod.signal
     weight = tod.weight
     fs = tod.fs
+
+    if "despike" in config and config["despike"]:
+        kw = config["despike"] if isinstance(config["despike"], dict) else {}
+        data, weight = despike(data, weight, **kw)
+        _check_nan("despike", data)
 
     if "remove_slope" in config and config["remove_slope"]:
         data = remove_slope(data)

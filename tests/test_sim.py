@@ -148,3 +148,43 @@ def test_tod_subset(m2_stare_tod):
     sub = m2_stare_tod[np.arange(10)]
     assert sub.shape[0] == 10
     assert sub.dets.n == 10
+
+
+def test_despike_flags_and_repairs_glitches():
+    """A cosmic-ray-like spike must be replaced by the local baseline
+    and zero-weighted, leaving clean detectors untouched."""
+    import jax.numpy as jnp
+
+    from maria_tpu.tod.processing import despike
+
+    rng = np.random.default_rng(0)
+    n_det, n_t = 8, 512
+    data = rng.standard_normal((n_det, n_t)).astype(np.float32)
+    clean = data.copy()
+    data[3, 100] += 200.0  # single-sample glitch
+    data[5, 300:303] += 150.0  # short burst
+    weight = np.ones_like(data)
+
+    out, w = despike(jnp.asarray(data), jnp.asarray(weight), threshold=10.0)
+    out, w = np.asarray(out), np.asarray(w)
+    assert w[3, 100] == 0 and (w[5, 300:303] == 0).all()
+    assert np.abs(out[3, 100]) < 10  # repaired to baseline scale
+    # untouched detectors unchanged
+    np.testing.assert_allclose(out[0], clean[0])
+    assert (w[0] == 1).all()
+    # flags confined to the spiked detectors; overall fraction tiny
+    assert (w[[0, 1, 2, 4, 6, 7]] == 1).all()
+    assert (w == 0).mean() < 0.02
+
+
+def test_despike_in_pipeline():
+    import maria_tpu
+
+    sim = maria_tpu.Simulation(
+        instrument="test/1deg",
+        plans=maria_tpu.get_plan("five_second_stare", start_time=1.75e9, scan_center=(60.0, 45.0)),
+        site="chajnantor", atmosphere=None, noise=True, seed=0,
+    )
+    tod = sim.run()[0]
+    processed = tod.process(despike={"threshold": 8.0}, remove_slope=True)
+    assert not np.isnan(np.asarray(processed.signal)).any()
