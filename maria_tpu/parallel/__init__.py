@@ -36,8 +36,27 @@ def mesh_shape_for(n_devices: int) -> tuple:
     return (n_devices // d, d)
 
 
-def create_mesh(n_devices: int = None, axis_names=("det", "time"), shape: tuple = None) -> Mesh:
-    devices = np.asarray(jax.devices())
+def create_mesh(
+    n_devices: int = None, axis_names=("det", "time"), shape: tuple = None, devices=None
+) -> Mesh:
+    """Build a (det, time) mesh from `devices` (default: the default
+    platform's devices, falling back to forced-host CPU devices when the
+    default platform is too small — e.g. a 1-chip TPU process asked for
+    an 8-device dryrun mesh)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices and len(devices) < n_devices:
+            try:
+                cpu_devices = jax.devices("cpu")
+            except RuntimeError:
+                cpu_devices = ()
+            if len(cpu_devices) >= n_devices:
+                logger.info(
+                    "create_mesh: default platform has %d device(s); using %d CPU devices",
+                    len(devices), n_devices,
+                )
+                devices = cpu_devices
+    devices = np.asarray(devices)
     n_devices = n_devices or len(devices)
     if n_devices > len(devices):
         raise ValueError(f"Requested {n_devices} devices but only {len(devices)} available.")

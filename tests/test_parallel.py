@@ -61,6 +61,51 @@ def test_dryrun_entrypoint():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_dryrun_gate_mixed_platform(monkeypatch):
+    """Round-1 regression: with a 1-device default platform (TPU) plus 8
+    forced host CPU devices, the dryrun must NOT run inline (scene setup
+    would land on the default platform) — it must re-exec a subprocess."""
+    import subprocess
+
+    import __graft_entry__
+
+    real_devices = jax.devices
+
+    def fake_devices(platform=None):
+        if platform is None:
+            return real_devices("cpu")[:1]  # default platform: 1 chip
+        return real_devices(platform)
+
+    calls = {}
+
+    def fake_run(cmd, **kwargs):
+        calls["cmd"] = cmd
+        return subprocess.CompletedProcess(cmd, 0)
+
+    monkeypatch.setattr(jax, "devices", fake_devices)
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    __graft_entry__.dryrun_multichip(8)
+    assert "dryrun" in calls["cmd"], "mixed-platform dryrun did not take the subprocess path"
+
+
+def test_create_mesh_falls_back_to_cpu_devices(monkeypatch):
+    """create_mesh must not draw from a too-small default platform when
+    enough forced-host CPU devices exist (round-1 driver failure)."""
+    import maria_tpu.parallel as par
+
+    real_devices = jax.devices
+
+    def fake_devices(platform=None):
+        if platform is None:
+            return real_devices("cpu")[:1]
+        return real_devices(platform)
+
+    monkeypatch.setattr(par.jax, "devices", fake_devices)
+    mesh = create_mesh(8)
+    assert mesh.devices.size == 8
+    assert all(d.platform == "cpu" for d in mesh.devices.flat)
+
+
 def test_entry_compiles():
     import __graft_entry__
 
