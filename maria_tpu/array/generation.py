@@ -47,7 +47,13 @@ def triangular_packing(n_col: int, n_row: int) -> np.ndarray:
 
 def scaled_distance(x, y, shape: str, height_scale: float = 1.0):
     """Shape-normalized radius, with a tiny angular tiebreaker so argsort
-    is deterministic (reference generation.py:55-72)."""
+    is deterministic.
+
+    Provenance: reproduces the reference's formula verbatim
+    (maria/array/generation.py:55-72), including the `1e-3 * r.max() * p`
+    tiebreaker — the detector ordering it induces is part of the array
+    spec (which detectors survive an n-limited cut), so it must match
+    exactly for named instruments to have identical focal planes."""
     r = np.sqrt(x**2 + (y / height_scale) ** 2)
     p = np.arctan2(y / height_scale, x)
     if shape in NGONS:

@@ -200,10 +200,15 @@ class Map:
             return self._replace(nu=np.atleast_1d(float(value)))
         if dim == "stokes":
             return self._replace(stokes=str(value))
-        out = self._replace()
-        out.axis3_label = dim
-        out.t = np.atleast_1d(float(value))
-        return out
+        # t/z/v: route the relabel through the constructor (validation
+        # included); only the default unlabeled axis (t=[0]) may change label
+        if dim != self.axis3_label and not (
+            self.axis3_label == "t" and len(self.t) == 1 and self.t[0] == 0.0
+        ):
+            raise ValueError(
+                f"Cannot relabel axis '{self.axis3_label}' as '{dim}'."
+            )
+        return self._replace(**{dim: np.atleast_1d(float(value))})
 
     @property
     def dims(self):

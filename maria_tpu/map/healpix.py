@@ -47,6 +47,8 @@ class HEALPixMap(Map):
             data=self.data, frame=self.frame, stokes=self.stokes,
             nu=self.nu, **self._axis3_kwargs(), units=self.units, weight=self.weight,
         )
+        if any(k in kwargs for k in ("t", "z", "v")):
+            params.pop(self.axis3_label, None)
         params.update(kwargs)
         return HEALPixMap(**params)
 

@@ -83,10 +83,9 @@ class ProjectionMap(Map):
             weight=self.weight,
             degrees=True,
         )
-        if "units" in kwargs and "data" in kwargs:
-            params.update(kwargs)
-        else:
-            params.update(kwargs)
+        if any(k in kwargs for k in ("t", "z", "v")):
+            params.pop(self.axis3_label, None)
+        params.update(kwargs)
         return ProjectionMap(**params)
 
     def _calibration_kwargs(self):

@@ -267,7 +267,7 @@ class MaximumLikelihoodMapper(BaseMapper):
         n_epochs = len(self.noise_model_history)
         ax.set_title(f"noise model, epoch {epoch % n_epochs + 1}/{n_epochs}")
         ax.set_xlabel("frequency [Hz]")
-        ax.set_ylabel(f"PSD [{self.units}^2 / Hz]")
+        ax.set_ylabel(f"PSD [{self.tod_units}^2 / Hz]")
         ax.legend(fontsize=7)
         return ax
 

@@ -2,6 +2,17 @@
 
 Each generator maps a time array (seconds) to boresight offsets, shape
 (2, n_time), in the same units as its throw parameters.
+
+Provenance note: the pattern *definitions* — the petal-curve daisy with
+its speed-normalizing fixed-point iteration, the smooth-sawtooth raster
+and back-and-forth, the double circle, and their magic constants
+(petals=sqrt(e), miss_factor=0.2, freq ratios 1.193/1.7, the 1% speed
+tolerance) — are the reference's published scan trajectories
+(maria/plan/patterns.py:91-242). They are a behavioral spec: a user
+switching frameworks must get the *same* boresight tracks from the same
+named plans, so the formulas are reproduced here deliberately rather
+than re-derived. Everything downstream of these host-side generators
+(coordinates, TOD synthesis) is an independent TPU-native design.
 """
 
 from __future__ import annotations

@@ -49,6 +49,28 @@ class Observation:
         if el_deg.min() < MIN_ELEVATION_WARN:
             logger.warning(f"Observation dips below {MIN_ELEVATION_WARN} deg elevation.")
 
+        # kinematic safety checks against the instrument's drive limits
+        # (reference: maria/sim/observation.py:74-85 warns on az velocity;
+        # we check az/el velocity and acceleration)
+        t = np.asarray(plan.time, dtype=float)
+        dt = np.gradient(t)
+        az_unwrapped = np.degrees(np.unwrap(np.asarray(self.boresight.az, dtype=float)))
+        el_track = np.degrees(np.asarray(self.boresight.el, dtype=float))
+        az_vel = np.gradient(az_unwrapped) / dt
+        el_vel = np.gradient(el_track) / dt
+        checks = [
+            ("az velocity", np.abs(az_vel).max(), instrument.az_vel_limit, "deg/s"),
+            ("el velocity", np.abs(el_vel).max(), instrument.el_vel_limit, "deg/s"),
+            ("az acceleration", np.abs(np.gradient(az_vel) / dt).max(), instrument.az_acc_limit, "deg/s^2"),
+            ("el acceleration", np.abs(np.gradient(el_vel) / dt).max(), instrument.el_acc_limit, "deg/s^2"),
+        ]
+        for name, value, limit, unit in checks:
+            if limit is not None and value > float(limit.to(unit)):
+                logger.warning(
+                    f"The maximum {name} of the plan ({value:.1f} {unit}) exceeds the "
+                    f"limit of the instrument ({float(limit.to(unit)):.1f} {unit})."
+                )
+
         # detector offsets (in the az/el frame), with optional boresight roll
         offsets = instrument.dets.offsets
         if plan.roll:

@@ -25,45 +25,47 @@ def _check_nan(name, data):
         raise RuntimeError(f"Processing op '{name}' introduced NaNs.")
 
 
+def _boxcar_sum(x, w: int):
+    """Batched zero-padded 'same' boxcar SUM along the last axis via
+    prefix sums — identical to ``jnp.convolve(row, ones(w), "same")`` per
+    row, but O(n) and vectorized over leading axes (one cumsum + two
+    gathers instead of an O(n·w) convolution per row)."""
+    n = x.shape[-1]
+    csum = jnp.concatenate([jnp.zeros((*x.shape[:-1], 1), x.dtype), jnp.cumsum(x, axis=-1)], axis=-1)
+    i = jnp.arange(n)
+    hi = jnp.clip(i + (w - 1) // 2 + 1, 0, n)
+    lo = jnp.clip(i - w // 2, 0, n)
+    return jnp.take(csum, hi, axis=-1) - jnp.take(csum, lo, axis=-1)
+
+
 def despike(data, weight, threshold: float = 10.0, window: int = 16, pad: int = 2):
     """Flag and repair glitches: samples whose deviation from a local
     boxcar baseline exceeds `threshold` robust sigmas are replaced by the
     baseline and zero-weighted (±`pad` neighbors too). The reference
     documents cuts but ships them in a dead module
     (maria/tod/signal.py:make_cuts, never imported); this op is live.
-    Pure jnp, runs on device."""
+    Pure jnp (jit-safe, no host syncs), runs on device."""
     n = data.shape[-1]
     w = int(min(window, max(3, n // 4)))
-    kernel = jnp.ones(w) / w
-    baseline = jnp.apply_along_axis(
-        lambda d: jnp.convolve(d, kernel, mode="same"), -1, data
-    )
+    # prefix sums of the raw signal lose precision at f32 (sums reach
+    # ~n·|mean|); work on per-row mean-subtracted residuals and restore
+    # the mean through the zero-pad edge factor conv(1, ones(w)/w)
+    mu = data.mean(axis=-1, keepdims=True)
+    xc = data - mu
+    edge = _boxcar_sum(jnp.ones((n,), data.dtype), w) / w  # (n,), <1 near edges
+    baseline = _boxcar_sum(xc, w) / w + mu * edge
     resid = data - baseline
     sigma = 1.4826 * jnp.median(jnp.abs(resid), axis=-1, keepdims=True)
     bad = jnp.abs(resid) > threshold * jnp.maximum(sigma, 1e-30)
     if pad > 0:
-        dil = jnp.ones(2 * pad + 1)
-        bad = (
-            jnp.apply_along_axis(
-                lambda b: jnp.convolve(b, dil, mode="same"), -1, bad.astype(jnp.float32)
-            )
-            > 0
-        )
+        bad = _boxcar_sum(bad.astype(jnp.float32), 2 * pad + 1) > 0
     # repair with a MASKED boxcar (the plain baseline still contains the
     # spike's own power)
-    good = (~bad).astype(jnp.float32)
-    num = jnp.apply_along_axis(
-        lambda d: jnp.convolve(d, kernel, mode="same"), -1, data * good
-    )
-    den = jnp.apply_along_axis(
-        lambda d: jnp.convolve(d, kernel, mode="same"), -1, good
-    )
-    repair = num / jnp.maximum(den, 1e-6)
+    good = (~bad).astype(data.dtype)
+    den = _boxcar_sum(good, w)
+    repair = (_boxcar_sum(xc * good, w) + mu * den) / jnp.maximum(den, 1e-6)
     data = jnp.where(bad, repair, data)
     weight = jnp.where(bad, 0.0, weight)
-    n_cut = int(np.asarray(bad.sum()))
-    if n_cut:
-        logger.info(f"despike: flagged {n_cut} samples.")
     return data, weight
 
 
@@ -128,8 +130,12 @@ def process_tod(tod, **config):
 
     if "despike" in config and config["despike"]:
         kw = config["despike"] if isinstance(config["despike"], dict) else {}
+        weight_before = weight
         data, weight = despike(data, weight, **kw)
         _check_nan("despike", data)
+        if logger.isEnabledFor(logging.INFO):  # device sync only when someone listens
+            n_cut = int(np.asarray(((weight == 0) & (weight_before != 0)).sum()))
+            logger.info(f"despike: flagged {n_cut} samples.")
 
     if "remove_slope" in config and config["remove_slope"]:
         data = remove_slope(data)

@@ -108,15 +108,27 @@ def fast_psd_inverse(M: np.ndarray) -> np.ndarray:
 
 def generate_spatial_basis(offsets, k: int = 5, n_side: int = 8, scale: float = 1):
     """Low-rank Matérn-5/2 eigenbasis over the focal plane for correlated
-    detector noise (reference: utils/linalg.py:105-126)."""
-    x = np.linspace(offsets[..., 0].min(), offsets[..., 0].max(), n_side)
-    y = np.linspace(offsets[..., 1].min(), offsets[..., 1].max(), n_side)
-    X, Y = np.meshgrid(x, y)
-    sample_offsets = np.stack([X.ravel(), Y.ravel()], axis=-1)
-    D_eff = np.sqrt(np.square(sample_offsets - sample_offsets[:, None]).sum(axis=-1)) / max(scale, 1e-16)
-    C = matern_five_halves(D_eff)
-    u, s, _ = np.linalg.svd(C)
-    basis = (u[:, :k] * np.sqrt(s[:k])).reshape(n_side, n_side, k)
-    B = sp.interpolate.RegularGridInterpolator((x, y), basis.transpose(1, 0, 2), method="cubic")(offsets)
-    B *= np.sign(B[:, 0].mean() or 1.0)
+    detector noise.
+
+    Provenance: the *recipe* — coarse n_side^2 grid over the detector
+    hull, Matérn-5/2 covariance, top-k scaled eigenmodes, cubic
+    interpolation back to the detectors — is the reference's
+    (maria/utils/linalg.py:105-126); it defines the correlated-noise
+    statistics a user switching frameworks expects. The implementation
+    here uses a symmetric eigendecomposition (C is PSD) rather than the
+    reference's full SVD.
+    """
+    lo = offsets.min(axis=0)
+    hi = offsets.max(axis=0)
+    x = np.linspace(lo[0], hi[0], n_side)
+    y = np.linspace(lo[1], hi[1], n_side)
+    grid = np.stack(np.meshgrid(x, y, indexing="ij"), axis=-1).reshape(-1, 2)
+    dist = np.linalg.norm(grid[:, None] - grid[None, :], axis=-1) / max(scale, 1e-16)
+    # eigh returns ascending order; the strongest k modes are the last k
+    evals, evecs = np.linalg.eigh(matern_five_halves(dist))
+    modes = evecs[:, : -k - 1 : -1] * np.sqrt(np.maximum(evals[: -k - 1 : -1], 0.0))
+    B = sp.interpolate.RegularGridInterpolator(
+        (x, y), modes.reshape(n_side, n_side, k), method="cubic"
+    )(offsets)
+    B *= np.sign(B[:, 0].mean() or 1.0)  # deterministic overall sign
     return B

@@ -37,11 +37,12 @@ PRESSURE_LEVELS = np.array(
 )
 
 
-def vapor_pressure(temperature, humidity):  # (K, %) -> Pa
+def vapor_pressure(temperature, humidity):  # (K, fraction in [0, 1]) -> Pa
     """Partial pressure of water vapor at the given relative humidity
-    (Magnus form; reference maria/weather/__init__.py:23-27, with the
-    humidity consistently in percent: 100% RH -> saturation pressure)."""
-    return np.clip(humidity, 1e-6, None) / 100 * saturation_pressure(temperature)
+    (Magnus form; reference maria/weather/__init__.py:23-27). Humidity is
+    a FRACTION, matching ``Weather.humidity`` and the reference (h=1 ->
+    saturation pressure)."""
+    return np.clip(humidity, 1e-8, None) * saturation_pressure(temperature)
 
 
 def saturation_pressure(temperature):  # K -> Pa
@@ -59,20 +60,20 @@ def absolute_to_relative_humidity(temperature, abs_hum):
     return 461.5 * temperature * abs_hum / saturation_pressure(temperature)
 
 
-def dew_point(temperature, humidity):  # (K, %) -> K
+def dew_point(temperature, humidity):  # (K, fraction in [0, 1]) -> K
     """Magnus-formula dew point (reference: maria/weather/__init__.py:36-40)."""
     a, b, c = 611.21, 17.67, 238.88
     log_ratio = np.log(vapor_pressure(temperature, humidity) / a)
     return c * log_ratio / (b - log_ratio) + 273.15
 
 
-def dew_point_to_relative_humidity(temperature, dew_point):  # (K, K) -> %
+def dew_point_to_relative_humidity(temperature, dew_point):  # (K, K) -> fraction
     T, DP = temperature - 273.15, dew_point - 273.15
     b, c = 17.67, 238.88
-    return 1e2 * np.exp(b * DP / (c + DP) - b * T / (c + T))
+    return np.exp(b * DP / (c + DP) - b * T / (c + T))
 
 
-def air_density(pressure, temperature, humidity):  # (Pa, K, %) -> kg/m^3
+def air_density(pressure, temperature, humidity):  # (Pa, K, fraction) -> kg/m^3
     """Moist-air density via partial pressures (reference weather/__init__.py:48-53)."""
     from ..constants import DRY_AIR_SPECIFIC_GAS_CONSTANT, WATER_VAPOR_SPECIFIC_GAS_CONSTANT
 
@@ -156,7 +157,23 @@ class Weather:
         above = h_rel > 0
         column = np.trapezoid(abs_humidity[above], x=level_altitude[above])  # kg/m^2 = mm
         abs_humidity *= pwv_target / max(column, 1e-8)
-        humidity = np.clip(absolute_to_relative_humidity(temperature, abs_humidity), 1e-4, None)
+        # cap at saturation (no supersaturated levels) and redistribute the
+        # excess water into unsaturated levels to preserve the pwv target
+        sat_ah = relative_to_absolute_humidity(temperature, 1.0)
+        for _ in range(8):
+            over = abs_humidity > sat_ah
+            excess = np.trapezoid(
+                np.where(over, abs_humidity - sat_ah, 0.0)[above], x=level_altitude[above]
+            )
+            abs_humidity = np.minimum(abs_humidity, sat_ah)
+            if excess <= 1e-9:
+                break
+            free = ~over & (w_shape > 0) & above
+            room = np.trapezoid(np.where(free, abs_humidity, 0.0)[above], x=level_altitude[above])
+            if room <= 1e-9:
+                break
+            abs_humidity = np.where(free, abs_humidity * (1 + excess / room), abs_humidity)
+        humidity = np.clip(absolute_to_relative_humidity(temperature, abs_humidity), 1e-4, 1.0)
 
         # --- winds: strengthen toward the 200 hPa jet; direction westerly-ish
         # with a deterministic per-(region, day) meander

@@ -188,3 +188,28 @@ def test_despike_in_pipeline():
     tod = sim.run()[0]
     processed = tod.process(despike={"threshold": 8.0}, remove_slope=True)
     assert not np.isnan(np.asarray(processed.signal)).any()
+
+
+def test_kinematic_limits_warn(caplog):
+    """A too-fast daisy on MUSTANG-2 must warn about the az drive limits
+    (reference: maria/sim/observation.py:74-85)."""
+    import logging
+
+    import maria_tpu
+
+    fast = maria_tpu.get_plan(
+        "daisy", start_time=1.75e9, scan_center=(150.0, 50.0), frame="az/el",
+        duration=10, sample_rate=50, scan_options={"x_throw": 2.0, "y_throw": 2.0, "speed": 8.0},
+    )
+    with caplog.at_level(logging.WARNING, logger="maria_tpu"):
+        maria_tpu.Simulation(instrument="MUSTANG-2", plans=fast, site="GBT", atmosphere=None, noise=True)
+    assert any("exceeds" in r.message and "velocity" in r.message for r in caplog.records)
+
+    caplog.clear()
+    slow = maria_tpu.get_plan(
+        "daisy", start_time=1.75e9, scan_center=(150.0, 50.0), frame="az/el",
+        duration=10, sample_rate=50, scan_options={"x_throw": 0.05, "y_throw": 0.05, "speed": 0.02},
+    )
+    with caplog.at_level(logging.WARNING, logger="maria_tpu"):
+        maria_tpu.Simulation(instrument="MUSTANG-2", plans=slow, site="GBT", atmosphere=None, noise=True)
+    assert not any("exceeds" in r.message for r in caplog.records)

@@ -84,20 +84,28 @@ def test_thermodynamic_helpers():
         air_density,
         dew_point,
         dew_point_to_relative_humidity,
+        saturation_pressure,
         vapor_pressure,
     )
 
-    T, RH = 290.0, 40.0  # K, %
+    T, RH = 290.0, 0.40  # K, fraction (matches Weather.humidity)
     dp = dew_point(T, RH)
     assert dp < T  # dew point below ambient for RH < 100%
     # round trip: RH -> dew point -> RH
     assert np.isclose(dew_point_to_relative_humidity(T, dp), RH, rtol=1e-6)
     # saturation: dew point equals temperature at 100% RH
-    assert np.isclose(dew_point(T, 100.0), T, atol=1e-6)
+    assert np.isclose(dew_point(T, 1.0), T, atol=1e-6)
     # moist air is lighter than dry air at the same (P, T)
-    rho_dry = air_density(101325.0, T, 0.01)
-    rho_wet = air_density(101325.0, T, 99.0)
+    rho_dry = air_density(101325.0, T, 1e-4)
+    rho_wet = air_density(101325.0, T, 0.99)
     assert 1.0 < rho_wet < rho_dry < 1.4
     # vapor pressure increases with RH and T
-    assert vapor_pressure(T, 80.0) > vapor_pressure(T, 40.0)
+    assert vapor_pressure(T, 0.80) > vapor_pressure(T, 0.40)
     assert vapor_pressure(T + 10, RH) > vapor_pressure(T, RH)
+    # helpers consume Weather.humidity directly (same fraction convention)
+    from maria_tpu.weather import Weather
+
+    w = Weather(region="chajnantor", time=1.75e9)
+    vp = vapor_pressure(w.temperature, w.humidity)
+    sat = saturation_pressure(w.temperature)
+    assert np.all(vp > 0) and np.all(vp <= sat * 1.0001)
