@@ -8,7 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import T_CMB  # noqa: F401
-from ..healpix import alm2map, synalm
+from ..healpix import alm2map, alm2map_spin, synalm, synalm_cmb
+from ..healpix.sht import synalm_cmb_device
 from ..map.healpix import HEALPixMap
 from ..map.projection import ProjectionMap
 from .spectra import get_cmb_spectrum
@@ -23,20 +24,25 @@ class CMB(HEALPixMap):
 
 
 def generate_cmb(nside: int = 256, lmax: int = None, seed: int = None, **kwargs) -> CMB:
-    """Synthesize an IQU CMB realization from the embedded ΛCDM spectra.
-
-    T comes from the scalar SHT. Spin-2 synthesis (E/B -> Q/U) is not yet
-    implemented, so Q and U are zero for now — polarized detectors see an
-    unpolarized CMB. (reference: cmb/generation.py:36 uses healpy synalm
-    with TT/EE/BB/TE.)
+    """Synthesize a polarized IQU CMB realization from the embedded ΛCDM
+    TT/EE/BB/TE spectra: correlated (aT, aE, aB) draw, scalar SHT for T,
+    spin-2 SHT for Q/U (reference: cmb/generation.py:36-58 via healpy).
     """
+    import time as _time
+
+    t0 = _time.perf_counter()
     lmax = lmax if lmax is not None else min(3 * nside - 1, 2500)
     spectra = get_cmb_spectrum(lmax=lmax)
-    alm_T = synalm(spectra["TT"], lmax=lmax, seed=seed)
-    T = alm2map(alm_T, nside)
-    data = np.zeros((3, 1, 1, len(T)), dtype=np.float32)
-    data[0, 0, 0] = T
-    logger.info(f"Generated CMB realization (nside={nside}, lmax={lmax}).")
+    # draw the alm on device: only O(lmax) Cl vectors cross the host
+    # boundary, and the synthesized maps stay on device for the sim
+    aT, aE, aB = synalm_cmb_device(spectra, lmax=lmax, seed=seed if seed is not None else 0)
+    T = alm2map(aT, nside)
+    Q, U = alm2map_spin(aE, aB, nside)
+    data = jnp.stack([T, Q, U])[:, None, None].astype(jnp.float32)
+    logger.info(
+        f"Generated IQU CMB realization (nside={nside}, lmax={lmax}) "
+        f"in {_time.perf_counter() - t0:.2f} s."
+    )
     return CMB(data=data, stokes="IQU", units="K_CMB", frame="galactic", nu=[150e9])
 
 

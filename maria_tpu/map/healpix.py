@@ -96,21 +96,34 @@ class HEALPixMap(Map):
         return out
 
     def smooth(self, fwhm) -> "HEALPixMap":
-        """Harmonic-space Gaussian smoothing (reference healpix.py:126)."""
-        from ..healpix.sht import alm2map, map2alm
+        """Harmonic-space Gaussian smoothing (reference healpix.py:126).
+
+        All (stokes, nu, t) slices transform in ONE batched device scan;
+        Q/U pairs are smoothed with the spin-2 transform (scalar-smoothing
+        them would mix E/B power near the poles)."""
+        from ..healpix.sht import alm2map, alm2map_spin, map2alm, map2alm_spin
 
         fwhm_rad = float(np.asarray(Quantity(fwhm, "rad")))
         sigma = fwhm_rad / (2 * np.sqrt(2 * np.log(2)))
-        lmax = min(3 * self.nside - 1, 1024)
+        lmax = min(3 * self.nside - 1, 2048)
         ells = np.arange(lmax + 1)
-        beam = np.exp(-0.5 * ells * (ells + 1) * sigma**2)
-        new_data = np.asarray(self.data).copy()
-        for s in range(self.n_stokes):
-            for i in range(self.n_nu):
-                for j in range(len(self.t)):
-                    alm = map2alm(np.asarray(self.data[s, i, j], dtype=float), lmax=lmax)
-                    alm *= beam[:, None]
-                    new_data[s, i, j] = alm2map(alm, self.nside)
+        beam = np.exp(-0.5 * ells * (ells + 1) * sigma**2)[:, None]
+
+        data = np.asarray(self.data, dtype=float)
+        new_data = data.copy()
+        scalar = [i for i, s in enumerate(self.stokes) if s not in "QU"]
+        if scalar:
+            alm = map2alm(data[scalar].reshape(len(scalar) * self.n_nu * len(self.t), -1), lmax=lmax)
+            sm = alm2map(alm * beam, self.nside)
+            new_data[scalar] = sm.reshape(len(scalar), self.n_nu, len(self.t), -1)
+        if "Q" in self.stokes and "U" in self.stokes:
+            iq, iu = self.stokes.index("Q"), self.stokes.index("U")
+            Q = data[iq].reshape(-1, data.shape[-1])
+            U = data[iu].reshape(-1, data.shape[-1])
+            aE, aB = map2alm_spin(Q, U, lmax=lmax)
+            Qs, Us = alm2map_spin(aE * beam, aB * beam, self.nside)
+            new_data[iq] = Qs.reshape(self.n_nu, len(self.t), -1)
+            new_data[iu] = Us.reshape(self.n_nu, len(self.t), -1)
         return self._replace(data=jnp.asarray(new_data, dtype=self.dtype))
 
     def to_hdf(self, path: str):
