@@ -10,6 +10,7 @@ import numpy as np
 from ..constants import T_CMB  # noqa: F401
 from ..healpix import alm2map, alm2map_spin, synalm, synalm_cmb
 from ..healpix.sht import synalm_cmb_device
+from ..io import caching as io_caching
 from ..map.healpix import HEALPixMap
 from ..map.projection import ProjectionMap
 from .spectra import get_cmb_spectrum
@@ -46,20 +47,80 @@ def generate_cmb(nside: int = 256, lmax: int = None, seed: int = None, **kwargs)
     return CMB(data=data, stokes="IQU", units="K_CMB", frame="galactic", nu=[150e9])
 
 
-def get_cmb(nside: int = 256, **kwargs) -> CMB:
-    """The observed (Planck) CMB sky.
+# Planck PLA SMICA IQU map (reference: maria/cmb/cmb.py:18)
+PLANCK_CMB_URL = "https://pla.esac.esa.int/pla-sl/data-action?MAP.MAP_OID=15001"
 
-    The real Planck map cannot be downloaded in an offline environment;
-    fall back to a seeded realization of the best-fit spectra so code
-    paths relying on `cmb='planck'` still run (clearly logged).
-    """
-    from ..io.caching import _download, get_cache_dir  # noqa: F401
+
+def _generate_planck_stand_in(source_path: str, destination: str):
+    """Offline generator for the fetch chain: a deterministic (seed=777)
+    IQU realization of the best-fit spectra, written as a healpy-style
+    FITS bintable so the read path is identical to the real product's."""
+    from ..io.fits import write_fits_bintable
 
     logger.warning(
-        "Planck CMB maps are unavailable offline; using a deterministic "
-        "(seed=777) realization of the ΛCDM spectra instead.",
+        "Planck CMB map unavailable from the network; generating a "
+        "deterministic (seed=777) ΛCDM realization in its place.",
     )
-    return generate_cmb(nside=nside, seed=777)
+    cmb = generate_cmb(nside=256, seed=777)
+    T, Q, U = (np.asarray(cmb.data[i, 0, 0], dtype=np.float32) for i in range(3))
+    ones = np.ones(len(T), dtype=np.float32)
+    write_fits_bintable(
+        destination,
+        columns=[
+            ("I_STOKES", "E", T, "K_CMB"),
+            ("Q_STOKES", "E", Q, "K_CMB"),
+            ("U_STOKES", "E", U, "K_CMB"),
+            ("TMASK", "E", ones, ""),
+            ("PMASK", "E", ones, ""),
+        ],
+        header_cards=[("ORDERING", "RING"), ("NSIDE", 256), ("COORDSYS", "G")],
+    )
+
+
+io_caching.register_generator("maps/planck_cmb.fits", _generate_planck_stand_in)
+
+
+def get_cmb(**kwargs) -> CMB:
+    """The observed (Planck SMICA) CMB sky, through the full fetch chain:
+    cache → PLA download → offline stand-in realization (reference:
+    maria/cmb/cmb.py:43-64). Masked pixels become NaN."""
+    from ..io.fits import read_fits
+
+    path = io_caching.fetch(
+        "maps/planck_cmb.fits", url=PLANCK_CMB_URL, max_age=365 * 86400
+    )
+    header, table = next(
+        (h, d) for h, d in read_fits(path) if d is not None and d.dtype.names
+    )
+    names = list(table.dtype.names)
+
+    def col(*candidates):
+        for c in candidates:
+            if c in names:
+                return np.asarray(table[c], dtype=np.float32)
+        return None
+
+    T = col("I_STOKES", "TEMPERATURE", "T")
+    Q = col("Q_STOKES", "Q")
+    U = col("U_STOKES", "U")
+    tmask = col("TMASK", "T_MASK")
+    pmask = col("PMASK", "P_MASK")
+    if str(header.get("ORDERING", "RING")).strip().upper().startswith("NEST"):
+        from ..healpix.core import reorder
+
+        T, Q, U = (reorder(x, n2r=True) if x is not None else None for x in (T, Q, U))
+        tmask, pmask = (
+            reorder(x, n2r=True) if x is not None else None for x in (tmask, pmask)
+        )
+    if tmask is not None:
+        T = np.where(tmask > 0, T, np.nan)
+    if pmask is not None and Q is not None:
+        Q = np.where(pmask > 0, Q, np.nan)
+        U = np.where(pmask > 0, U, np.nan)
+    if Q is None:
+        Q = U = np.zeros_like(T)
+    data = np.stack([T, Q, U])[:, None, None]
+    return CMB(data=data, stokes="IQU", units="K_CMB", frame="galactic", nu=[143e9])
 
 
 def generate_cmb_patch(

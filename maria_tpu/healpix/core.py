@@ -129,3 +129,87 @@ def pix2ang_ring(nside: int, pix):
     phi[south] = (4 * ir - ip - 0.5) * np.pi / (2 * ir) % (2 * np.pi)
 
     return theta, phi
+
+
+# -- NESTED <-> RING (host numpy; needed to ingest real healpy-written
+# FITS maps, which are usually NESTED — e.g. the Planck PLA IQU map the
+# reference loads in maria/cmb/cmb.py:46-58) --------------------------------
+_JRLL = np.array([2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4])
+_JPLL = np.array([1, 3, 5, 7, 0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def _compress_bits(v):
+    """Keep the even-position bits of v and pack them (inverse of bit
+    interleave); vectorized for int64 up to 2*29 bits."""
+    v = v & 0x5555555555555555
+    v = (v | (v >> 1)) & 0x3333333333333333
+    v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+    v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+    v = (v | (v >> 16)) & 0x00000000FFFFFFFF
+    return v
+
+
+def _spread_bits(v):
+    """Inverse of _compress_bits: spread bits to even positions."""
+    v = v & 0x00000000FFFFFFFF
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v << 2)) & 0x3333333333333333
+    v = (v | (v << 1)) & 0x5555555555555555
+    return v
+
+
+def nest2ring(nside: int, pix):
+    """RING index of NESTED pixel(s) (healpy.nest2ring)."""
+    if nside & (nside - 1):
+        raise ValueError("NESTED ordering requires a power-of-2 nside.")
+    pix = np.asarray(pix, dtype=np.int64)
+    npface = nside * nside
+    f = pix // npface
+    pf = pix & (npface - 1)
+    x = _compress_bits(pf)
+    y = _compress_bits(pf >> 1)
+
+    jr = _JRLL[f] * nside - x - y - 1  # 1-based ring index from the north pole
+    north = jr < nside
+    south = jr > 3 * nside
+    nr = np.where(north, jr, np.where(south, 4 * nside - jr, nside))
+    n_before = np.where(
+        north,
+        2 * nr * (nr - 1),
+        np.where(
+            south,
+            nside2npix(nside) - 2 * nr * (nr + 1),
+            2 * nside * (nside - 1) + (jr - nside) * 4 * nside,
+        ),
+    )
+    kshift = np.where(north | south, 0, (jr - nside) & 1)
+    jp = (_JPLL[f] * nr + x - y + 1 + kshift) // 2
+    jp = np.where(jp > 4 * nr, jp - 4 * nr, jp)
+    jp = np.where(jp < 1, jp + 4 * nr, jp)
+    return n_before + jp - 1
+
+
+def ring2nest(nside: int, pix):
+    """NESTED index of RING pixel(s): inverse permutation of nest2ring."""
+    n2r = nest2ring(nside, np.arange(nside2npix(nside)))
+    r2n = np.empty_like(n2r)
+    r2n[n2r] = np.arange(len(n2r))
+    return r2n[np.asarray(pix, dtype=np.int64)]
+
+
+def reorder(m, n2r: bool = False, r2n: bool = False):
+    """Reorder map(s) between NESTED and RING (healpy.reorder)."""
+    m = np.asarray(m)
+    nside = npix2nside(m.shape[-1])
+    if n2r:  # input NESTED -> output RING
+        idx = nest2ring(nside, np.arange(m.shape[-1]))
+        out = np.empty_like(m)
+        out[..., idx] = m
+        return out
+    if r2n:
+        idx = nest2ring(nside, np.arange(m.shape[-1]))
+        return m[..., idx]
+    raise ValueError("Give one of n2r=True or r2n=True.")

@@ -70,11 +70,15 @@ def fetch(
     max_age: float = 30 * 86400,
     refresh: bool = False,
     url_base: str = SOURCE_BASE,
+    url: str = None,
 ) -> str:
     """Return a local path for a data product, downloading or generating it.
 
     Resolution order: fresh cache hit → network download → registered
-    offline generator → stale cache fallback → error.
+    offline generator → stale cache fallback → error. `url` overrides the
+    constructed `url_base/source_path` (for products that live at a full
+    URL, e.g. the Planck PLA map the reference fetches,
+    maria/cmb/cmb.py:18,46).
     """
     destination = cache_path or os.path.join(get_cache_dir(), source_path)
     os.makedirs(os.path.dirname(destination), exist_ok=True)
@@ -83,7 +87,7 @@ def fetch(
     if status == "ok" and not refresh:
         return destination
 
-    url = f"{url_base}/{source_path}"
+    url = url or f"{url_base}/{source_path}"
     if _download(url, destination):
         logger.info(f"fetched {source_path} from {url_base}")
         return destination

@@ -72,12 +72,17 @@ class MaximumLikelihoodMapper(BaseMapper):
         self.n_pix1 = self.n_pix + 1  # + overflow bucket
         self.n_s = len(self.stokes)
         self.n_nu = len(self.nu)
-        self.n_m = self.n_s * self.n_nu * self.n_pix1
+        # the time-bin axis extends the channel axis: map id
+        # ((chan * t_bins) + t_bin) * n_pix1 + pix, so time-binned maps
+        # get an independent ML solve per bin (the reference's base grid
+        # is (stokes, nu, t, y, x), mappers/base.py:68-78)
+        self.n_cpix = self.n_nu * self.t_bins * self.n_pix1
+        self.n_m = self.n_s * self.n_cpix
 
         # built EAGERLY: creating it lazily inside a traced caller (cg's
         # custom_linear_solve) would cache an escaping tracer
         mask = np.ones(self.n_m, dtype=np.float32)
-        mask.reshape(self.n_s, self.n_nu, self.n_pix1)[..., -1] = 0.0
+        mask.reshape(self.n_s, self.n_nu, self.t_bins, self.n_pix1)[..., -1] = 0.0
         self._overflow_mask_cached = jnp.asarray(mask)
 
         stokes_cols = ["IQUV".index(s) for s in self.stokes]
@@ -102,9 +107,15 @@ class MaximumLikelihoodMapper(BaseMapper):
                 inside, jnp.clip(iy, 0, self.n_y - 1) * self.n_x + jnp.clip(ix, 0, self.n_x - 1),
                 self.n_pix,  # overflow bucket
             )
-            # channel-offset ids: pixel p of channel c lives at c*n_pix1 + p
+            # channel/time-offset ids: pixel p of channel c in time bin t
+            # lives at (c*t_bins + t)*n_pix1 + p
             chan = np.array([band_channel[b] for b in tod.dets.band_name], dtype=np.int32)
-            pix_chan = pix + jnp.asarray(chan[:, None] * self.n_pix1)
+            tbin = np.clip(
+                np.digitize(np.asarray(tod.time), self.t_edges) - 1, 0, self.t_bins - 1
+            ).astype(np.int32)
+            pix_chan = pix + jnp.asarray(
+                (chan[:, None] * self.t_bins + tbin[None, :]) * self.n_pix1
+            )
             # per-detector Stokes weights (n_det, n_s) from the Mueller rows
             sw = np.asarray(tod.dets.stokes_weight(), dtype=np.float32)[:, stokes_cols]
             data = jnp.asarray(tod.signal, dtype=jnp.float32)
@@ -120,7 +131,7 @@ class MaximumLikelihoodMapper(BaseMapper):
     # -- pointing ------------------------------------------------------------------
     def _project(self, m_flat, block):
         """P m: (n_det, n_t) Mueller-weighted gather per Stokes."""
-        m = m_flat.reshape(self.n_s, self.n_nu * self.n_pix1)
+        m = m_flat.reshape(self.n_s, self.n_cpix)
         out = 0.0
         for s in range(self.n_s):
             out = out + block["sw"][:, s, None] * jnp.take(m[s], block["pix"], axis=0)
@@ -134,7 +145,7 @@ class MaximumLikelihoodMapper(BaseMapper):
                 jax.ops.segment_sum(
                     (block["sw"][:, s, None] * v).ravel(),
                     block["pix"].ravel(),
-                    num_segments=self.n_nu * self.n_pix1,
+                    num_segments=self.n_cpix,
                 )
             )
         return jnp.concatenate(parts)
@@ -310,20 +321,22 @@ class MaximumLikelihoodMapper(BaseMapper):
         ivar = diag if diag is not None else self._white_diag()
         self.m = m
 
-        m_grid = np.asarray(m).reshape(self.n_s, self.n_nu, self.n_pix1)[..., :-1]
-        w_grid = np.asarray(ivar).reshape(self.n_s, self.n_nu, self.n_pix1)[..., :-1]
-        h_grid = np.asarray(hits).reshape(self.n_s, self.n_nu, self.n_pix1)[..., :-1]
+        shape4 = (self.n_s, self.n_nu, self.t_bins, self.n_pix1)
+        m_grid = np.asarray(m).reshape(shape4)[..., :-1]
+        w_grid = np.asarray(ivar).reshape(shape4)[..., :-1]
+        h_grid = np.asarray(hits).reshape(shape4)[..., :-1]
 
         data = np.zeros((self.n_s, self.n_nu, self.t_bins, self.n_y, self.n_x), dtype=np.float32)
         weight = np.zeros_like(data)
         for s in range(self.n_s):
             for c in range(self.n_nu):
-                img = m_grid[s, c].reshape(self.n_y, self.n_x)
-                valid = h_grid[s, c].reshape(self.n_y, self.n_x) > 0
-                if valid.any():
-                    img = np.where(valid, img - img[valid].mean(), 0.0)
-                data[s, c, :] = img
-                weight[s, c, :] = np.where(valid, w_grid[s, c].reshape(self.n_y, self.n_x), 0.0)
+                for t in range(self.t_bins):
+                    img = m_grid[s, c, t].reshape(self.n_y, self.n_x)
+                    valid = h_grid[s, c, t].reshape(self.n_y, self.n_x) > 0
+                    if valid.any():
+                        img = np.where(valid, img - img[valid].mean(), 0.0)
+                    data[s, c, t] = img
+                    weight[s, c, t] = np.where(valid, w_grid[s, c, t].reshape(self.n_y, self.n_x), 0.0)
         self.map = self.make_map(data, weight)
         return self.map
 
