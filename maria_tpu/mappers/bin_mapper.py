@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coords.transforms import phi_theta_to_offsets_jit
-from ..ops.binning import bin_blocked, make_blocked_bin_plan
+from ..ops.binning import bin_blocked, hilbert_detector_order, make_blocked_bin_plan
 from .base import BaseMapper
 
 logger = logging.getLogger("maria_tpu")
@@ -99,6 +99,9 @@ class BinMapper(BaseMapper):
                 ix_all = np.where(inside, ix_all, -1)
                 iy_all = np.where(inside, iy_all, -1)
                 try_windowed = True
+                # the Hilbert detector sort depends only on the (shared)
+                # pointing — compute once per band, reuse for every t bin
+                det_order = hilbert_detector_order(iy_all, ix_all)
 
                 for i_t in range(n_t):
                     cols = np.where(t_index == i_t)[0]
@@ -110,7 +113,9 @@ class BinMapper(BaseMapper):
                     # pointing (ops/binning.py) — handles narrow and
                     # wide fields; scatter fallback for pathological ones
                     plan = (
-                        make_blocked_bin_plan(iy_all[:, sl], ix_all[:, sl], self.n_y, self.n_x)
+                        make_blocked_bin_plan(
+                            iy_all[:, sl], ix_all[:, sl], self.n_y, self.n_x, order=det_order
+                        )
                         if try_windowed
                         else None
                     )

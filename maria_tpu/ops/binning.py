@@ -211,6 +211,18 @@ def _hilbert_order(my, mx, order_bits: int = 16):
     return np.argsort(d, kind="stable")
 
 
+def hilbert_detector_order(iy, ix):
+    """Hilbert-curve ordering of detectors by their mean pixel position.
+    Computed once per (TOD, band) and reused across time bins — the
+    pointing is shared, so re-sorting per bin is wasted host work."""
+    iy = np.asarray(iy, dtype=np.int32)
+    ix = np.asarray(ix, dtype=np.int32)
+    valid0 = (iy >= 0) & (ix >= 0)
+    my = np.where(valid0, iy, 0).sum(axis=1) / np.maximum(valid0.sum(axis=1), 1)
+    mx = np.where(valid0, ix, 0).sum(axis=1) / np.maximum(valid0.sum(axis=1), 1)
+    return _hilbert_order(np.round(my).astype(np.int64), np.round(mx).astype(np.int64))
+
+
 def make_blocked_bin_plan(
     iy,
     ix,
@@ -219,12 +231,14 @@ def make_blocked_bin_plan(
     chunk: int = 64,
     det_block: int = 512,
     max_window_frac: float = 0.5,
+    order: np.ndarray = None,
 ) -> BlockedBinPlan:
     """Build the plan from static per-sample pixel rows/cols (n_det, n_t).
 
     Out-of-map samples must be marked with negative indices (they get
     zero one-hot weight). Returns None when even blocked windows would
-    span most of the map (then use `bin_scatter`)."""
+    span most of the map (then use `bin_scatter`). Pass a precomputed
+    `order` (hilbert_detector_order) to share the sort across time bins."""
     iy = np.asarray(iy, dtype=np.int32)
     ix = np.asarray(ix, dtype=np.int32)
     n_det, n_t = iy.shape
@@ -232,10 +246,8 @@ def make_blocked_bin_plan(
     # 512-row block (dead rows cost real matmul work)
     det_block = min(det_block, -(-n_det // 8) * 8)
 
-    valid0 = (iy >= 0) & (ix >= 0)
-    my = np.where(valid0, iy, 0).sum(axis=1) / np.maximum(valid0.sum(axis=1), 1)
-    mx = np.where(valid0, ix, 0).sum(axis=1) / np.maximum(valid0.sum(axis=1), 1)
-    order = _hilbert_order(np.round(my).astype(np.int64), np.round(mx).astype(np.int64))
+    if order is None:
+        order = hilbert_detector_order(iy, ix)
 
     n_blocks = -(-n_det // det_block)
     pad_d = n_blocks * det_block - n_det

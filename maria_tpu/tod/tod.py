@@ -265,11 +265,38 @@ class TOD:
                     new_data[field] = new_data[field].at[band_mask].set(
                         self.data[field][band_mask] * factor
                     )
-            else:
+            elif any(
+                np.ndim(v) >= 1 and np.size(v) > 1
+                for k, v in self.calibration_kwargs(band).items()
+                if isinstance(v, (np.ndarray, jnp.ndarray))
+            ):
+                # per-sample kwargs (e.g. atmosphere-aware elevation):
+                # the map is 2-D per sample, no 1-D table — host path
                 for field in self.fields:
                     new_data[field] = new_data[field].at[band_mask].set(
                         jnp.asarray(cal(np.asarray(self.data[field][band_mask])), dtype=self.dtype)
                     )
+            else:
+                # elementwise nonlinear chains: never pull the (n_det,
+                # n_t) array off device (minutes at AtLAST scale through
+                # a tunnel) — evaluate the smooth radiometric map on a
+                # 1025-point host table spanning the field's range (two
+                # scalar reductions) and interpolate on device
+                for field in self.fields:
+                    d = self.data[field][band_mask]
+                    lo = float(jnp.min(d))
+                    hi = float(jnp.max(d))
+                    span = max(hi - lo, 1e-9 * max(abs(hi), abs(lo), 1.0))
+                    grid = np.linspace(lo - 0.01 * span, hi + 0.01 * span, 1025)
+                    y_grid = np.asarray(cal(grid), dtype=float)
+                    # interpolate in offset coordinates to keep f32 precision
+                    y0 = y_grid[0]
+                    new = jnp.interp(
+                        (d - np.float32(grid[0])).astype(jnp.float32),
+                        jnp.asarray(grid - grid[0], jnp.float32),
+                        jnp.asarray(y_grid - y0, jnp.float32),
+                    ) + np.float32(y0)
+                    new_data[field] = new_data[field].at[band_mask].set(new.astype(self.dtype))
         logger.debug(f"Converted TOD to '{units}' in {_time.monotonic() - start_s:.2f} s")
         return TOD(
             data=new_data,

@@ -213,3 +213,36 @@ def test_kinematic_limits_warn(caplog):
     with caplog.at_level(logging.WARNING, logger="maria_tpu"):
         maria_tpu.Simulation(instrument="MUSTANG-2", plans=slow, site="GBT", atmosphere=None, noise=True)
     assert not any("exceeds" in r.message for r in caplog.records)
+
+
+def test_nonlinear_tod_conversion_stays_accurate():
+    """Elementwise nonlinear TOD.to() runs through a device-side
+    interpolation table; it must match the exact host calibration to
+    high precision. (Atmosphere-aware chains with per-sample elevation
+    kwargs take the exact host path instead.)"""
+    import jax.numpy as jnp
+
+    import maria_tpu
+    from maria_tpu.tod.tod import TOD
+
+    sim = maria_tpu.Simulation(
+        instrument="MUSTANG-2", plans="ten_second_zenith_stare",
+        site="green_bank", atmosphere=None, noise=True, seed=0,
+    )
+    base = sim.run()[0]
+    # a brightness-temperature TOD: K_b -> pW is a nonlinear chain whose
+    # kwargs are band-only (elementwise -> table path)
+    tod = TOD(
+        data={"signal": jnp.asarray(base.signal) * 10.0 + 50.0},
+        pointing=base.pointing, weight=base.weight,
+        units="K_b", dets=base.dets, metadata={},
+    )
+    out = tod.to("pW")
+    band = tod.dets.bands[0]
+    mask = np.where(tod.dets.band_name == band.name)[0]
+    cal = band.cal("K_b -> pW", **tod.calibration_kwargs(band))
+    exact = np.asarray(cal(np.asarray(tod.signal)[mask]))
+    got = np.asarray(out.signal)[mask]
+    scale = np.abs(exact).max()
+    assert scale > 0
+    assert np.abs(got - exact).max() < 1e-5 * scale
