@@ -154,6 +154,91 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
     return n_samples / per_tod
 
 
+def bench_stages(program, n_repeats: int = 3, k_chain: int = 17) -> dict:
+    """Marginal per-realization device time of nested pipeline prefixes,
+    reported as per-stage milliseconds:
+
+      screens_ar_pwv : pointing + screen synthesis + AR extrusion + LOS
+                       sampling to coarse-rate pwv
+      bandpass_upsample : + per-band (pwv, el) power tables + time upsample
+      noise          : + knee-noise FFT synthesis and gains
+      (binning is reported by the main benchmark as total - fields)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    args = program.example_args()
+
+    def chain(stage_fn, k_count):
+        @jax.jit
+        def run(key, offsets, bs_az, bs_el):
+            def body(carry, k):
+                out = stage_fn(k, offsets, bs_az, bs_el)
+                vals = out.values() if isinstance(out, dict) else [out]
+                return carry + sum(jnp.sum(v) for v in vals), ()
+
+            keys = jax.random.split(key, k_count)
+            total, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+            return total
+
+        return run
+
+    def marginal(stage_fn):
+        def timed(f):
+            float(np.asarray(f(*args)))  # compile + warm
+            times = []
+            for i in range(n_repeats):
+                fresh = (jax.random.key(i + 1), *args[1:])
+                start = time.perf_counter()
+                float(np.asarray(f(*fresh)))
+                times.append(time.perf_counter() - start)
+            return min(times)
+
+        t1 = timed(chain(stage_fn, 1))
+        tk = timed(chain(stage_fn, k_chain))
+        return (tk - t1) / (k_chain - 1)
+
+    t_pwv = marginal(lambda k, o, a, e: program._loadings(k, o, a, e, upto="pwv"))
+    t_atm = marginal(lambda k, o, a, e: program._loadings(k, o, a, e, upto="atmosphere"))
+    t_all = marginal(program.total_power_fn())
+    return {
+        "screens_ar_pwv_ms": round(1e3 * max(t_pwv, 0.0), 3),
+        "bandpass_upsample_ms": round(1e3 * max(t_atm - t_pwv, 0.0), 3),
+        "noise_gains_ms": round(1e3 * max(t_all - t_atm, 0.0), 3),
+        "fields_total_ms": round(1e3 * t_all, 3),
+    }
+
+
+# v5e peak specs for the roofline context (public: 197 bf16 TFLOP/s,
+# ~819 GB/s HBM per chip)
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
+
+
+def roofline_estimate(program, per_tod_s: float) -> dict:
+    """Order-of-magnitude utilization: the pipeline's minimum HBM
+    traffic (each major (n_det, n_t) f32 stream read+written once) and
+    its MXU work (binning one-hot contractions at the measured
+    0.17 ns/sample; docs/tpu-design.md 'Binning roofline') against the
+    chip peaks."""
+    n_det, n_t = len(program.offsets), len(program.t_fine)
+    n_samples = n_det * n_t
+    n_coarse = len(program.t_coarse)
+    # major f32 streams per realization: coarse pwv/loading (r+w), fine
+    # atmosphere, noise (freq+time domains), total, binned read
+    coarse_bytes = 4 * n_det * n_coarse * 4
+    fine_bytes = 4 * n_det * n_t * 5
+    traffic_gb = (coarse_bytes + fine_bytes) / 1e9
+    hbm_frac = traffic_gb / max(per_tod_s, 1e-12) / V5E_HBM_GBPS
+    binning_s = 0.17e-9 * n_samples  # MXU-bound measured cost
+    return {
+        "min_hbm_traffic_gb_per_tod": round(traffic_gb, 4),
+        "hbm_roofline_frac": round(hbm_frac, 4),
+        "binning_mxu_s_per_tod": round(binning_s, 6),
+        "note": "lower bound on traffic; fusion removes intermediates, so >1 would mean the estimate undercounts",
+    }
+
+
 def bench_cpu_baseline(program, obs) -> float:
     """Single-threaded numpy implementation of the same synthesis, using
     the reference's algorithm structure (AR extrusion; scipy
@@ -196,16 +281,19 @@ def bench_cpu_baseline(program, obs) -> float:
     px, py = np.sin(det_az) * cot, np.cos(det_az) * cot
 
     pwv = np.full(det_az.shape, program.mean_pwv)
-    for screen, proc in processes:
+
+    def screen_contribution(item):
+        screen, proc = item
         # the sequential AR loop (reference process.py:191-209)
         A = np.asarray(proc.A, dtype=np.float64)
         B = np.asarray(proc.B, dtype=np.float64)
+        srng = np.random.default_rng(int(1e6 * screen.h))
         n_ext = proc.n_extrusion
         n_steps = 2 * n_ext
-        BUF = rng.standard_normal((n_ext + n_steps, proc.n_cross_section))
+        BUF = srng.standard_normal((n_ext + n_steps, proc.n_cross_section))
         e_idx, c_idx = proc.extrusion_sample_index, proc.cross_section_sample_index
         for b in range(n_steps - 1, -1, -1):
-            BUF[b] = A @ BUF[b + e_idx + 1, c_idx] + B @ rng.standard_normal(proc.n_live_edge)
+            BUF[b] = A @ BUF[b + e_idx + 1, c_idx] + B @ srng.standard_normal(proc.n_live_edge)
         values = sp.ndimage.gaussian_filter(BUF[:n_ext], sigma=(1.0, 1.0))
 
         x = screen.h * px + screen.vx * t_c
@@ -216,7 +304,15 @@ def bench_cpu_baseline(program, obs) -> float:
             (proc.extrusion, proc.cross_section[:, 0]), values,
             method="linear", bounds_error=False, fill_value=0.0,
         )
-        pwv = pwv + screen.pwv_rms * interp(np.stack([tx, ty], axis=-1))
+        return screen.pwv_rms * interp(np.stack([tx, ty], axis=-1))
+
+    # screens are independent: run them on a thread pool (BLAS/scipy
+    # release the GIL), so the baseline is honestly multithreaded
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(processes) or 1, os.cpu_count())) as pool:
+        for contribution in pool.map(screen_contribution, processes):
+            pwv = pwv + contribution
 
     loading_c = np.zeros_like(pwv)
     for band in program.bands:
@@ -256,6 +352,17 @@ def main():
     program, obs = build_program()
     tpu_rate = bench_tpu(program, obs)
     cpu_rate = bench_cpu_baseline(program, obs)
+    try:
+        stages = bench_stages(program)
+        n_samples = len(program.offsets) * len(program.t_fine)
+        roofline = roofline_estimate(program, stages["fields_total_ms"] / 1e3)
+        stages["binning_ms"] = round(1e3 * (n_samples / tpu_rate - stages["fields_total_ms"] / 1e3), 3)
+    except Exception:  # noqa: BLE001 — stage breakdown must not kill the headline
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        stages, roofline = None, None
 
     # config (b): AtLAST-scale ~50k-detector multi-band array with a
     # multi-layer 3-D (vertically-correlated) atmosphere, per BASELINE.md
@@ -278,7 +385,10 @@ def main():
         "unit": "samples/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
         "baseline_samples_per_s": round(cpu_rate, 1),
+        "baseline_threads": os.cpu_count(),
         "atlast_50k_samples_per_s": round(atlast_rate, 1) if atlast_rate else None,
+        "stage_breakdown": stages,
+        "roofline": roofline,
     }
     print(json.dumps(result))
 

@@ -133,10 +133,16 @@ class TODProgram:
             out = out.at[self.bands[i].det_index].set(piece)
         return out
 
-    def _loadings(self, key, offsets, bs_az_c, bs_el_c, return_pwv: bool = False):
+    def _loadings(
+        self, key, offsets, bs_az_c, bs_el_c, return_pwv: bool = False, upto: str = None
+    ):
         """Pure jnp body; returns dict of (n_det, n_t) loadings in pW
         (and optionally the fine-rate zenith-scaled pwv). Gain errors are
-        NOT applied here — see total_power_fn / Simulation.run_obs."""
+        NOT applied here — see total_power_fn / Simulation.run_obs.
+
+        `upto` truncates the pipeline for stage benchmarking:
+        "pwv" (pointing + screens + AR + LOS sampling) or "atmosphere"
+        (+ bandpass integration and upsampling)."""
         from ..coords.transforms import offsets_to_phi_theta
 
         key_atm, key_noise, key_gain = jax.random.split(key, 3)
@@ -185,6 +191,8 @@ class TODProgram:
             key_scr, self.mean_pwv, self.screens, self.groups,
             px, py, bs_px, bs_py, t_c, ar_values=ar_values,
         )
+        if upto == "pwv":
+            return {"pwv": pwv}
 
         # per-band bandpass-integrated emission at coarse rate, assembled
         # without scatters when bands partition the det axis contiguously
@@ -201,6 +209,8 @@ class TODProgram:
 
         # upsample to the TOD rate (phase stencil: no gathers)
         fields = {"atmosphere": self._upsample(loading_c)}
+        if upto == "atmosphere":
+            return fields
 
         # fused CMB / input-map stages: the sky timelines are static
         # (pointing is known at build); the (pwv, el)-dependent

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 os.environ.setdefault("MARIA_TPU_CACHE_DIR", "/tmp/maria-tpu-data")
+# persistent XLA compile cache: repeat suite runs (and repeat builds of
+# the same program within one run) skip recompilation
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax-cpu-cache")
 
 import jax  # noqa: E402
 

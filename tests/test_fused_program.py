@@ -20,7 +20,8 @@ def full_scene():
     )[0]
     sim = maria_tpu.Simulation(
         instrument="MUSTANG-2", plans=plan, site="GBT",
-        atmosphere="2d", cmb="generate", map=input_map, noise=True, seed=4,
+        atmosphere="2d", cmb="generate", cmb_kwargs={"nside": 64},
+        map=input_map, noise=True, seed=4,
     )
     return sim
 
@@ -100,7 +101,8 @@ def test_unfused_mixin_path(full_scene):
     )[0]
     sim = maria_tpu.Simulation(
         instrument="MUSTANG-2", plans=plan, site="GBT",
-        atmosphere="2d", cmb="generate", map=input_map, noise=True, seed=4, fused=False,
+        atmosphere="2d", cmb="generate", cmb_kwargs={"nside": 64},
+        map=input_map, noise=True, seed=4, fused=False,
     )
     obs = sim.obs_list[0]
     tod = sim.run()[0]

@@ -78,15 +78,30 @@ def test_time_sharded_halo_exchange_matches_sequential(process):
 
 def test_streaming_statistics(process):
     """Long streamed screens keep unit variance and the Matérn
-    correlation across chunk boundaries (no seams)."""
+    correlation across chunk boundaries (no seams). All realizations run
+    in ONE vmapped dispatch (a python loop of 160 chunk steps took ~100 s
+    of pure dispatch overhead on the CPU test mesh)."""
     R = 24
     stream = StreamingExtrusion(process, chunk_rows=R)
-    vals = []
-    for i in range(40):
-        chunks = stream.run_chunks(jax.random.key(100 + i), n_chunks=4)
-        vals.append(np.concatenate([np.asarray(c) for c in chunks]))
-    v = np.stack(vals)  # (n_real, 4R, ny)
-    assert abs(v.var() - 1.0) < 0.1
+
+    def one_realization(key):
+        key_init, key_noise = jax.random.split(key)
+        state = stream.initial_state(key_init)
+        out = []
+        for c in range(4):
+            noise = jax.random.normal(
+                jax.random.fold_in(key_noise, c), (R, process.n_live_edge), dtype=jnp.float32
+            )
+            state, chunk = stream.step(state, noise)
+            out.append(chunk)
+        return jnp.concatenate(out)
+
+    # the screen is only ~2 Matérn correlation lengths across, so each
+    # realization contributes few effective samples; 256 realizations in
+    # one dispatch put the variance s.e. near 0.05
+    keys = jax.random.split(jax.random.key(100), 256)
+    v = np.asarray(jax.jit(jax.vmap(one_realization))(keys))  # (n_real, 4R, ny)
+    assert abs(v.var() - 1.0) < 0.15
 
     # adjacent-row correlation across every chunk boundary matches the
     # within-chunk one (the stream is stationary through the seam)
