@@ -180,11 +180,56 @@ MAP_ALIASES = {
 }
 
 
-def get(name: str, **kwargs) -> ProjectionMap:
-    """Load a named input map (reference: maria/map/__init__.py:58)."""
-    name = MAP_ALIASES.get(name, name)
-    if name in EXAMPLE_MAPS:
-        return _synthesize_example(name, **kwargs)
+# the reference's maria-data products (maria/map/maps.txt): with network
+# access `get` fetches the REAL file; offline it falls back to the
+# synthetic stand-in family below
+REFERENCE_MAP_FILES = {
+    "12CO(2-1)": "maps/12CO(2-1).fits",
+    "30dor": "maps/30dor.fits",
+    "M1": "maps/M1.h5",
+    "M51HA": "maps/M51HA.fits",
+    "circinus_galaxy": "maps/circinus_galaxy.h5",
+    "cluster": "maps/cluster1.fits",
+    "cluster1": "maps/cluster1.fits",
+    "cluster2": "maps/cluster2.fits",
+    "cluster3": "maps/cluster3.fits",
+    "crab_nebula": "maps/crab_nebula.fits",
+    "dust": "maps/dust.fits",
+    "einstein": "maps/einstein.h5",
+    "maria": "maps/maria.h5",
+    "monoceros_R2": "maps/monoceros_R2.h5",
+    "orion_A": "maps/orion_A.h5",
+    "protoplanetary_disk": "maps/protoplanetary_disk.fits",
+    "quasar": "maps/quasar_3C_286.h5",
+    "quasar_3C_286": "maps/quasar_3C_286.h5",
+    "radio_galaxy_3C_288": "maps/radio_galaxy_3C_288.fits",
+    "time_evolving_source": "maps/time_evolving_sun.fits",
+    "time_evolving_sun": "maps/time_evolving_sun.fits",
+}
+
+
+def get(name: str, fetch_first: bool = True, **kwargs) -> ProjectionMap:
+    """Load a named input map (reference: maria/map/__init__.py:58,
+    get = load(fetch(name))).
+
+    The real maria-data product is attempted first when the name matches
+    one (network permitting); the synthetic stand-in family is the
+    offline fallback."""
+    source = REFERENCE_MAP_FILES.get(name)
+    family = MAP_ALIASES.get(name, name)
+    if source is not None and fetch_first:
+        from ..io.caching import fetch
+
+        try:
+            path = fetch(source)
+            # size/center kwargs override the file's metadata downstream
+            return load(path, **{k: v for k, v in kwargs.items() if k != "n"})
+        except FileNotFoundError:
+            logger.info(f"'{source}' unavailable offline; synthesizing '{family}'.")
+        except Exception as e:  # noqa: BLE001 — fall back, never fail the scene
+            logger.warning(f"could not load fetched map '{source}' ({e}); synthesizing.")
+    if family in EXAMPLE_MAPS:
+        return _synthesize_example(family, **kwargs)
     if os.path.exists(name):
         return load(name, **kwargs)
     raise ValueError(f"'{name}' is not a known map (known: {all_maps}) or an existing file.")
