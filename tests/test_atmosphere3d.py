@@ -16,6 +16,7 @@ from maria_tpu.atmosphere.fourier import (
 from maria_tpu.functions import approximate_normalized_matern
 
 
+@pytest.mark.slow
 def test_layered_synthesis_cross_covariance():
     """Realization-averaged layer cross-correlations must match the 3-D
     Matérn closed form (the same covariance the AR path's stacked
@@ -77,6 +78,7 @@ def test_3d_fourier_sim_fused(stare_plan):
     assert d.std() > 0
 
 
+@pytest.mark.slow
 def test_3d_fourier_vs_ar_statistics(stare_plan):
     """The fused AR extrusion and the layered fourier synthesis target
     the same 3-D covariance; their TOD fluctuations must agree in
@@ -95,6 +97,7 @@ def test_3d_fourier_vs_ar_statistics(stare_plan):
     assert 0.5 < ratio < 2.0, stds
 
 
+@pytest.mark.slow
 def test_2d_ar_method_uses_processes(stare_plan):
     sim = Simulation(
         instrument="test/1deg", plans=stare_plan, site="chajnantor",

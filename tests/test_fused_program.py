@@ -68,10 +68,28 @@ def test_fused_cmb_and_map_match_mixins(full_scene):
     assert np.abs(map_fused - map_mixin).max() < 0.05 * map_mixin.std()
 
 
-def test_noise_sees_cmb_and_map_loading(full_scene):
+def test_noise_sees_cmb_and_map_loading():
     """NEP_per_loading inside the program must include the cmb/map
-    fields (reference sim/noise.py:33 sums all loadings)."""
-    sim = full_scene
+    fields (reference sim/noise.py:33 sums all loadings). The physics
+    wiring doesn't need the full MUSTANG-2 scene — a tiny instrument
+    halves the two jit compiles this test pays."""
+    from maria_tpu.map import ProjectionMap
+
+    rng = np.random.default_rng(0)
+    input_map = ProjectionMap(
+        data=1e-3 * rng.standard_normal((1, 1, 1, 64, 64)).astype(np.float32),
+        center=(150.0, 50.0), width=2.0, frame="az/el", nu=[150e9],
+        units="K_RJ", degrees=True,
+    )
+    plan = maria_tpu.get_plan(
+        "five_second_stare", start_time=1.75e9, sample_rate=10,
+        scan_center=(150.0, 50.0), frame="az/el",
+    )
+    sim = maria_tpu.Simulation(
+        instrument="test/1deg", plans=plan, site="GBT",
+        atmosphere="2d", cmb="generate", cmb_kwargs={"nside": 32},
+        map=input_map, noise=True, seed=4,
+    )
     obs = sim.obs_list[0]
     program = build_tod_program(
         obs, with_noise=True, noise_kwargs=sim.noise_kwargs,

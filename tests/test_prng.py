@@ -9,6 +9,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 SCRIPT = """
 import os, sys, hashlib
@@ -43,6 +44,7 @@ def _run_once():
     assert out.returncode == 0, out.stderr[-2000:]
     return out.stdout.strip().splitlines()[-1]
 
+@pytest.mark.slow
 def test_same_seed_bitwise_identical_across_processes():
     h1 = _run_once()
     h2 = _run_once()

@@ -79,6 +79,7 @@ def test_noise_level():
         assert 0.5 < white / (2 * band.NEP**2) < 2.0
 
 
+@pytest.mark.slow
 def test_3d_atmosphere_ar_smoke():
     sim = Simulation(
         instrument="test/one_detector",
@@ -93,6 +94,7 @@ def test_3d_atmosphere_ar_smoke():
     assert not np.isnan(np.asarray(tod.signal)).any()
 
 
+@pytest.mark.slow
 def test_fourier_vs_ar_statistics():
     """The FFT synthesis path and the AR path should produce pwv
     fluctuations of comparable magnitude (distribution-level parity)."""

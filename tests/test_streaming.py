@@ -76,6 +76,7 @@ def test_time_sharded_halo_exchange_matches_sequential(process):
     np.testing.assert_array_equal(sharded, sequential)
 
 
+@pytest.mark.slow
 def test_streaming_statistics(process):
     """Long streamed screens keep unit variance and the Matérn
     correlation across chunk boundaries (no seams). All realizations run
