@@ -23,8 +23,18 @@ import time
 import numpy as np
 
 # persistent XLA compilation cache: the remote-TPU tunnel makes first
-# compiles expensive; cache them across processes
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax-comp-cache")
+# compiles expensive; cache them across processes. Keyed by a machine
+# fingerprint so stale cross-machine AOT artifacts are never loaded.
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu = next((line for line in _f if line.startswith("flags")), "")
+except OSError:
+    _cpu = platform.processor()
+_tag = hashlib.md5((platform.machine() + _cpu).encode()).hexdigest()[:8]
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", f"/tmp/jax-comp-cache-{_tag}")
 
 DURATION_S = 60.0
 SAMPLE_RATE = 50.0

@@ -13,9 +13,33 @@ class ShapeError(Exception):
     pass
 
 
+class ConfigurationError(Exception):
+    """Bad scene/component configuration (reference errors/__init__.py:14)."""
+
+
 class MissingCalibrationKwargsError(Exception):
     def __init__(self, missing):
         super().__init__(f"Missing required calibration kwargs {missing}.")
+
+
+# the reference's name for the same exception (errors/__init__.py:20)
+MissingCalibrationKwargs = MissingCalibrationKwargsError
+
+
+class InvalidInstrumentError(ValueError):
+    """Unknown instrument name (reference instrument/__init__.py:69)."""
+
+    def __init__(self, name, valid=None):
+        hint = f" Valid instruments are {sorted(valid)}." if valid else ""
+        super().__init__(f"Invalid instrument '{name}'.{hint}")
+
+
+class InvalidSiteError(ValueError):
+    """Unknown site name (reference site/__init__.py:34)."""
+
+    def __init__(self, name, valid=None):
+        hint = f" Valid sites are {sorted(valid)}." if valid else ""
+        super().__init__(f"Invalid site '{name}'.{hint}")
 
 
 class IncompatibleQuantityError(Exception):

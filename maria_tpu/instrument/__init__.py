@@ -10,6 +10,7 @@ import os
 import numpy as np
 
 from ..array import Array, ArrayList
+from ..errors import InvalidInstrumentError
 from ..io import read_yaml
 from ..units import Quantity
 
@@ -124,6 +125,4 @@ def get_instrument(name: str, **kwargs) -> Instrument:
         if name == key or name in config.get("aliases", []):
             merged = {**config, **kwargs}
             return Instrument.from_config(merged, name=key)
-    raise ValueError(
-        f"'{name}' is not a valid instrument name. Valid instruments are {all_instruments}.",
-    )
+    raise InvalidInstrumentError(name, valid=all_instruments)

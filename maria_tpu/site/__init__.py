@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from ..coords.earth import EarthLocation
-from ..errors import InvalidRegionError
+from ..errors import InvalidRegionError, InvalidSiteError
 from ..units import Quantity
 from .regions import REGIONS, all_regions
 
@@ -140,6 +140,4 @@ def get_site(site_name: str, **kwargs) -> Site:
             return Site(name=name, **cfg)
     if site_name in all_regions:
         return Site(region=site_name, **kwargs)
-    raise ValueError(
-        f"'{site_name}' is not a valid site name. Valid sites are {all_sites} (or any region in {all_regions}).",
-    )
+    raise InvalidSiteError(site_name, valid=all_sites + all_regions)

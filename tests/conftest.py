@@ -5,7 +5,9 @@ logic is exercised without TPU hardware (the driver's dryrun does the
 same). This must happen before jax is imported anywhere.
 """
 
+import hashlib
 import os
+import platform
 
 # the axon TPU plugin registers itself from sitecustomize (before this
 # conftest runs) whenever PALLAS_AXON_POOL_IPS is set, and its register()
@@ -18,8 +20,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 os.environ.setdefault("MARIA_TPU_CACHE_DIR", "/tmp/maria-tpu-data")
 # persistent XLA compile cache: repeat suite runs (and repeat builds of
-# the same program within one run) skip recompilation
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax-cpu-cache")
+# the same program within one run) skip recompilation. Keyed by a machine
+# fingerprint — AOT artifacts from a host with different CPU features
+# load with a "could lead to SIGILL" warning.
+try:
+    with open("/proc/cpuinfo") as _f:
+        _cpu = next((line for line in _f if line.startswith("flags")), "")
+except OSError:
+    _cpu = platform.processor()
+_tag = hashlib.md5((platform.machine() + _cpu).encode()).hexdigest()[:8]
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", f"/tmp/jax-cpu-cache-{_tag}")
 
 import jax  # noqa: E402
 

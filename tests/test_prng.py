@@ -5,6 +5,7 @@ carry the same physics as the mixin path (NEP_per_loading term,
 reference maria/sim/noise.py:33)."""
 
 import hashlib
+import os
 import subprocess
 import sys
 
@@ -38,7 +39,7 @@ def _run_once():
             "PYTHONHASHSEED": "random",
             "PATH": "/usr/bin:/bin",
             "HOME": "/root",
-            "JAX_COMPILATION_CACHE_DIR": "/tmp/jax-cpu-cache",
+            "JAX_COMPILATION_CACHE_DIR": os.environ["JAX_COMPILATION_CACHE_DIR"],
         },
     )
     assert out.returncode == 0, out.stderr[-2000:]
