@@ -1,3 +1,5 @@
+from . import signal  # noqa: F401
+from .field import Field  # noqa: F401
 from .processing import process_tod  # noqa: F401
 from .tod import TOD, Pointing  # noqa: F401
 

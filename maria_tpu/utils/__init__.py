@@ -152,3 +152,85 @@ def great_circle_distance(phi1, theta1, phi2, theta2):
         + np.cos(theta1) * np.cos(theta2) * np.sin(dphi / 2) ** 2
     )
     return 2 * np.arcsin(np.sqrt(np.clip(hav, 0.0, 1.0)))
+
+
+def hav(x):
+    """Haversine (reference: maria/utils/functions.py:4-5)."""
+    return (1 - np.cos(x)) / 2
+
+
+# The reference's dms_to_deg/hms_to_deg apply np.radians and therefore
+# RETURN RADIANS despite their names (maria/utils/coords.py:4-9); the
+# aliases keep that calling convention for migrating users.
+dms_to_deg = dms_to_rad
+hms_to_deg = hms_to_rad
+
+# unix timestamps carry no zone, so "local" day-hour is UTC day-hour
+# (reference maria/utils/time.py:5-11 via arrow.get)
+get_day_hour = get_utc_day_hour
+
+
+def get_utc_year(t: float) -> int:
+    """Calendar year of a unix timestamp (reference utils/time.py:21-22)."""
+    return datetime.fromtimestamp(float(t), tz=timezone.utc).year
+
+
+def compute_resolution_precision(x) -> int:
+    """Decimal places needed to distinguish the finest spacing in x
+    (reference: maria/utils/rounding.py:4-10)."""
+    x = np.ravel(np.asarray(x, dtype=float))
+    if x.size > 1:
+        dx = np.diff(np.unique(np.r_[0.0, x]))
+        positive = dx[dx > 0]
+        if positive.size:
+            return max(4, int(-np.floor(np.log10(positive.min()))) + 1)
+    return 4
+
+
+def round_sig_figs(x, sig_figs: int):
+    """Round to a number of significant figures (reference:
+    maria/utils/rounding.py:13-15)."""
+    x = np.asarray(x, dtype=float)
+    power = np.floor(np.log10(np.abs(np.where(x == 0, 1.0, x))))
+    return np.round(np.round(x * 10.0**-power, sig_figs - 1) * 10.0**power, 10)
+
+
+def is_numeric(val) -> bool:
+    """True if val casts cleanly to float (reference utils/__init__.py:25-30)."""
+    try:
+        np.asarray(val).astype(float)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def is_integer(val):
+    """Elementwise integrality test (reference utils/__init__.py:33-37)."""
+    try:
+        return np.asarray(val).astype(float) == np.asarray(val).astype(int)
+    except (TypeError, ValueError):
+        return False
+
+
+def unpack_implicit_slice(key, ndims: int) -> tuple:
+    """Expand an indexing key (with Ellipsis) into an explicit tuple of
+    ndims slices (reference utils/__init__.py:40-53)."""
+    key = key if isinstance(key, tuple) else (key,)
+    explicit = []
+    for s in key:
+        if s is Ellipsis:
+            explicit.extend([slice(None)] * (ndims + 1 - len(key)))
+        else:
+            explicit.append(s)
+    while len(explicit) < ndims:
+        explicit.append(slice(None))
+    return tuple(explicit)
+
+
+def regular_digitization(x, bins):
+    """Bin indices for regularly spaced bins, O(1) per sample instead of
+    a bisect (reference utils/__init__.py:20-22, jax.jit there; plain
+    numpy here — device code uses ops.binning directly)."""
+    bins = np.asarray(bins)
+    dx = float(np.mean(np.diff(bins))) if len(bins) > 1 else 1.0
+    return np.clip(((np.asarray(x) - (bins.min() - dx)) / dx).astype(int), 0, len(bins))
