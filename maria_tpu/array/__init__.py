@@ -402,3 +402,15 @@ class ArrayList:
 
     def __repr__(self):
         return f"ArrayList({[a.name for a in self.arrays]})"
+
+
+def get_array_config(key: str = None, **kwargs) -> dict:
+    """Raw config dict for a named array, with keyword overrides
+    (reference maria/array/array.py:97-104)."""
+    c = {}
+    if key:
+        if key not in ARRAY_CONFIGS:
+            raise KeyError(f"'{key}' is not a valid array name (known: {all_arrays}).")
+        c = {"name": key, **ARRAY_CONFIGS[key]}
+    c.update(kwargs)
+    return c

@@ -139,3 +139,22 @@ def generate_2d_pattern(
         if diameter > 0:
             offsets = offsets * (max_diameter / diameter)
     return offsets
+
+
+def _packing_frame(xy) -> "pd.DataFrame":
+    import pandas as pd
+
+    return pd.DataFrame({"x": xy[:, 0], "y": xy[:, 1]})
+
+
+# reference-named wrappers returning DataFrames (maria/array/generation.py:14-52)
+def generate_sunflower_packing(n: int):
+    return _packing_frame(sunflower_packing(n))
+
+
+def generate_square_packing(n_row: int, n_col: int):
+    return _packing_frame(square_packing(n_col=n_col, n_row=n_row))
+
+
+def generate_triangular_packing(n_col: int, n_row: int):
+    return _packing_frame(triangular_packing(n_col=n_col, n_row=n_row))

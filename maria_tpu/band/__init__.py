@@ -310,3 +310,11 @@ class BandList:
 
     def __repr__(self):
         return f"BandList({self.names})"
+
+
+def validate_band_config(band: dict):
+    """A band needs either an explicit passband or a (center, width)
+    pair (reference maria/band/band.py:48-51)."""
+    if "passband" not in band:
+        if any(key not in band for key in ("center", "width")):
+            raise ValueError("The band's center and width must be specified")

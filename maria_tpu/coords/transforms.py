@@ -119,3 +119,8 @@ def get_center_phi_theta(phi, theta, keep_dims=()):
     center = center / np.sqrt(np.sum(center**2, axis=-1, keepdims=True))
     phi_c, theta_c = xyz_to_phi_theta(center)
     return np.asarray(phi_c), np.asarray(theta_c)
+
+
+# reference-named alias: the reference exposes the un-jitted host variant
+# under this name (maria/coords/transforms.py)
+unjitted_offsets_to_phi_theta = offsets_to_phi_theta

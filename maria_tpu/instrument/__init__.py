@@ -126,3 +126,12 @@ def get_instrument(name: str, **kwargs) -> Instrument:
             merged = {**config, **kwargs}
             return Instrument.from_config(merged, name=key)
     raise InvalidInstrumentError(name, valid=all_instruments)
+
+
+def get_instrument_config(name: str) -> dict:
+    """Raw config dict for a named instrument (reference
+    maria/instrument/__init__.py:50-54)."""
+    for key, config in INSTRUMENT_CONFIGS.items():
+        if name == key or name.lower() in [a.lower() for a in config.get("aliases", [])] or name.lower() == key.lower():
+            return dict(config)
+    raise KeyError(f"'{name}' is not a valid instrument name (known: {all_instruments}).")

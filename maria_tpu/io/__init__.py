@@ -36,6 +36,20 @@ def flatten_config(config: dict, delimiter: str = "/") -> dict:
     return flat
 
 
+def humanize(x, units) -> str:
+    """Value + units with the best SI prefix for display (reference
+    maria/io/repr.py:6-7)."""
+    from ..units import Quantity
+
+    return str(Quantity(x, units=units))
+
+
+def leftpad(thing, n: int = 2, char: str = " ") -> str:
+    """Indent every line of str(thing) by n chars (reference
+    maria/io/repr.py:14-15)."""
+    return "\n".join(n * char + line for line in str(thing).splitlines())
+
+
 def repr_phi_theta(phi, theta, frame_name: str = "az/el") -> str:
     return f"{np.degrees(float(phi)):.02f}°/{np.degrees(float(theta)):.02f}° ({frame_name})"
 

@@ -49,6 +49,57 @@ def cache_status(path: str, max_age: float = 30 * 86400) -> str:
     return "ok"
 
 
+def copy_file(source: str, destination: str):
+    """Copy, creating the destination directory (reference
+    maria/io/caching.py:24-28)."""
+    import shutil
+
+    dest_dir = os.path.dirname(destination)
+    if dest_dir:
+        os.makedirs(dest_dir, exist_ok=True)
+    shutil.copy(source, destination)
+
+
+def test_file(path: str) -> bool:
+    """True if a cached file opens cleanly for its extension (reference
+    maria/io/caching.py:31-47; FITS goes through our own reader)."""
+    ext = str(path).rsplit(".", 1)[-1].lower()
+    try:
+        if ext in ("h5", "hdf5"):
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                f.keys()
+        elif ext == "csv":
+            import pandas as pd
+
+            pd.read_csv(path)
+        elif ext in ("txt", "dat"):
+            with open(path) as f:
+                f.read()
+        elif ext == "fits":
+            from .fits import read_fits
+
+            read_fits(path)
+        else:
+            return os.path.getsize(path) > 0
+    except Exception:  # noqa: BLE001 — any failure means a bad cache entry
+        return False
+    return True
+
+
+def download_from_url(source_url: str, cache_path: str, chunk_size: int = 2**12, max_age: float = 30 * 86400) -> str:
+    """Download a URL into the cache if missing or stale (reference
+    maria/io/caching.py:75-114). Returns the local path."""
+    os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+    status = cache_status(cache_path, max_age=max_age)
+    if status != "ok" and not _download(source_url, cache_path):
+        if status == "missing":
+            raise FileNotFoundError(f"Could not download {source_url}.")
+        logger.warning(f"could not refresh {source_url}; using stale cache")
+    return cache_path
+
+
 def _download(url: str, destination: str, timeout: float = 10.0) -> bool:
     try:
         import requests

@@ -51,3 +51,10 @@ def get_plan(plan_name: str = None, **kwargs) -> Plan:
         # (reference docs usage/getting-started)
         return Plan.generate(scan_pattern=plan_name, **kwargs)
     return Plan.generate(**get_plan_config(plan_name, **kwargs))
+
+
+def validate_pointing_kwargs(kwargs: dict):
+    """A plan needs an end: one of 'end_time' or 'duration' (reference
+    maria/plan/__init__.py:87-94)."""
+    if "end_time" not in kwargs and "duration" not in kwargs:
+        raise ValueError("One of 'end_time' or 'duration' must be in the plan kwargs.")

@@ -194,3 +194,19 @@ def get_scan_pattern_generator(pattern: str):
         if pattern == key or pattern in entry["aliases"]:
             return entry["generator"]
     raise ValueError(f"Invalid scan pattern '{pattern}'. Valid patterns are {all_patterns}.")
+
+
+# reference-named public aliases (maria/plan/patterns.py:91,160)
+def daisy_from_phase(phase, a, b, petals, miss_freq):
+    return _daisy_from_phase(phase, a, b, petals, miss_freq)
+
+
+def smooth_sawtooth(p, delta=0.01):
+    return _smooth_sawtooth(p, delta)
+
+
+def generate_scan_offsets(time, pattern: str, **scan_kwargs):
+    """(2, n_t) offsets for a named pattern with raw kwargs (reference
+    maria/plan/patterns.py:301-303)."""
+    f = get_scan_pattern_generator(pattern)
+    return f(np.asarray(time, dtype=float), **parse_scan_kwargs(scan_kwargs))

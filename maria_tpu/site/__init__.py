@@ -7,7 +7,19 @@ from ..errors import InvalidRegionError, InvalidSiteError
 from ..units import Quantity
 from .regions import REGIONS, all_regions
 
-__all__ = ["Site", "REGIONS", "all_regions", "all_sites", "get_site", "site_data", "InvalidRegionError"]
+__all__ = [
+    "Site",
+    "REGIONS",
+    "all_regions",
+    "all_sites",
+    "get_site",
+    "get_site_config",
+    "get_location",
+    "get_height_map",
+    "site_data",
+    "InvalidRegionError",
+    "InvalidSiteError",
+]
 
 # named sites: telescope facilities mapped to regions, with any overrides
 SITE_CONFIGS = {
@@ -103,6 +115,11 @@ class Site:
 
         if ax is None:
             _, ax = plt.subplots(1, 1, figsize=(9, 4.5))
+        try:
+            hm = get_height_map()
+            ax.imshow(hm, extent=(-180, 180, -90, 90), cmap="gist_earth", alpha=0.6, aspect="auto")
+        except Exception:  # noqa: BLE001 — the map background is cosmetic
+            pass
         sc = ax.scatter(
             REGIONS.longitude, REGIONS.latitude, c=REGIONS.altitude,
             cmap="terrain", s=18, vmin=0,
@@ -141,3 +158,66 @@ def get_site(site_name: str, **kwargs) -> Site:
     if site_name in all_regions:
         return Site(region=site_name, **kwargs)
     raise InvalidSiteError(site_name, valid=all_sites + all_regions)
+
+
+def get_site_config(site_name: str = "hoagie_haven", **kwargs) -> dict:
+    """Raw config dict for a named site, with keyword overrides
+    (reference maria/site/__init__.py:51-57)."""
+    for name, config in SITE_CONFIGS.items():
+        if site_name == name or site_name in config.get("aliases", []):
+            cfg = {k: v for k, v in config.items() if k != "aliases"}
+            cfg.update(kwargs)
+            return cfg
+    raise InvalidSiteError(site_name, valid=all_sites)
+
+
+def get_location(site_name: str) -> EarthLocation:
+    """Earth location of a named site (reference
+    maria/site/__init__.py:42-48, which returns an astropy
+    EarthLocation; ours is the dependency-free equivalent)."""
+    return get_site(site_name).earth_location
+
+
+def _generate_height_map(source_path: str, destination: str):
+    """Synthesize an offline world height map in the maria-data format:
+    uint16 'data' with height/32 per cell (clipped to 254) and 255
+    marking ocean — the convention the reference decodes at
+    maria/site/site.py:33-36.
+
+    Continents are modeled as smooth Gaussian massifs centered on the
+    cataloged observing regions (scaled to their true altitudes) over a
+    low-lying land background; good enough for the site world-map plot,
+    which is the only consumer."""
+    import h5py
+    import numpy as np
+
+    lat = np.linspace(90, -90, 361)
+    lon = np.linspace(-180, 180, 721)
+    LON, LAT = np.meshgrid(lon, lat)
+    height = np.full(LON.shape, 100.0)
+    for _, entry in REGIONS.iterrows():
+        d2 = (LAT - float(entry.latitude)) ** 2 + (LON - float(entry.longitude)) ** 2
+        height += float(entry.altitude) * np.exp(-d2 / (2 * 6.0**2))
+    # crude ocean mask: far from every region -> ocean
+    d2_min = np.full(LON.shape, np.inf)
+    for _, entry in REGIONS.iterrows():
+        d2 = (LAT - float(entry.latitude)) ** 2 + (LON - float(entry.longitude)) ** 2
+        d2_min = np.minimum(d2_min, d2)
+    data = np.where(d2_min < 40.0**2, np.clip(height / 32, 0, 254).astype(np.uint16), np.uint16(255))
+    with h5py.File(destination, "w") as f:
+        f.create_dataset("data", data=data)
+
+
+def get_height_map():
+    """Global terrain height in meters, NaN over ocean (reference
+    maria/site/site.py:33-36 fetches world_heightmap.h5 from
+    maria-data; offline we synthesize one from the region catalog)."""
+    import h5py
+    import numpy as np
+
+    from ..io.caching import fetch, register_generator
+
+    register_generator("world_heightmap", _generate_height_map)
+    with h5py.File(fetch("world_heightmap.h5"), "r") as f:
+        height_map = f["data"][:].astype(np.float64)
+    return np.where(height_map < 255, 32 * height_map, np.nan)

@@ -17,6 +17,12 @@ from .units import DIMENSIONLESS, InvalidUnitsError, Unit, parse_units
 __all__ = ["Quantity", "Angle"]
 
 
+def lazy_nanquantile(x, q: float, laziness: int = 16, axis=None):
+    """Approximate nanquantile from a strided subsample — cheap on
+    multi-million-sample TODs (reference maria/units/quantity.py:16-17)."""
+    return np.nanquantile(np.asarray(x).ravel()[::laziness], q=q, axis=axis)
+
+
 class Quantity:
     def __new__(cls, value, units="", *args, **kwargs):
         u = parse_units(units)
@@ -43,6 +49,20 @@ class Quantity:
     def in_units(self, units) -> np.ndarray:
         """The raw value converted to `units`."""
         return self.value * self.u.to(parse_units(units))
+
+    @property
+    def physical_quantity(self) -> str | None:
+        """Name of the physical quantity this carries ('time',
+        'frequency', ...), matched by dimension vector (reference
+        Quantity.physical_quantity, maria/units/quantity.py)."""
+        if self.u.quantity is not None:
+            return self.u.quantity
+        from .units import UNITS
+
+        for entry in UNITS.values():
+            if tuple(sorted(entry["dims"].items())) == self.u.dims:
+                return entry["quantity"]
+        return None
 
     def __getattr__(self, attr):
         # attribute access like q.Hz, q.m, q.deg converts units

@@ -28,6 +28,37 @@ class InvalidUnitsError(ValueError):
         )
 
 
+# reference-parity alias: the reference raises UnitError from its parser
+# (maria/units/units.py:27); both names catch the same exceptions here
+UnitError = InvalidUnitsError
+
+
+def repr_power(thing: str, power: float, math: bool = False) -> str:
+    """Render 'thing^power', eliding trivial exponents (reference
+    maria/units/units.py:131-146)."""
+    power = float(power)
+    if power == 0:
+        return ""
+    if power == 1:
+        return thing
+    exp_numer, exp_denom = power.as_integer_ratio()
+    if exp_numer % exp_denom:
+        exp_string = f"{exp_numer}/{exp_denom}" if math else f"{power}"
+    else:
+        exp_string = f"{int(exp_numer / exp_denom)}"
+    if math:
+        exp_string = f"{{{exp_string}}}"
+    return f"{thing}^{exp_string}"
+
+
+def repr_dim_vec(dim_vec) -> str:
+    """Render a dimension vector (mapping or (axis, power) pairs) as a
+    unit string (reference maria/units/units.py:149-155)."""
+    items = dim_vec.items() if hasattr(dim_vec, "items") else dim_vec
+    parts = [repr_power(unit, power) for unit, power in items]
+    return " ".join(p for p in parts if p)
+
+
 # base dimension axes
 # fmt: off
 BASE_DIMS = (

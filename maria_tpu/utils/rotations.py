@@ -40,6 +40,56 @@ def rotation_matrix_3d(**rotations):
     return R
 
 
+def get_rotation_matrix_2d(a):
+    """Reference-named alias of rotation_matrix_2d: (..., 2, 2) rotation
+    matrices for a broadcastable array of angles (reference
+    maria/utils/rotations.py:5-8, which uses a matrix exponential; the
+    closed form is identical)."""
+    return rotation_matrix_2d(a)
+
+
+def get_rotation_matrix_3d(**rotations):
+    """Successive named-axis rotations with broadcastable angles
+    (reference maria/utils/rotations.py:11-22).
+
+    `get_rotation_matrix_3d(z=a, x=b)` rotates about z by `a`, then
+    about x by `b`; angle arrays broadcast into leading axes of the
+    returned (..., 3, 3) stack. Closed-form per-axis matrices replace
+    the reference's expm of a skew generator (same result)."""
+    axes = {"x": 0, "y": 1, "z": 2}
+    R = np.eye(3)
+    for axis, angle in rotations.items():
+        i, j = (index for dim, index in axes.items() if dim != axis)
+        a = np.asarray(angle, dtype=float)
+        c, s = np.cos(a), np.sin(a)
+        S = np.zeros((*a.shape, 3, 3))
+        S[..., 0, 0] = S[..., 1, 1] = S[..., 2, 2] = 1.0
+        S[..., i, i], S[..., j, j] = c, c
+        S[..., i, j], S[..., j, i] = s, -s
+        R = S @ R
+    return R
+
+
+def get_orthogonal_transform(signature, entries):
+    """Orthogonal matrix from skew entries on the axes selected by
+    `signature` (reference maria/utils/rotations.py:25-42)."""
+    import scipy.linalg
+
+    signature = np.asarray(signature, dtype=bool)
+    axes = np.where(signature)[0]
+    n_dim = len(signature)
+    n_axes = int(signature.sum())
+    if n_axes * (n_axes - 1) // 2 != len(entries):
+        raise ValueError(
+            f"Bad shape for entries (for signature {signature.tolist()} we expect "
+            f"len(entries) = {n_axes * (n_axes - 1) // 2})."
+        )
+    i, j = np.triu_indices(n=n_axes, k=1)
+    S = np.zeros((n_dim, n_dim))
+    S[axes[i], axes[j]] = entries
+    return scipy.linalg.expm(S - S.T)
+
+
 def principal_angle_2d(points: np.ndarray) -> float:
     """Angle of the principal axis of a 2D point cloud.
 
