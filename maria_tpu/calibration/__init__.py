@@ -197,3 +197,13 @@ class Calibration:
 
     def __repr__(self):
         return f"Calibration('{self.signature}')"
+
+
+def parse_calibration_signature(s: str) -> dict:
+    """Split 'units1 -> units2' into parsed in/out units (reference
+    maria/calibration/calibration.py:14-24)."""
+    if s.count("->") == 1:
+        items = [u.strip() for u in s.split("->")]
+        if len(items) == 2:
+            return {"in": parse_units(items[0]), "out": parse_units(items[1])}
+    raise ValueError("Calibration must have signature 'units1 -> units2'.")

@@ -187,3 +187,21 @@ def spectral_flux_density_per_beam_to_spectral_flux_density_per_pixel(E, beam_ar
 
 def power_to_brightness_temperature(P, **kwargs):
     raise NotImplementedError("power -> brightness temperature is not invertible in closed form")
+
+
+def dP_dT_CMB(band, polarized=False, spectrum=None, eps=1e-4, **kwargs):
+    """Detector power per unit CMB temperature anisotropy, W/K_CMB
+    (reference calibration/functions.py dP_dT_CMB)."""
+    P = brightness_temperature_to_power_explicit(
+        np.array([T_CMB - eps / 2, T_CMB + eps / 2]), band=band, polarized=polarized, spectrum=spectrum, **kwargs
+    )
+    return (P[..., 1] - P[..., 0]) / eps
+
+
+def T_RJ_per_T_CMB(band, eps=1e-3, **kwargs):
+    """Band-averaged color correction K_RJ/K_CMB with no atmosphere
+    (reference calibration/functions.py T_RJ_per_T_CMB)."""
+    test_T_b = T_CMB + np.array([[-eps / 2], [+eps / 2]])
+    T_RJ = inverse_rayleigh_jeans_spectrum(planck_spectrum(test_T_b, band.nu), band.nu)
+    P = k_B * np.trapezoid(T_RJ * band.passband(band.nu), x=band.nu, axis=-1)
+    return power_to_rayleigh_jeans_temperature((P[1] - P[0]) / eps, spectrum=None, band=band)

@@ -236,6 +236,21 @@ def write_fits_map(m, path: str):
     write_fits(path, cards, np.asarray(m.data, dtype=np.float32)[..., ::-1])
 
 
+def parse_fits_map_header(header: dict) -> dict:
+    """Infer map-construction kwargs from a FITS image header: center,
+    resolution, frequency, units, frame, and whether the x axis needs
+    flipping to put ascending pixel index along ascending tangent-plane
+    dx (reference: maria/io/fits/map.py:82-150)."""
+    return {
+        "resolution": abs(header.get("CDELT1", header.get("CD1_1", np.nan))),
+        "center": (header.get("CRVAL1", 0.0), header.get("CRVAL2", 0.0)),
+        "nu": header.get("RESTFRQ", 150e9),
+        "units": header.get("BUNIT", "K_RJ"),
+        "frame": "ra/dec" if str(header.get("CTYPE1", "RA")).startswith("RA") else "az/el",
+        "flip_x": header.get("CDELT1", -1) < 0,
+    }
+
+
 def read_fits_map(path: str, index: int = 0, **kwargs):
     """Read a map from FITS (reference: maria/io/fits/map.py:53)."""
     from ..map.projection import ProjectionMap
@@ -244,14 +259,12 @@ def read_fits_map(path: str, index: int = 0, **kwargs):
     if not hdus:
         raise ValueError(f"No image data in '{path}'.")
     header, data = hdus[index]
-    res = abs(header.get("CDELT1", header.get("CD1_1", np.nan)))
-    center = (header.get("CRVAL1", 0.0), header.get("CRVAL2", 0.0))
-    nu = header.get("RESTFRQ", 150e9)
-    units = header.get("BUNIT", "K_RJ")
-    frame = "ra/dec" if str(header.get("CTYPE1", "RA")).startswith("RA") else "az/el"
+    parsed = parse_fits_map_header(header)
+    res, center, nu, units, frame = (
+        parsed["resolution"], parsed["center"], parsed["nu"], parsed["units"], parsed["frame"],
+    )
     data = np.asarray(data, dtype=np.float32)
-    # flip x so ascending pixel index = ascending tangent-plane dx
-    if header.get("CDELT1", -1) < 0:
+    if parsed["flip_x"]:
         data = data[..., ::-1]
     # explicit kwargs override inferred metadata (reference docs
     # usage/inputs/maps: load("f.fits", width=1, units="uK_RJ", nu=150e9))
