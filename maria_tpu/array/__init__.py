@@ -41,6 +41,25 @@ DET_COLUMNS = [
     "primary_size", "bath_temp", "time_constant",
 ]
 
+# dtype of every per-detector table column (reference: array/array.py:66-85)
+DET_COLUMN_TYPES = {
+    "array_name": str, "uid": str, "base_det_index": int, "band_name": str,
+    "band_center": float, "xi": float, "eta": float,
+    "baseline_x": float, "baseline_y": float, "baseline_z": float,
+    "gamma": float, "pol_label": str, "primary_size": float,
+    "bath_temp": float, "time_constant": float, "efficiency": float,
+}
+
+# kwargs that may be given per detector as arrays (reference: array/array.py:28)
+PER_DET_KWARGS = ["xi", "eta", "baseline_x", "baseline_y", "baseline_z", "gamma", "pol_label", "band"]
+
+# every kwarg Array.from_config understands (reference: array/array.py:40)
+ALLOWED_ARRAY_KWARGS = [
+    "band", "bands", "max_baseline", "baseline_offset", "beam_spacing",
+    "field_of_view", "focal_plane_offset", "n", "array_offset", "packing",
+    "polarization", "primary_size", "shape", "bath_temp", "file", *PER_DET_KWARGS,
+]
+
 
 def get_array(key: str, **kwargs) -> "Array":
     if key not in ARRAY_CONFIGS:

@@ -116,3 +116,7 @@ def generate_layers(
 
     logger.debug(f"Generated {len(layers)} layers ({mode} mode), res {layers.res.min():.1f}-{layers.res.max():.1f} m.")
     return layers
+
+
+# reference-name alias (maria/atmosphere/extrusion.py:27)
+construct_extrusion_layers = generate_layers

@@ -33,6 +33,18 @@ for path in sorted(glob.glob(f"{here}/configs/*.yml")):
     BAND_CONFIGS[tag] = read_yaml(path)
 BAND_CONFIGS = flatten_config(BAND_CONFIGS)
 
+# units/dtype of the displayable Band fields (reference: band/format.csv)
+BAND_FIELD_FORMATS = {
+    "name": {"units": "none", "dtype": "str"},
+    "center": {"units": "Hz", "dtype": "float"},
+    "width": {"units": "Hz", "dtype": "float"},
+    "shape": {"units": "none", "dtype": "str"},
+    "efficiency": {"units": "none", "dtype": "float"},
+    "NEP": {"units": "W√s", "dtype": "float"},
+    "NET_RJ": {"units": "K√s", "dtype": "float"},
+    "NET_CMB": {"units": "K√s", "dtype": "float"},
+}
+
 all_bands = sorted(BAND_CONFIGS)
 
 

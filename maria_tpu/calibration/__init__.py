@@ -207,3 +207,14 @@ def parse_calibration_signature(s: str) -> dict:
         if len(items) == 2:
             return {"in": parse_units(items[0]), "out": parse_units(items[1])}
     raise ValueError("Calibration must have signature 'units1 -> units2'.")
+
+
+# canonical units of every calibration kwarg (reference: calibration/calibration.py:27)
+KWARGS_UNITS = {
+    "nu": "Hz",
+    "pixel_area": "sr",
+    "beam_area": "sr",
+    "zenith_pwv": "mm",
+    "base_temperature": "K",
+    "elevation": "rad",
+}

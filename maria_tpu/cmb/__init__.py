@@ -50,6 +50,20 @@ def generate_cmb(nside: int = 256, lmax: int = None, seed: int = None, **kwargs)
 # Planck PLA SMICA IQU map (reference: maria/cmb/cmb.py:18)
 PLANCK_CMB_URL = "https://pla.esac.esa.int/pla-sl/data-action?MAP.MAP_OID=15001"
 
+# reference parity (cmb/cmb.py:11-26): sources and cache locations for
+# the real-data path (fetch first, synthesize offline)
+CMB_MAP_SOURCE_URL = PLANCK_CMB_URL
+CMB_SPECTRUM_SOURCE_URL = (
+    "https://github.com/thomaswmorris/maria-data/raw/master/cmb/spectra/"
+    "COM_PowerSpect_CMB-base-plikHM-TTTEEE-lowl-lowE-lensing-minimum-theory_R3.01.txt"
+)
+CMB_MAP_CACHE_PATH = "cmb/planck.fits"
+CMB_SPECTRUM_CACHE_PATH = "cmb/spectrum.txt"
+CMB_MAP_CACHE_MAX_AGE = 30 * 86400
+CMB_SPECTRUM_CACHE_MAX_AGE = 30 * 86400
+CMB_SOURCES = {"planck": {"spectrum": "cmb/spectra/planck.csv"}}
+
+
 
 def _generate_planck_stand_in(source_path: str, destination: str):
     """Offline generator for the fetch chain: a deterministic (seed=777)

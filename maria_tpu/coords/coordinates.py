@@ -45,6 +45,12 @@ def _normalize(v):
     return v / np.sqrt(np.sum(v**2, axis=-1, keepdims=True))
 
 
+# reference parity (coords/coordinates.py:42): a deterministic stand-in
+# epoch for examples/tests. Time-less Coordinates use the wall clock at
+# construction instead, which matches the reference's intent ("now").
+DEFAULT_TIMESTAMP = 1.75e9
+
+
 class Coordinates:
     """Pointing with shape (..., n_t): time is always the last axis."""
 

@@ -135,3 +135,6 @@ def get_instrument_config(name: str) -> dict:
         if name == key or name.lower() in [a.lower() for a in config.get("aliases", [])] or name.lower() == key.lower():
             return dict(config)
     raise KeyError(f"'{name}' is not a valid instrument name (known: {all_instruments}).")
+
+# columns shown in instrument tables (reference: instrument/__init__.py:36)
+INSTRUMENT_DISPLAY_COLUMNS = ["description"]

@@ -278,3 +278,36 @@ def read_fits_map(path: str, index: int = 0, **kwargs):
         kwargs["nu"] = np.atleast_1d(kwargs["nu"])
     kw.update(kwargs)
     return ProjectionMap(**kw)
+
+
+# FITS axis/keyword classification tables (reference: io/fits/map.py:16-50).
+# parse_fits_map_header consults these; they are exported for users who
+# classify their own headers.
+FITS_TYPE_ALIASES = {
+    "stokes": ["STOKES"],
+    "nu": ["NU", "FREQ"],
+    "v": ["VRAD", "VELO"],
+    "t": ["TIME"],
+    "z": ["REDSHIFT"],
+}
+
+FITS_KWARG_ALIASES = {
+    "units": ["UNIT", "BUNIT", "BUNITS", "OUTTYPE"],
+    "nu": ["NU", "FREQ", "RESTFRQ", "RESTFREQ"],
+    "z": ["REDSHIFT"],
+}
+
+FITS_DEFAULT_UNITS = {
+    "stokes": "", "nu": "Hz", "v": "m/s", "z": "", "t": "s", "eta": "deg", "xi": "deg",
+}
+
+FITS_FRAMES = {
+    "ra/dec": {
+        "xi": {"aliases": [r"^RA-*"], "parity": -1},
+        "eta": {"aliases": [r"^DEC-*"], "parity": +1},
+    },
+    "galactic": {
+        "xi": {"aliases": [r"^GLON-*"], "parity": -1},
+        "eta": {"aliases": [r"^GLAT-*"], "parity": +1},
+    },
+}

@@ -9,7 +9,24 @@ import os
 
 import numpy as np
 
-from .base import Map  # noqa: F401
+from .base import SLICE_DIMS, Map, concatenate  # noqa: F401
+
+# map-construction kwarg whitelists (reference: map/__init__.py:37-38)
+MAP_SIZE_KWARGS = ["xi", "eta", "width", "height", "xi_res", "eta_res", "resolution"]
+VALID_MAP_KWARGS = ["stokes", "nu", "t", "center", "frame", "units", "beam", *MAP_SIZE_KWARGS]
+
+# header-keyword fallbacks used when loading maps (reference: map/__init__.py:40-50)
+FITS_KEYWORD_ALIASES = {
+    "frame": ["FRAME"],
+    "units": ["BUNIT", "BUNITS"],
+    "nu": ["FREQ", "RESTFREQ"],
+}
+AXIS_MAPPING = {
+    "nu": {"aliases": ["FREQ", "NU"], "default_units": "Hz"},
+    "t": {"aliases": ["TIME"], "default_units": "s"},
+    "z": {"aliases": ["REDSHIFT"], "default_units": ""},
+    "v": {"aliases": ["VRAD", "VELO"], "default_units": "m/s"},
+}
 from .healpix import HEALPixMap  # noqa: F401
 from .projection import ProjectionMap  # noqa: F401
 

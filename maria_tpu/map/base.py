@@ -33,6 +33,16 @@ VALID_MAP_QUANTITIES = [
 
 STOKES_ORDER = "IQUV"
 
+# Slice-axis spec: dtype and default for each leading (non-map) dim
+# (reference: map/base.py:23-40; we additionally label a 'v' velocity axis).
+SLICE_DIMS = {
+    "stokes": {"dtype": str, "default": "I"},
+    "nu": {"dtype": float, "default": 150e9},
+    "t": {"dtype": float, "default": 0.0},
+    "z": {"dtype": float, "default": 0.0},
+    "v": {"dtype": float, "default": 0.0},
+}
+
 
 class Map:
     """Base for sky maps; subclasses define the map dims."""
@@ -258,3 +268,8 @@ class Map:
             f"{type(self).__name__}(shape={tuple(self.shape)}, stokes='{self.stokes}', "
             f"nu={[f'{n/1e9:.0f} GHz' for n in self.nu]}{axis3}, units='{self.units}', rms={rms:.3e})"
         )
+
+
+def concatenate(maps: list, dim: str = "t"):
+    """Module-level concatenation along a slice dim (reference: map/base.py:534)."""
+    return type(maps[0]).concatenate(maps, dim=dim)

@@ -1,4 +1,4 @@
-from .base import BaseMapper  # noqa: F401
+from .base import BaseMapper, BaseProjectionMapper  # noqa: F401
 from .bin_mapper import BinMapper  # noqa: F401
 
 

@@ -20,16 +20,15 @@ logger = logging.getLogger("maria_tpu")
 
 
 class BaseMapper:
+    """Geometry-agnostic mapper bookkeeping (reference: mappers/base.py:27):
+    unit plumbing, per-TOD preprocessing, Stokes/band inference, time
+    bins, and shared postprocessing."""
+
     def __init__(
         self,
         tods,
-        center=None,
-        width=None,
-        height=None,
-        resolution=None,
         frame: str = "ra/dec",
         units: str = "K_RJ",
-        degrees: bool = True,
         tod_preprocessing: dict = {},
         map_postprocessing: dict = {},
         t_bins: int = 1,
@@ -53,49 +52,6 @@ class BaseMapper:
         self.tods = []
         for tod in tods:
             self.add_tod(tod, preprocessing=tod_preprocessing)
-
-        to_rad = np.pi / 180 if degrees else 1.0
-
-        # geometry inference from the TOD boresight + array footprint
-        # (reference base.py:231-274)
-        if center is None or width is None:
-            centers, extents = [], []
-            for tod in self.tods:
-                c = tod.pointing.boresight.center(frame=self.frame)
-                centers.append((float(np.asarray(c[0])), float(np.asarray(c[1]))))
-            center_inferred = (
-                float(np.mean([c[0] for c in centers])),
-                float(np.mean([c[1] for c in centers])),
-            )
-            if center is None:
-                center_rad = center_inferred
-            else:
-                center_rad = (center[0] * to_rad, center[1] * to_rad)
-            max_half = 0.0
-            for tod in self.tods:
-                bs_off = tod.pointing.boresight.offsets(frame=self.frame, center=center_rad)
-                det_r = np.abs(tod.pointing.offsets).max() if tod.pointing.offsets.size else 0.0
-                max_half = max(max_half, np.abs(bs_off).max() + det_r)
-            width_rad = 2.05 * max_half
-            height_rad = width_rad
-        else:
-            center_rad = (center[0] * to_rad, center[1] * to_rad)
-            width_rad = width * to_rad
-            height_rad = (height if height is not None else width) * to_rad
-
-        if resolution is None:
-            # half the smallest detector beam FWHM (reference base.py:231-233)
-            res_rad = min(
-                float(np.nanmin(tod.dets.angular_fwhm(np.inf).rad)) for tod in self.tods
-            ) / 2
-            logger.info(f"Inferred map resolution {np.degrees(res_rad):.2e} deg from detector FWHM.")
-        else:
-            res_rad = resolution * to_rad
-
-        self.center = center_rad
-        self.n_x = max(int(np.ceil(width_rad / res_rad)), 1)
-        self.n_y = max(int(np.ceil(height_rad / res_rad)), 1)
-        self.res = res_rad
 
         # Stokes inference from detector sensitivity (reference base.py:80-87)
         sw = np.concatenate([tod.dets.stokes_weight() for tod in self.tods], axis=0)
@@ -151,6 +107,79 @@ class BaseMapper:
                     m[idx] -= m[idx][valid].mean()
         m = np.where(weights > 0, m, np.nan)
         return m, weights
+
+
+class BaseProjectionMapper(BaseMapper):
+    """BaseMapper + tangent-plane map geometry inferred from the TOD
+    hulls (reference: mappers/base.py:205-345)."""
+
+    def __init__(
+        self,
+        tods,
+        center=None,
+        width=None,
+        height=None,
+        resolution=None,
+        frame: str = "ra/dec",
+        units: str = "K_RJ",
+        degrees: bool = True,
+        tod_preprocessing: dict = {},
+        map_postprocessing: dict = {},
+        t_bins: int = 1,
+        progress_bars: bool = False,
+    ):
+        super().__init__(
+            tods,
+            frame=frame,
+            units=units,
+            tod_preprocessing=tod_preprocessing,
+            map_postprocessing=map_postprocessing,
+            t_bins=t_bins,
+            progress_bars=progress_bars,
+        )
+
+        to_rad = np.pi / 180 if degrees else 1.0
+
+        # geometry inference from the TOD boresight + array footprint
+        # (reference base.py:231-274)
+        if center is None or width is None:
+            centers, extents = [], []
+            for tod in self.tods:
+                c = tod.pointing.boresight.center(frame=self.frame)
+                centers.append((float(np.asarray(c[0])), float(np.asarray(c[1]))))
+            center_inferred = (
+                float(np.mean([c[0] for c in centers])),
+                float(np.mean([c[1] for c in centers])),
+            )
+            if center is None:
+                center_rad = center_inferred
+            else:
+                center_rad = (center[0] * to_rad, center[1] * to_rad)
+            max_half = 0.0
+            for tod in self.tods:
+                bs_off = tod.pointing.boresight.offsets(frame=self.frame, center=center_rad)
+                det_r = np.abs(tod.pointing.offsets).max() if tod.pointing.offsets.size else 0.0
+                max_half = max(max_half, np.abs(bs_off).max() + det_r)
+            width_rad = 2.05 * max_half
+            height_rad = width_rad
+        else:
+            center_rad = (center[0] * to_rad, center[1] * to_rad)
+            width_rad = width * to_rad
+            height_rad = (height if height is not None else width) * to_rad
+
+        if resolution is None:
+            # half the smallest detector beam FWHM (reference base.py:231-233)
+            res_rad = min(
+                float(np.nanmin(tod.dets.angular_fwhm(np.inf).rad)) for tod in self.tods
+            ) / 2
+            logger.info(f"Inferred map resolution {np.degrees(res_rad):.2e} deg from detector FWHM.")
+        else:
+            res_rad = resolution * to_rad
+
+        self.center = center_rad
+        self.n_x = max(int(np.ceil(width_rad / res_rad)), 1)
+        self.n_y = max(int(np.ceil(height_rad / res_rad)), 1)
+        self.res = res_rad
 
     def make_map(self, data, weights) -> ProjectionMap:
         out = ProjectionMap(

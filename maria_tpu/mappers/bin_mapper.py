@@ -17,7 +17,7 @@ import numpy as np
 
 from ..coords.transforms import phi_theta_to_offsets_jit
 from ..ops.binning import bin_blocked, hilbert_detector_order, make_blocked_bin_plan
-from .base import BaseMapper
+from .base import BaseProjectionMapper
 
 logger = logging.getLogger("maria_tpu")
 
@@ -51,7 +51,7 @@ def _bin_tod_block(data, weight, dx, dy, stokes_w, x0, y0, res, n_x, n_y, n_stok
 _bin_tod_block_jit = jax.jit(_bin_tod_block, static_argnames=("n_x", "n_y", "n_stokes"))
 
 
-class BinMapper(BaseMapper):
+class BinMapper(BaseProjectionMapper):
     def run(self):
         n_s, n_nu, n_t = len(self.stokes), len(self.nu), self.t_bins
         # accumulate ON DEVICE across all blocks; the only device->host

@@ -29,7 +29,7 @@ import numpy as np
 import scipy as sp
 
 from ..coords.transforms import phi_theta_to_offsets_jit
-from .base import BaseMapper
+from .base import BaseProjectionMapper
 
 logger = logging.getLogger("maria_tpu")
 
@@ -45,7 +45,7 @@ def _smooth_spectrum(spec, k):
     return jnp.apply_along_axis(lambda s: jnp.convolve(s, kernel, mode="same"), -1, spec)
 
 
-class MaximumLikelihoodMapper(BaseMapper):
+class MaximumLikelihoodMapper(BaseProjectionMapper):
     def __init__(
         self,
         *args,

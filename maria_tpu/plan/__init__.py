@@ -18,6 +18,23 @@ for path in sorted(glob.glob(f"{here}/configs/*.yml")):
 
 all_plans = sorted(PLAN_CONFIGS)
 
+# kinematic/elevation sanity thresholds (reference: plan/plan.py:31-34)
+MAX_ACCELERATION_WARN = 10  # deg/s^2
+MIN_ELEVATION_WARN = 20  # deg
+MIN_ELEVATION_ERROR = 10  # deg
+
+# the typed fields a plan config may carry (reference: plan/__init__.py:75)
+PLAN_FIELDS = {
+    "start_time": (float, str),
+    "duration": float,
+    "sample_rate": float,
+    "frame": str,
+    "degrees": bool,
+    "scan_center": tuple,
+    "scan_pattern": str,
+    "scan_options": dict,
+}
+
 
 class UnsupportedPlanError(Exception):
     def __init__(self, plan_name):

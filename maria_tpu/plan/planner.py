@@ -18,6 +18,11 @@ from ..errors import NoSuitablePlansError
 from ..site import Site, get_site
 from .plan import Plan, PlanList
 
+# reference: plan/planner.py:18-20
+CONSTRAINT_KEYS = ["az", "el", "hour", "min_sun_distance"]
+SIDEREAL_DAY_SECONDS = 86164.0905
+YEAR_SECONDS = 31_556_926
+
 logger = logging.getLogger("maria_tpu")
 
 

@@ -4,6 +4,9 @@ from __future__ import annotations
 
 import numpy as np
 
+# short display names for TOD fields (reference: plotting/tod.py:22)
+FIELD_LABELS = {"atmosphere": "atm."}
+
 
 def plot_tod(tod, max_dets: int = 16, fields=None, fig=None):
     """Per-band time series and binned power spectra."""

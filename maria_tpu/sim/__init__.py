@@ -1,2 +1,2 @@
 from .observation import Observation  # noqa: F401
-from .simulation import Simulation  # noqa: F401
+from .simulation import BaseSimulation, Simulation  # noqa: F401

@@ -230,3 +230,9 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
         parts.append(f"├ {self.site!r}".replace("\n", "\n│ "))
         parts.append(f"└ {self.plans!r}".replace("\n", "\n  "))
         return "\n".join(parts)
+
+
+# reference parity (sim/base.py:55): the reference keeps a legacy
+# BaseSimulation superclass; here the mixin composition above plays that
+# role, so the name simply points at Simulation.
+BaseSimulation = Simulation

@@ -221,3 +221,7 @@ def get_height_map():
     with h5py.File(fetch("world_heightmap.h5"), "r") as f:
         height_map = f["data"][:].astype(np.float64)
     return np.where(height_map < 255, 32 * height_map, np.nan)
+
+# columns shown in site/region tables (reference: site/__init__.py:22, site/site.py:20)
+SITE_DISPLAY_COLUMNS = ["description", "instruments", "region", "latitude", "longitude", "altitude"]
+REGION_DISPLAY_COLUMNS = ["location", "country", "latitude", "longitude", "timezone"]

@@ -19,6 +19,82 @@ logger = logging.getLogger("maria_tpu")
 
 PROCESS_ORDER = ["despike", "remove_slope", "remove_spline", "window", "filter", "remove_modes"]
 
+# Per-op parameter spec: dtype for coercion plus the flat kwarg aliases
+# accepted by process_operation_kwargs (reference: tod/processing.py:16-37).
+OPERATION_KWARGS = {
+    "despike": {
+        "threshold": {"dtype": float, "aliases": ["despike_threshold"]},
+        "window": {"dtype": int, "aliases": ["despike_window"]},
+        "pad": {"dtype": int, "aliases": ["despike_pad"]},
+    },
+    "remove_slope": {},
+    "window": {
+        "name": {"dtype": str, "aliases": ["window"]},
+        "kwargs": {"dtype": dict, "aliases": ["window_kwargs"]},
+    },
+    "filter": {
+        "f_lower": {"dtype": float, "aliases": ["f_lower"]},
+        "f_upper": {"dtype": float, "aliases": ["f_upper"]},
+        "order": {"dtype": int, "aliases": ["filter_order"]},
+    },
+    "remove_modes": {
+        "n": {"dtype": int, "aliases": ["modes_to_remove", "n_modes"]},
+    },
+    "remove_spline": {
+        "knot_spacing": {"dtype": float, "aliases": ["remove_spline_knot_spacing"]},
+        "remove_el_gradient": {"dtype": bool, "aliases": ["remove_el_gradient"]},
+    },
+}
+
+
+def process_operation_kwargs(**kwargs):
+    """Regroup flat, alias-named kwargs (e.g. ``f_upper=2.0,
+    window='hann'``) into the nested per-op config that ``process_tod``
+    takes (reference: tod/processing.py:40-60)."""
+    config = {}
+    for operation, params in OPERATION_KWARGS.items():
+        subconfig = {}
+        for key, param in params.items():
+            for kwarg in list(kwargs):
+                if kwarg in param["aliases"]:
+                    subconfig[key] = kwargs.pop(kwarg)
+        if subconfig:
+            config[operation] = subconfig
+    if kwargs:
+        raise ValueError(f"Invalid kwargs for TOD processing: {kwargs}.")
+    return config
+
+
+def validate_process_config(config):
+    """Check op and parameter names and coerce values to their declared
+    dtypes, in place (reference: tod/processing.py:63-90). Boolean
+    per-op shorthand (``remove_slope=True``) passes through."""
+    for operation, params in config.items():
+        if operation not in OPERATION_KWARGS:
+            raise ValueError(
+                f"Invalid operation '{operation}'. Valid operations are {list(OPERATION_KWARGS)}."
+            )
+        if not isinstance(params, dict):
+            continue
+        for key, value in params.items():
+            if key in ("el",):  # injected internally by process_tod
+                continue
+            if key not in OPERATION_KWARGS[operation]:
+                raise ValueError(
+                    f"Invalid param '{key}' for operation '{operation}'. Valid parameters "
+                    f"are {list(OPERATION_KWARGS[operation])}."
+                )
+            dtype = OPERATION_KWARGS[operation][key]["dtype"]
+            if not isinstance(value, dtype):
+                try:
+                    config[operation][key] = dtype(value)
+                except Exception:
+                    raise TypeError(
+                        f"Could not convert param {{{key}: {value}}} for operation "
+                        f"'{operation}' to type '{dtype.__name__}'."
+                    )
+    return config
+
 
 def _check_nan(name, data):
     if bool(jnp.isnan(data).any()):
@@ -92,7 +168,9 @@ def remove_spline(data, sample_rate, knot_spacing: float = 10.0, remove_el_gradi
     return data - coeffs @ B
 
 
-def window(data, weight, name: str = "tukey", kwargs: dict = {"alpha": 0.1}, **extra):
+def window(data, weight, name: str = "tukey", kwargs: dict = None, **extra):
+    if kwargs is None:
+        kwargs = {"alpha": 0.1} if name == "tukey" else {}
     w = sp.signal.get_window((name, *kwargs.values()) if kwargs else name, data.shape[-1])
     w = jnp.asarray(w, dtype=data.dtype)
     return data * w, weight * w
@@ -123,6 +201,7 @@ def process_tod(tod, **config):
     for key in config:
         if key not in PROCESS_ORDER:
             raise ValueError(f"Invalid processing op '{key}' (valid: {PROCESS_ORDER}).")
+    validate_process_config(config)
 
     data = tod.signal
     weight = tod.weight

@@ -295,3 +295,37 @@ def parse_units(units: str | Unit) -> Unit:
         math_name=result.math_name,
         base=result.base,
     )
+
+
+# reference-parity views (reference units/units.py:27,42-44). Our registry
+# is the UNITS dict above; these expose the same information as tables.
+UnitError = InvalidUnitsError
+
+
+def _units_table():
+    import pandas as pd
+
+    rows = {}
+    for name, entry in UNITS.items():
+        rows[name] = {
+            "units": name,
+            "factor": entry["factor"],
+            "physical_quantity": entry["quantity"],
+            "prefixable": entry.get("prefixable", True),
+        }
+    return pd.DataFrame(rows).T
+
+
+def _quantity_dimension_vectors():
+    import pandas as pd
+
+    vecs = {}
+    for entry in UNITS.values():
+        q = entry["quantity"]
+        if q is not None and q not in vecs:
+            vecs[q] = dict(entry["dims"])
+    return pd.DataFrame(vecs).fillna(0).T.sort_index()
+
+
+QUANTITIES = sorted({e["quantity"] for e in UNITS.values() if e["quantity"]})
+QUANTITY_DIMENSION_VECTORS = _quantity_dimension_vectors()

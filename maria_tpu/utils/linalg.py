@@ -132,3 +132,23 @@ def generate_spatial_basis(offsets, k: int = 5, n_side: int = 8, scale: float = 
     )(offsets)
     B *= np.sign(B[:, 0].mean() or 1.0)  # deterministic overall sign
     return B
+
+
+def compute_pointing_matrix_sparse_indices(x_list, bins_list):
+    """(sample_indices, pixel_indices, n_pixels) binning samples onto the
+    Cartesian product of `bins_list` edges, dropping samples that fall
+    outside any dimension (reference: utils/linalg.py:61-92)."""
+    for bins in bins_list:
+        if not np.all(np.diff(bins) > 0):
+            raise ValueError("Each set of bins must be strictly increasing.")
+    flat = [np.ravel(np.asarray(x)) for x in x_list]
+    pixel = np.zeros(flat[0].shape, dtype=np.int64)
+    inside = np.ones(flat[0].shape, dtype=bool)
+    n_pixels = 1
+    for x, bins in zip(flat, bins_list):
+        i = np.digitize(x, bins=bins) - 1
+        inside &= (i >= 0) & (i < len(bins) - 1)
+        pixel = pixel * (len(bins) - 1) + np.clip(i, 0, len(bins) - 2)
+        n_pixels *= len(bins) - 1
+    sample_indices = np.nonzero(inside)[0]
+    return sample_indices, pixel[inside], n_pixels

@@ -262,3 +262,11 @@ class Weather:
             f"Weather(region={self.region}, altitude={Quantity(self.base_altitude, 'm')}, "
             f"pwv={Quantity(self.pwv, 'mm')})"
         )
+
+
+# reference-parity locations of the upstream ERA5 quantile grids
+# (reference: weather/__init__.py:19-20); our fetch chain tries this
+# source first and falls back to the synthetic climatology offline.
+WEATHER_SOURCE_BASE = "https://github.com/thomaswmorris/maria-data/raw/master/atmosphere/weather"
+from ..io.caching import get_cache_dir as _cache_dir  # noqa: E402
+WEATHER_CACHE_BASE = f"{_cache_dir()}/weather"

@@ -210,3 +210,93 @@ def test_unjitted_transform_alias():
     from maria_tpu.coords.transforms import offsets_to_phi_theta, unjitted_offsets_to_phi_theta
 
     assert unjitted_offsets_to_phi_theta is offsets_to_phi_theta
+
+
+def test_process_config_surface():
+    from maria_tpu.tod.processing import (
+        OPERATION_KWARGS,
+        process_operation_kwargs,
+        validate_process_config,
+    )
+
+    config = process_operation_kwargs(window="hann", f_upper=2.0, modes_to_remove=2)
+    assert config == {
+        "window": {"name": "hann"},
+        "filter": {"f_upper": 2.0},
+        "remove_modes": {"n": 2},
+    }
+    with pytest.raises(ValueError):
+        process_operation_kwargs(not_a_kwarg=1)
+
+    # dtype coercion in place
+    c = {"filter": {"f_upper": "2.5"}}
+    assert validate_process_config(c)["filter"]["f_upper"] == 2.5
+    with pytest.raises(ValueError):
+        validate_process_config({"not_an_op": {}})
+    with pytest.raises(ValueError):
+        validate_process_config({"filter": {"bogus": 1}})
+    assert set(OPERATION_KWARGS) <= {
+        "despike", "remove_slope", "remove_spline", "window", "filter", "remove_modes",
+    }
+
+
+def test_map_concatenate_module_level():
+    import maria_tpu
+
+    m = maria_tpu.map.get("cluster")
+    both = maria_tpu.map.concatenate([m, m], dim="nu")
+    assert both.data.shape[1] == 2 * m.data.shape[1]
+    assert maria_tpu.map.SLICE_DIMS["nu"]["dtype"] is float
+
+
+def test_pointing_matrix_sparse_indices():
+    from maria_tpu.utils.linalg import compute_pointing_matrix_sparse_indices
+
+    x = np.array([0.1, 0.5, 1.5, -0.5])   # last two out of range in dim 0
+    y = np.array([0.1, 0.9, 0.5, 0.5])
+    bins = np.linspace(0, 1, 3)  # 2 bins per dim
+    samples, pixels, n_pix = compute_pointing_matrix_sparse_indices([x, y], [bins, bins])
+    assert n_pix == 4
+    assert list(samples) == [0, 1]
+    assert list(pixels) == [0, 3]  # (0,0) and (1,1) row-major
+    with pytest.raises(ValueError):
+        compute_pointing_matrix_sparse_indices([x], [bins[::-1]])
+
+
+def test_mapper_class_split():
+    from maria_tpu.mappers import BaseMapper, BaseProjectionMapper
+    from maria_tpu.mappers.bin_mapper import BinMapper
+
+    assert issubclass(BaseProjectionMapper, BaseMapper)
+    assert issubclass(BinMapper, BaseProjectionMapper)
+
+
+def test_reference_constant_surface():
+    import maria_tpu
+    from maria_tpu.array import ALLOWED_ARRAY_KWARGS, DET_COLUMN_TYPES, PER_DET_KWARGS
+    from maria_tpu.atmosphere import SUPPORTED_MODELS_LIST
+    from maria_tpu.band import BAND_FIELD_FORMATS
+    from maria_tpu.calibration import KWARGS_UNITS
+    from maria_tpu.cmb import CMB_SOURCES, CMB_SPECTRUM_SOURCE_URL
+    from maria_tpu.io.fits import FITS_DEFAULT_UNITS, FITS_FRAMES
+    from maria_tpu.map import AXIS_MAPPING, MAP_SIZE_KWARGS, VALID_MAP_KWARGS
+    from maria_tpu.plan import MAX_ACCELERATION_WARN, PLAN_FIELDS
+    from maria_tpu.plan.planner import CONSTRAINT_KEYS, SIDEREAL_DAY_SECONDS
+    from maria_tpu.sim import BaseSimulation
+    from maria_tpu.units.units import QUANTITIES, QUANTITY_DIMENSION_VECTORS, UnitError
+    from maria_tpu.utils.plotting import HEX_CODE_LIST
+    from maria_tpu.weather import WEATHER_SOURCE_BASE
+
+    assert SUPPORTED_MODELS_LIST == ["2d", "3d"]
+    assert DET_COLUMN_TYPES["gamma"] is float and "xi" in PER_DET_KWARGS
+    assert "field_of_view" in ALLOWED_ARRAY_KWARGS
+    assert KWARGS_UNITS["elevation"] == "rad"
+    assert "planck" in CMB_SOURCES and CMB_SPECTRUM_SOURCE_URL.startswith("https://")
+    assert FITS_DEFAULT_UNITS["nu"] == "Hz" and "ra/dec" in FITS_FRAMES
+    assert set(MAP_SIZE_KWARGS) < set(VALID_MAP_KWARGS) and "nu" in AXIS_MAPPING
+    assert MAX_ACCELERATION_WARN == 10 and PLAN_FIELDS["duration"] is float
+    assert "el" in CONSTRAINT_KEYS and abs(SIDEREAL_DAY_SECONDS - 86164.09) < 0.01
+    assert BaseSimulation is maria_tpu.Simulation
+    assert "power" in QUANTITIES and "angle" in QUANTITY_DIMENSION_VECTORS.index
+    assert issubclass(UnitError, ValueError)
+    assert len(HEX_CODE_LIST) == 12 and BAND_FIELD_FORMATS["NEP"]["units"] == "W√s"
