@@ -19,7 +19,13 @@ logger = logging.getLogger("maria_tpu")
 
 INSTRUMENT_CONFIGS = {}
 for path in sorted(glob.glob(f"{here}/configs/*.yml")):
-    INSTRUMENT_CONFIGS.update(read_yaml(path))
+    _tag = os.path.splitext(os.path.basename(path))[0]
+    for _key, _cfg in read_yaml(path).items():
+        # the reference registers instruments under flattened
+        # "<file>/<name>" keys (instrument/__init__.py:23-34); accept
+        # both the bare name and the flattened form as aliases
+        _cfg.setdefault("aliases", []).append(f"{_tag}/{_key}".lower())
+        INSTRUMENT_CONFIGS[_key] = _cfg
 
 all_instruments = sorted(INSTRUMENT_CONFIGS)
 test_instruments = ["test/1deg"]
@@ -120,11 +126,20 @@ class Instrument:
         )
 
 
-def get_instrument(name: str, **kwargs) -> Instrument:
+def get_instrument(name: str = None, **kwargs) -> Instrument:
+    if name is None:
+        # instrument assembled purely from kwargs, e.g.
+        # get_instrument(array={...}) (reference instrument/__init__.py:44-47)
+        return Instrument.from_config(kwargs)
+    low = name.lower()
+    # key matches take precedence over alias matches so an instrument
+    # named after another's alias always resolves to itself
     for key, config in INSTRUMENT_CONFIGS.items():
-        if name == key or name in config.get("aliases", []):
-            merged = {**config, **kwargs}
-            return Instrument.from_config(merged, name=key)
+        if low == key.lower():
+            return Instrument.from_config({**config, **kwargs}, name=key)
+    for key, config in INSTRUMENT_CONFIGS.items():
+        if low in [a.lower() for a in config.get("aliases", [])]:
+            return Instrument.from_config({**config, **kwargs}, name=key)
     raise InvalidInstrumentError(name, valid=all_instruments)
 
 

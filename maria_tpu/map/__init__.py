@@ -59,7 +59,7 @@ EXAMPLE_MAPS = {
     },
     "galaxy": {
         "description": "An inclined exponential-disk galaxy with spiral arms",
-        "aliases": ["circinus_galaxy", "radio_galaxy", "radio_galaxy_3C_288", "M51HA"],
+        "aliases": ["radio_galaxy", "radio_galaxy_3C_288", "M51HA"],
         "width": 0.2,
         "n": 256,
         "units": "K_RJ",
@@ -67,8 +67,7 @@ EXAMPLE_MAPS = {
     },
     "dust": {
         "description": "Filamentary galactic dust (power-law random field)",
-        "aliases": ["30dor", "monoceros_R2", "orion_A", "crab_nebula", "M1",
-                    "12CO(2-1)", "einstein", "maria"],
+        "aliases": ["30dor", "monoceros_R2", "orion_A", "crab_nebula", "M1", "maria"],
         "width": 1.0,
         "n": 512,
         "units": "K_RJ",
@@ -76,11 +75,27 @@ EXAMPLE_MAPS = {
     },
     "quasar": {
         "description": "A bright unresolved quasar",
-        "aliases": ["quasar_3C_286"],
         "width": 0.1,
         "n": 128,
         "units": "K_RJ",
         "nu": 90e9,
+    },
+    "spectral_line_cube": {
+        "description": "A rotating molecular disk resolved into velocity channels",
+        "aliases": ["12CO(2-1)", "circinus_galaxy"],
+        "width": 0.2,
+        "n": 256,
+        "n_v": 16,
+        "units": "K_RJ",
+        "nu": 230.538e9,
+    },
+    "polarized_source": {
+        "description": "A ~10%-polarized ring/point source with tangential polarization (IQUV)",
+        "aliases": ["einstein", "quasar_3C_286", "polarized_quasar"],
+        "width": 0.1,
+        "n": 256,
+        "units": "K_RJ",
+        "nu": 150e9,
     },
     "protoplanetary_disk": {
         "description": "An inclined ring system around a point source",
@@ -100,6 +115,15 @@ EXAMPLE_MAPS = {
 }
 
 all_maps = sorted(EXAMPLE_MAPS)
+
+
+def _edge_taper_weight(shape) -> np.ndarray:
+    """Cosine-taper observation weight: highest in the middle, falling
+    toward the edges (the real products carry coverage weights; e.g.
+    reference docs tutorials/mustang-nebula.ipynb masks on weight)."""
+    wy = 0.5 - 0.5 * np.cos(2 * np.pi * (np.arange(shape[0]) + 0.5) / shape[0])
+    wx = 0.5 - 0.5 * np.cos(2 * np.pi * (np.arange(shape[1]) + 0.5) / shape[1])
+    return np.clip(np.sqrt(wy[:, None] * wx[None, :]), 1e-3, None)
 
 
 def _synthesize_example(name: str, center=(150.0, 10.0), t=None, **overrides) -> ProjectionMap:
@@ -153,6 +177,49 @@ def _synthesize_example(name: str, center=(150.0, 10.0), t=None, **overrides) ->
     elif name == "quasar":
         s = width_rad / n
         data = 3e-3 * np.exp(-(X**2 + Y**2) / (2 * s**2))
+    elif name == "spectral_line_cube":
+        # rotating inclined disk: each velocity channel lights up where
+        # the line-of-sight rotation speed matches the channel
+        inc, pa = 0.8, 0.5
+        Xr = np.cos(pa) * X + np.sin(pa) * Y
+        Yr = (-np.sin(pa) * X + np.cos(pa) * Y) / np.cos(inc)
+        r = np.sqrt(Xr**2 + Yr**2) + 1e-12
+        scale = width_rad / 8
+        disk = np.exp(-r / scale)
+        v_max = 200e3  # m/s flat rotation speed
+        v_los = v_max * (Xr / r) * np.sin(inc)  # projected rotation
+        n_v = cfg.get("n_v", 16)
+        v_chan = np.linspace(-1.1 * v_max, 1.1 * v_max, n_v)
+        dv = v_chan[1] - v_chan[0]
+        data = np.stack(
+            [2e-4 * disk * np.exp(-((v_los - vc) ** 2) / (2 * (0.8 * dv) ** 2)) for vc in v_chan]
+        )  # (v, y, x)
+        w = _edge_taper_weight(data.shape[-2:])
+        return ProjectionMap(
+            data=data[None, None].astype(np.float32),
+            weight=np.broadcast_to(w, (1, 1, n_v, *w.shape)).astype(np.float32),
+            center=center, width=cfg["width"], frame="ra/dec",
+            nu=[cfg["nu"]], v=v_chan, units=cfg["units"], degrees=True,
+        )
+    elif name == "polarized_source":
+        # ring + core in I; tangential ~10% linear polarization, V=0
+        r = np.sqrt(X**2 + Y**2)
+        chi = np.arctan2(Y, X) + np.pi / 2  # tangential polarization angle
+        ring = np.exp(-((r - width_rad / 6) ** 2) / (2 * (width_rad / 40) ** 2))
+        core = np.exp(-(r**2) / (2 * (width_rad / n) ** 2))
+        I = 1e-3 * ring + 3e-3 * core
+        p = 0.1 * ring / (ring.max() + 1e-30)
+        Q = p * I * np.cos(2 * chi)
+        U = p * I * np.sin(2 * chi)
+        V = np.zeros_like(I)
+        data = np.stack([I, Q, U, V])  # (stokes, y, x)
+        w = _edge_taper_weight(I.shape)
+        return ProjectionMap(
+            data=data[:, None, None].astype(np.float32),
+            weight=np.broadcast_to(w, (4, 1, 1, *w.shape)).astype(np.float32),
+            center=center, width=cfg["width"], frame="ra/dec", stokes="IQUV",
+            nu=[cfg["nu"]], units=cfg["units"], degrees=True,
+        )
     elif name == "protoplanetary_disk":
         inc, pa = 0.7, 1.1
         Xr = np.cos(pa) * X + np.sin(pa) * Y
@@ -175,14 +242,18 @@ def _synthesize_example(name: str, center=(150.0, 10.0), t=None, **overrides) ->
         # map.t - obs.t[0]); pass t=(t0, t0+dt, ...) to align with a plan
         if t is None:
             t = 1.75e9 + np.array([0.0, 300.0, 600.0])
+        w = _edge_taper_weight(data.shape[-2:])
         return ProjectionMap(
             data=data[None, None].astype(np.float32),
+            weight=np.broadcast_to(w, (1, 1, data.shape[0], *w.shape)).astype(np.float32),
             center=center, width=cfg["width"], frame="ra/dec",
             nu=[cfg["nu"]], t=np.asarray(t, dtype=np.float64), units=cfg["units"], degrees=True,
         )
 
+    w = _edge_taper_weight(data.shape[-2:])
     return ProjectionMap(
         data=data[None, None, None].astype(np.float32),
+        weight=w[None, None, None].astype(np.float32),
         center=center,
         width=cfg["width"],
         frame="ra/dec",
@@ -231,7 +302,14 @@ def get(name: str, fetch_first: bool = True, **kwargs) -> ProjectionMap:
 
     The real maria-data product is attempted first when the name matches
     one (network permitting); the synthetic stand-in family is the
-    offline fallback."""
+    offline fallback. Accepts both bare names ('M1') and the reference
+    docs' repo-path form ('maps/M1.h5')."""
+    if name not in REFERENCE_MAP_FILES and not os.path.exists(name):
+        stem = os.path.splitext(os.path.basename(name))[0]
+        if name.startswith("maps/") or stem in REFERENCE_MAP_FILES or stem in MAP_ALIASES or stem in EXAMPLE_MAPS:
+            name = stem
+    if name == "sun":  # the docs' "maps/sun.h5" (registry file is time_evolving_sun)
+        name = "time_evolving_sun"
     source = REFERENCE_MAP_FILES.get(name)
     family = MAP_ALIASES.get(name, name)
     if source is not None and fetch_first:

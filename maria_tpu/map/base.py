@@ -70,7 +70,12 @@ class Map:
         self.units = units
         self.dtype = dtype
 
-        data = jnp.asarray(data, dtype=dtype)
+        # host-side numpy storage: maps are scene/analysis containers
+        # (the fused device programs copy what they need at build time),
+        # and numpy keeps the reference's mutation idioms working
+        # (m.data[mask] = 0, m.data *= 2; e.g. reference docs
+        # tutorials/mustang-nebula.ipynb)
+        data = np.asarray(data, dtype=dtype)
         n_map_dims = len(self.map_dims)
 
         # normalize to (stokes, nu, t, *map_dims)
@@ -101,7 +106,7 @@ class Map:
                 f"{self.axis3_label} axis ({len(self.t)}) does not match data shape {data.shape}."
             )
 
-        self.weight = jnp.asarray(weight, dtype=dtype) if weight is not None else jnp.ones_like(self.data)
+        self.weight = np.asarray(weight, dtype=dtype) if weight is not None else np.ones_like(self.data)
 
     # -- structure ----------------------------------------------------------------
     @property
@@ -237,8 +242,8 @@ class Map:
             if signs.get(dim, 1) == -1:
                 flips.append(3 + i)
         if flips:
-            self.data = jnp.flip(self.data, axis=flips)
-            self.weight = jnp.flip(self.weight, axis=flips)
+            self.data = np.flip(self.data, axis=flips)
+            self.weight = np.flip(self.weight, axis=flips)
         return self
 
     @classmethod

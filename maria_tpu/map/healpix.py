@@ -91,7 +91,7 @@ class HEALPixMap(Map):
         out = 0.0
         for s in range(self.n_stokes):
             w = stokes_weight[:, s][:, None]
-            field = self.data[s, nu_index, t_index]
+            field = jnp.asarray(self.data[s, nu_index, t_index])
             out = out + w * jnp.take(field, pix, axis=0)
         return out
 

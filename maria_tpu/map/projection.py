@@ -130,7 +130,8 @@ class ProjectionMap(Map):
                 w = stokes_weight[:, s][:, None]
             if isinstance(w, float) and w == 0.0:
                 continue
-            field = self.data[s, nu_index, t_index]
+            # jnp-ify: storage is host numpy, but sample() may be traced
+            field = jnp.asarray(self.data[s, nu_index, t_index])
             if bilinear:
                 vals = interp_bilinear_grid(field, dx, dy, x_side, y_side)
             else:
