@@ -18,9 +18,27 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# Wall-clock budget: the axon tunnel cannot persist compiled executables
+# (the PJRT plugin lacks serialization), so every run pays full compile
+# for each distinct program (~1-3 min each). The optional extras
+# (AtLAST config (b), per-stage breakdown) are attempted newest-first
+# and skipped when the remaining budget cannot fit their compiles, so
+# the headline JSON always prints before any driver timeout.
+_T0 = time.time()
+BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 900.0))
+
+
+def _remaining() -> float:
+    return BENCH_DEADLINE_S - (time.time() - _T0)
+
+
+def _stamp(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
 
 # persistent XLA compilation cache: the remote-TPU tunnel makes first
 # compiles expensive; cache them across processes. Keyed by a machine
@@ -359,35 +377,60 @@ def bench_cpu_baseline(program, obs) -> float:
 
 
 def main():
+    _stamp("build MUSTANG-2 program")
     program, obs = build_program()
+    _stamp("headline: compile + time (2 chained programs)")
     tpu_rate = bench_tpu(program, obs)
+    _stamp(f"headline rate {tpu_rate:.3e} samples/s; cpu baseline")
     cpu_rate = bench_cpu_baseline(program, obs)
-    try:
-        stages = bench_stages(program)
-        n_samples = len(program.offsets) * len(program.t_fine)
-        roofline = roofline_estimate(program, stages["fields_total_ms"] / 1e3)
-        stages["binning_ms"] = round(1e3 * (n_samples / tpu_rate - stages["fields_total_ms"] / 1e3), 3)
-    except Exception:  # noqa: BLE001 — stage breakdown must not kill the headline
-        import sys
-        import traceback
-
-        traceback.print_exc(file=sys.stderr)
-        stages, roofline = None, None
+    _stamp(f"cpu baseline {cpu_rate:.3e} samples/s")
 
     # config (b): AtLAST-scale ~50k-detector multi-band array with a
-    # multi-layer 3-D (vertically-correlated) atmosphere, per BASELINE.md
-    try:
-        program_b, obs_b = build_program(
-            instrument="AtLAST-50k", site="ALMA", duration=60.0, radius=0.5, speed=0.25,
-            atmosphere="3d",
-        )
-        atlast_rate = bench_tpu(program_b, obs_b, n_repeats=3)
-    except Exception:  # noqa: BLE001 — report the headline even if (b) fails
-        import sys
-        import traceback
+    # multi-layer 3-D (vertically-correlated) atmosphere, per BASELINE.md.
+    # Its compile alone is ~10 min over the axon tunnel, so it runs in a
+    # subprocess under a hard timeout — a slow compile can never block
+    # the headline JSON.
+    atlast_rate = None
+    budget = min(_remaining() - 120, 720)
+    if budget > 240:
+        try:
+            import subprocess
 
-        traceback.print_exc(file=sys.stderr)
-        atlast_rate = None
+            _stamp(f"AtLAST-50k 3d config (b), subprocess budget {budget:.0f}s")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--config-b"],
+                capture_output=True, text=True, timeout=budget,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    atlast_rate = json.loads(line).get("atlast_50k_samples_per_s")
+            _stamp(f"AtLAST rate {atlast_rate:.3e} samples/s" if atlast_rate else
+                   f"AtLAST subprocess rc={proc.returncode} without a result")
+        except subprocess.TimeoutExpired:
+            _stamp("AtLAST subprocess hit its budget; skipped")
+        except Exception:  # noqa: BLE001 — report the headline even if (b) fails
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+    else:
+        _stamp("skipping AtLAST config (budget)")
+
+    stages = roofline = None
+    if _remaining() > 150:
+        try:
+            _stamp("stage breakdown (6 chained programs)")
+            stages = bench_stages(program)
+            n_samples = len(program.offsets) * len(program.t_fine)
+            roofline = roofline_estimate(program, stages["fields_total_ms"] / 1e3)
+            stages["binning_ms"] = round(1e3 * (n_samples / tpu_rate - stages["fields_total_ms"] / 1e3), 3)
+        except Exception:  # noqa: BLE001 — stage breakdown must not kill the headline
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            stages, roofline = None, None
+    else:
+        _stamp("skipping stage breakdown (budget)")
 
     result = {
         "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise + map binning, end-to-end on device)",
@@ -403,5 +446,18 @@ def main():
     print(json.dumps(result))
 
 
+def config_b():
+    """AtLAST-50k 3d benchmark, run standalone (see main: subprocess)."""
+    program_b, obs_b = build_program(
+        instrument="AtLAST-50k", site="ALMA", duration=60.0, radius=0.5, speed=0.25,
+        atmosphere="3d",
+    )
+    rate = bench_tpu(program_b, obs_b, n_repeats=3)
+    print(json.dumps({"atlast_50k_samples_per_s": round(rate, 1)}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--config-b" in sys.argv:
+        config_b()
+    else:
+        main()

@@ -10,6 +10,7 @@ import os
 import numpy as np
 
 from ..array import Array, ArrayList
+from ..band import Band, BandList  # noqa: F401  (reference: instrument re-exports)
 from ..errors import InvalidInstrumentError
 from ..io import read_yaml
 from ..units import Quantity

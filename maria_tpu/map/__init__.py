@@ -117,6 +117,31 @@ EXAMPLE_MAPS = {
 all_maps = sorted(EXAMPLE_MAPS)
 
 
+def _generate_map_file(source_path: str, destination: str):
+    """Offline generator for the reference's maria-data map products:
+    synthesize the stand-in family and write it in the requested format,
+    so `fetch("maps/cluster2.fits")` works without network
+    (reference fetch: maria/io/caching.py:117)."""
+    stem = os.path.splitext(os.path.basename(source_path))[0]
+    name = "time_evolving_sun" if stem == "sun" else stem
+    family = MAP_ALIASES.get(name, name)
+    if family not in EXAMPLE_MAPS:
+        raise FileNotFoundError(f"No synthetic family for map product '{source_path}'.")
+    kwargs = {}
+    if name in REFERENCE_MAP_CENTERS:
+        kwargs["center"] = REFERENCE_MAP_CENTERS[name]
+    m = _synthesize_example(family, **kwargs)
+    if destination.endswith((".h5", ".hdf5")):
+        m.to_hdf(destination)
+    else:
+        m.to_fits(destination)
+
+
+from ..io.caching import register_generator as _register_generator  # noqa: E402
+
+_register_generator("maps/", _generate_map_file)
+
+
 def _edge_taper_weight(shape) -> np.ndarray:
     """Cosine-taper observation weight: highest in the middle, falling
     toward the edges (the real products carry coverage weights; e.g.
@@ -267,6 +292,29 @@ MAP_ALIASES = {
     alias: key for key, cfg in EXAMPLE_MAPS.items() for alias in cfg.get("aliases", [])
 }
 
+# canonical sky centers (deg, ra/dec) of the reference maria-data
+# products, used when synthesizing their offline stand-ins so the
+# documented Planner constraints (site + elevation windows) stay
+# feasible — e.g. M1 must rise above 60 deg at Green Bank
+# (reference docs tutorials/mustang-nebula.ipynb)
+REFERENCE_MAP_CENTERS = {
+    "M1": (83.63, 22.01), "crab_nebula": (83.63, 22.01),
+    "30dor": (84.68, -69.10),
+    "orion_A": (83.82, -5.39),
+    "monoceros_R2": (161.0, -7.6),
+    "M51HA": (202.47, 47.20),
+    "circinus_galaxy": (213.29, -65.34),
+    "radio_galaxy_3C_288": (206.18, 38.85),
+    "quasar_3C_286": (202.78, 30.51),
+    "polarized_quasar": (202.78, 30.51),
+    "einstein": (339.49, 3.36),
+    "12CO(2-1)": (83.82, -5.39),
+    "protoplanetary_disk": (165.46, -34.70),
+    "cluster": (150.0, -30.0), "cluster1": (150.0, -30.0),
+    "cluster2": (150.5, -29.5), "cluster3": (149.5, -30.5),
+    "big_cluster": (150.0, -30.0),
+}
+
 
 # the reference's maria-data products (maria/map/maps.txt): with network
 # access `get` fetches the REAL file; offline it falls back to the
@@ -324,13 +372,16 @@ def get(name: str, fetch_first: bool = True, **kwargs) -> ProjectionMap:
         except Exception as e:  # noqa: BLE001 — fall back, never fail the scene
             logger.warning(f"could not load fetched map '{source}' ({e}); synthesizing.")
     if family in EXAMPLE_MAPS:
+        if name in REFERENCE_MAP_CENTERS:
+            kwargs.setdefault("center", REFERENCE_MAP_CENTERS[name])
         return _synthesize_example(family, **kwargs)
     if os.path.exists(name):
         return load(name, **kwargs)
     raise ValueError(f"'{name}' is not a known map (known: {all_maps}) or an existing file.")
 
 
-def load(path: str, **kwargs) -> Map:
+def load(path: str = None, filename: str = None, **kwargs) -> Map:
+    path = path if path is not None else filename  # docs' load(filename=...) form
     if path.endswith((".h5", ".hdf5")):
         return read_hdf_map(path, **kwargs)
     if path.endswith((".fits", ".fits.gz")):

@@ -78,11 +78,25 @@ class Map:
         data = np.asarray(data, dtype=dtype)
         n_map_dims = len(self.map_dims)
 
-        # normalize to (stokes, nu, t, *map_dims)
-        while data.ndim < n_map_dims + 3:
-            data = data[None]
+        # normalize to (stokes, nu, t, *map_dims): when slice axes are
+        # missing, place them where the metadata says they belong — e.g.
+        # (stokes, nu, pixels) must become (stokes, nu, 1, pixels), not
+        # (1, stokes, nu, pixels) (reference docs usage/inputs/maps)
         if data.ndim != n_map_dims + 3:
-            raise ValueError(f"Map data has too many dims ({data.ndim}).")
+            if data.ndim > n_map_dims + 3:
+                raise ValueError(f"Map data has too many dims ({data.ndim}).")
+            axis3_vals = next((val for val in (t, z, v) if val is not None), None)
+            target = (
+                len(stokes) if stokes else 1,
+                len(np.atleast_1d(nu)) if nu is not None else 1,
+                len(np.atleast_1d(axis3_vals)) if axis3_vals is not None else 1,
+                *data.shape[-n_map_dims:],
+            )
+            if int(np.prod(data.shape)) == int(np.prod(target)):
+                data = data.reshape(target)
+            else:
+                while data.ndim < n_map_dims + 3:
+                    data = data[None]
         self.data = data
 
         self.stokes = stokes or STOKES_ORDER[: data.shape[0]]

@@ -35,12 +35,24 @@ class HEALPixMap(Map):
         weight=None,
         dtype=jnp.float32,
         degrees: bool = True,
+        resolution=None,
     ):
         super().__init__(
             data, stokes=stokes, nu=nu, t=t, z=z, v=v, units=units, weight=weight, dtype=dtype
         )
         self.frame = frame
         self.nside = npix2nside(self.data.shape[-1])
+        if resolution is not None:
+            # accepted for reference-docs parity (usage/inputs/maps); on
+            # a HEALPix grid the resolution is fixed by npix, so we only
+            # check consistency (within a factor ~2) rather than store it
+            res_rad = float(resolution) * (np.pi / 180 if degrees else 1.0)
+            native = np.sqrt(4 * np.pi / nside2npix(self.nside))
+            if not (0.4 < res_rad / native < 2.5):
+                logger.warning(
+                    f"Requested resolution {res_rad:.2e} rad differs from the "
+                    f"HEALPix nside={self.nside} native {native:.2e} rad; ignoring."
+                )
 
     def _replace(self, **kwargs):
         params = dict(

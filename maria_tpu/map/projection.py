@@ -63,7 +63,7 @@ class ProjectionMap(Map):
             res = width / n_xi
         else:
             raise ValueError("Supply either 'width' or 'resolution'.")
-        self.width, self.height, self.resolution = width, height, res
+        self._width, self._height, self._res = width, height, res
 
         # pixel centers as tangent-plane offsets from the map center
         self.x_side = (np.arange(n_xi) - (n_xi - 1) / 2) * res
@@ -73,8 +73,8 @@ class ProjectionMap(Map):
         params = dict(
             data=self.data,
             center=np.degrees(self.center),
-            width=np.degrees(self.width),
-            height=np.degrees(self.height),
+            width=np.degrees(self._width),
+            height=np.degrees(self._height),
             frame=self.frame,
             stokes=self.stokes,
             nu=self.nu,
@@ -91,6 +91,33 @@ class ProjectionMap(Map):
     def _calibration_kwargs(self):
         return {"pixel_area": self.pixel_area}
 
+    def __getitem__(self, key):
+        """Slice the leading (stokes, nu, t) dims, keeping axes
+        (reference projection.py:240: `m[:, 0]` selects a nu channel,
+        `m[:, :, -1]` a time frame). Map dims must be left whole — use
+        `trim`/`reduce` for spatial cropping."""
+        key = key if isinstance(key, tuple) else (key,)
+        if len(key) > 5:
+            raise IndexError(f"Too many indices for a 5-D map: {key}.")
+        full = list(key) + [slice(None)] * (5 - len(key))
+        for ax in (3, 4):
+            if full[ax] != slice(None):
+                raise NotImplementedError("Use trim/reduce to crop map dims.")
+        norm = []
+        for ax, k in enumerate(full[:3]):
+            if isinstance(k, (int, np.integer)):
+                k = int(k) % self.data.shape[ax]
+                norm.append(slice(k, k + 1))
+            else:
+                norm.append(k)
+        sl = tuple(norm) + (slice(None), slice(None))
+        kwargs = {"data": self.data[sl], "weight": self.weight[sl],
+                  "stokes": self.stokes[norm[0]], "nu": self.nu[norm[1]],
+                  self.axis3_label: self.t[norm[2]]}
+        if any(k in kwargs for k in ("t", "z", "v")):
+            pass  # _replace drops the old axis3 kwarg itself
+        return self._replace(**kwargs)
+
     @property
     def n_x(self):
         return self.data.shape[-1]
@@ -99,17 +126,39 @@ class ProjectionMap(Map):
     def n_y(self):
         return self.data.shape[-2]
 
+    # reference parity (projection.py:314-328): sizes as unit-carrying
+    # Quantities, so `m.width.deg` / `m.resolution.arcmin` work
+    @property
+    def width(self):
+        return Quantity(self._width, "rad")
+
+    @property
+    def height(self):
+        return Quantity(self._height, "rad")
+
+    @property
+    def resolution(self):
+        return Quantity(self._res, "rad")
+
+    @property
+    def xi_res(self):
+        return Quantity(self._res, "rad")
+
+    @property
+    def eta_res(self):
+        return Quantity(self._height / self.n_y, "rad")
+
     @property
     def pixel_area(self) -> float:
-        return float(self.resolution * (self.height / self.n_y))
+        return float(self._res * (self._height / self.n_y))
 
     @property
     def x_res(self) -> float:
-        return float(self.resolution)
+        return float(self._res)
 
     @property
     def y_res(self) -> float:
-        return float(self.height / self.n_y)
+        return float(self._height / self.n_y)
 
     # -- device sampling / binning -------------------------------------------------
     def sample(self, dx, dy, stokes_weight=None, nu_index: int = 0, t_index: int = 0, bilinear: bool = True):
@@ -172,7 +221,7 @@ class ProjectionMap(Map):
             self.data, [(0, 0), (0, 0), (0, 0), (pad_y, new_ny - self.n_y - pad_y), (pad_x, new_nx - self.n_x - pad_x)]
         )
         return ProjectionMap(
-            data=padded, center=np.degrees(self.center), resolution=np.degrees(self.resolution),
+            data=padded, center=np.degrees(self.center), resolution=np.degrees(self._res),
             frame=self.frame, stokes=self.stokes, nu=self.nu, **self._axis3_kwargs(), units=self.units,
         )
 
@@ -200,7 +249,7 @@ class ProjectionMap(Map):
 
         return ProjectionMap(
             data=resample(self.data), center=np.degrees(new_center),
-            resolution=np.degrees(self.resolution), frame=self.frame,
+            resolution=np.degrees(self._res), frame=self.frame,
             stokes=self.stokes, nu=self.nu, **self._axis3_kwargs(), units=self.units,
             weight=resample(self.weight) if self.weight is not None else None,
         )
@@ -214,7 +263,7 @@ class ProjectionMap(Map):
             return self
         sl = (slice(None), slice(None), slice(None), slice(rows[0], rows[-1] + 1), slice(cols[0], cols[-1] + 1))
         return ProjectionMap(
-            data=self.data[sl], center=np.degrees(self.center), resolution=np.degrees(self.resolution),
+            data=self.data[sl], center=np.degrees(self.center), resolution=np.degrees(self._res),
             frame=self.frame, stokes=self.stokes, nu=self.nu, **self._axis3_kwargs(), units=self.units,
             weight=self.weight[sl],
         )
@@ -226,7 +275,7 @@ class ProjectionMap(Map):
         d = self.data[..., :ny, :nx].reshape(*self.data.shape[:3], ny // factor, factor, nx // factor, factor)
         return ProjectionMap(
             data=d.mean(axis=(-3, -1)), center=np.degrees(self.center),
-            resolution=np.degrees(self.resolution * factor), frame=self.frame,
+            resolution=np.degrees(self._res * factor), frame=self.frame,
             stokes=self.stokes, nu=self.nu, **self._axis3_kwargs(), units=self.units,
         )
 
@@ -235,12 +284,12 @@ class ProjectionMap(Map):
 
         if resolution is not None:
             res = float(resolution)
-            nx = int(self.width / res)
-            ny = int(self.height / res)
+            nx = int(self._width / res)
+            ny = int(self._height / res)
         else:
             ny, nx = shape
-        new_x = (np.arange(nx) - (nx - 1) / 2) * self.width / nx
-        new_y = (np.arange(ny) - (ny - 1) / 2) * self.height / ny
+        new_x = (np.arange(nx) - (nx - 1) / 2) * self._width / nx
+        new_y = (np.arange(ny) - (ny - 1) / 2) * self._height / ny
         X, Y = np.meshgrid(new_x, new_y)
         flat = self.data.reshape(-1, self.n_y, self.n_x)
         out = jnp.stack(
@@ -248,7 +297,7 @@ class ProjectionMap(Map):
         )
         return ProjectionMap(
             data=out.reshape(*self.data.shape[:3], ny, nx), center=np.degrees(self.center),
-            width=np.degrees(self.width), height=np.degrees(self.height), frame=self.frame,
+            width=np.degrees(self._width), height=np.degrees(self._height), frame=self.frame,
             stokes=self.stokes, nu=self.nu, **self._axis3_kwargs(), units=self.units,
         )
 
@@ -263,7 +312,7 @@ class ProjectionMap(Map):
             f.attrs["units"] = self.units
             f.attrs["frame"] = self.frame
             f.attrs["center_deg"] = np.degrees(self.center)
-            f.attrs["resolution_deg"] = np.degrees(self.resolution)
+            f.attrs["resolution_deg"] = np.degrees(self._res)
             f.create_dataset("nu", data=self.nu)
             f.attrs["axis3_label"] = self.axis3_label
             f.create_dataset("t", data=self.t)
@@ -273,21 +322,117 @@ class ProjectionMap(Map):
 
         write_fits_map(self, path)
 
-    def plot(self, nu_index=0, t_index=0, stokes="I", ax=None, cmap="cmb", **kwargs):
+    def plot(self, slices=None, nu_index=None, t_index=None, stokes=None, ax=None, cmap="cmb", **kwargs):
+        """Panel-grid plot over slice dims (reference projection.py:589):
+        `slices="all"` or e.g. `{"stokes": ["I", "Q"], "nu": [[0], [1]]}`.
+        The single-panel form (nu_index/t_index/stokes/ax) is kept."""
+        if slices is None and ax is None and (nu_index, t_index, stokes) == (None, None, None):
+            slices = {}
+        if slices is not None:
+            from ..plotting.map import plot_map_slices
+
+            return plot_map_slices(self, slices=slices, cmap=cmap, **kwargs)
         from ..plotting.map import plot_projection_map
 
-        return plot_projection_map(self, nu_index=nu_index, t_index=t_index, stokes=stokes, ax=ax, cmap=cmap, **kwargs)
+        return plot_projection_map(
+            self, nu_index=nu_index or 0, t_index=t_index or 0, stokes=stokes or "I", ax=ax, cmap=cmap, **kwargs
+        )
 
-    @property
-    def transfer_function(self):
-        from .transfer import compute_transfer_function
+    def sampled_onto(self, other: "ProjectionMap") -> np.ndarray:
+        """This map's data sampled (bilinearly) at `other`'s pixel grid,
+        shape (n_stokes, n_nu, n_t, other.n_y, other.n_x). Handles
+        center offsets within a shared frame."""
+        from ..coords.transforms import offsets_to_phi_theta, phi_theta_to_offsets
 
-        return lambda other, **kw: compute_transfer_function(self, other, **kw)
+        X, Y = np.meshgrid(other.x_side, other.y_side)
+        pts = np.stack([X, Y], axis=-1)
+        if not np.allclose(self.center, other.center):
+            pt = offsets_to_phi_theta(pts, other.center[0], other.center[1])
+            pts = phi_theta_to_offsets(pt, self.center[0], self.center[1])
+        dx = jnp.asarray(pts[..., 0], dtype=jnp.float32)
+        dy = jnp.asarray(pts[..., 1], dtype=jnp.float32)
+        from ..ops.interp import interp_bilinear_grid
+
+        out = np.zeros((self.n_stokes, self.n_nu, len(self.t), other.n_y, other.n_x), dtype=np.float32)
+        xs = jnp.asarray(self.x_side)
+        ys = jnp.asarray(self.y_side)
+        for idx in np.ndindex(out.shape[:3]):
+            out[idx] = np.asarray(
+                interp_bilinear_grid(jnp.asarray(self.data[idx]), dx, dy, xs, ys)
+            )
+        return out
+
+    def transfer_function(
+        self,
+        input_map=None,
+        n_bins: int = 20,
+        stokes: str = "I",
+        slices: dict = None,
+        t_index: int = 0,
+        window="hann",
+        taper: float = 0.1,
+        pad_factor: float = 1.0,
+    ) -> "TransferFunction":
+        """Spatial transfer function vs an input map (reference
+        projection.py:506): per-frequency cross-spectra T(k). The input
+        map defaults to the one propagated by the mapper from the
+        simulation's `map=` argument."""
+        from .transfer import TransferFunction, compute_transfer_function
+
+        input_map = input_map if input_map is not None else getattr(self, "_input_map", None)
+        if input_map is None:
+            raise ValueError(
+                "No input map: pass input_map=, or build this map with a mapper whose "
+                "TODs came from a Simulation(map=...)."
+            )
+        # align the input onto this map's pixel grid
+        same_grid = (
+            input_map.data.shape[-2:] == self.data.shape[-2:]
+            and np.allclose(input_map.center, self.center)
+            and np.isclose(float(input_map.resolution), float(self.resolution), rtol=1e-3)
+        )
+        if same_grid:
+            aligned = input_map
+        else:
+            aligned = self._replace(
+                data=input_map.sampled_onto(self),
+                weight=np.ones((input_map.n_stokes, input_map.n_nu, len(input_map.t), self.n_y, self.n_x), dtype=np.float32),
+                stokes=input_map.stokes,
+                nu=input_map.nu,
+                units=input_map.units,
+                **{input_map.axis3_label: input_map.t},
+            )
+        if aligned.units != self.units:
+            aligned = aligned.to(self.units)
+
+        s_idx = self.stokes.index(stokes) if isinstance(stokes, str) else int(stokes)
+        nu_sel = range(self.n_nu)
+        if slices and "nu" in slices:
+            nu_sel = np.atleast_1d(np.asarray(slices["nu"])).ravel().tolist()
+        curves = []
+        k_ref = None
+        for j in nu_sel:
+            tf_j = compute_transfer_function(
+                aligned, self, window=window, taper=taper, n_bins=n_bins,
+                pad_factor=pad_factor, stokes_index=s_idx, nu_index=int(j) % self.n_nu,
+                t_index=t_index,
+            )
+            curves.append(np.interp(tf_j.k, tf_j.k, tf_j.tf))
+            k_ref = tf_j.k if k_ref is None or len(tf_j.k) < len(k_ref) else k_ref
+        curves = [np.interp(k_ref, k_ref[: len(c)], c[: len(k_ref)]) if len(c) != len(k_ref) else c for c in curves]
+        tf = np.stack(curves) if len(curves) > 1 else curves[0]
+        beam = getattr(self, "_beam_fwhm", None)
+        if beam is not None:
+            beam = [beam[int(j) % len(beam)] for j in nu_sel]
+        return TransferFunction(
+            k=k_ref, tf=tf, input_map=input_map, output_map=self,
+            nu=[self.nu[int(j) % self.n_nu] for j in nu_sel], beam_fwhm=beam,
+        )
 
     def __repr__(self):
         base = super().__repr__()[:-1]
         return (
             base
             + f", center=({np.degrees(self.center[0]):.2f}°, {np.degrees(self.center[1]):.2f}°),"
-            f" res={Quantity(self.resolution, 'rad')!r}, frame='{self.frame}')"
+            f" res={Quantity(self._res, 'rad')!r}, frame='{self.frame}')"
         )

@@ -17,53 +17,78 @@ logger = logging.getLogger("maria_tpu")
 
 
 class TransferFunction:
-    def __init__(self, k, tf, k_err=None, tf_err=None, input_map=None, output_map=None):
+    """Result container: `tf` is (n_bins,) for one channel or
+    (n_nu, n_bins) for several (reference map/transfer.py:149)."""
+
+    def __init__(self, k, tf, k_err=None, tf_err=None, input_map=None, output_map=None,
+                 nu=None, beam_fwhm=None):
         self.k = k  # rad^-1
         self.tf = tf
         self.tf_err = tf_err
         self.input_map = input_map
         self.output_map = output_map
+        self.nu = nu
+        self.beam_fwhm = beam_fwhm
 
-    def __call__(self, k):
-        return np.interp(k, self.k, self.tf)
+    @property
+    def T(self):
+        return np.atleast_2d(self.tf)
 
-    def plot(self, ax=None, **kwargs):
-        import matplotlib.pyplot as plt
+    def __call__(self, k, nu_index: int = 0):
+        return np.interp(k, self.k, self.T[nu_index])
 
-        if ax is None:
-            _, ax = plt.subplots(1, 1)
-        ax.semilogx(self.k, self.tf, **kwargs)
-        if self.tf_err is not None:
-            ax.fill_between(self.k, self.tf - self.tf_err, self.tf + self.tf_err, alpha=0.3)
-        ax.set_xlabel(r"$k$ [rad$^{-1}$]")
-        ax.set_ylabel(r"$T(k)$")
-        ax.axhline(1.0, color="gray", ls=":")
-        return ax
+    def plot(self, ax=None, x_unit: str = "arcmin", filename: str = None,
+             add_beam: bool = True, slices: dict = None, **kwargs):
+        """(reference map/transfer.py:172): curves vs angular scale, with
+        Gaussian beam overlays; `slices=dict(nu=[0])` selects channels."""
+        T = self.T
+        nu = np.atleast_1d(self.nu) if self.nu is not None else None
+        beam = np.atleast_1d(self.beam_fwhm) if self.beam_fwhm is not None else None
+        if slices and "nu" in slices:
+            sel = np.atleast_1d(np.asarray(slices["nu"])).ravel()
+            T = T[sel]
+            nu = nu[sel] if nu is not None else None
+            beam = beam[sel] if beam is not None else None
+        return plot_transfer_function(
+            self.k, T, nu=nu, beam_fwhm=beam if add_beam else None,
+            ax=ax, x_unit=x_unit, filename=filename,
+        )
 
     def __repr__(self):
-        return f"TransferFunction(k=[{self.k.min():.1f}, {self.k.max():.1f}] rad^-1)"
+        n_nu = self.T.shape[0]
+        return (f"TransferFunction({n_nu} channel{'s' if n_nu != 1 else ''}, "
+                f"k=[{np.min(self.k):.1f}, {np.max(self.k):.1f}] rad^-1)")
 
 
 def compute_transfer_function(
     input_map,
     output_map,
-    window: str = "tukey",
+    window="tukey",
+    taper: float = 0.5,
     n_bins: int = 32,
     pad_factor: float = 1.0,
     stokes_index: int = 0,
     nu_index: int = 0,
+    input_nu_index: int = None,
     t_index: int = 0,
 ):
-    """(reference transfer.py:27-146)"""
-    d_in = np.asarray(input_map.data[stokes_index, nu_index, t_index], dtype=float)
+    """(reference transfer.py:27-146). `window` may be a scipy window
+    name, True (hann) or False (no apodization); `taper` is the tukey
+    alpha."""
+    if window is True:
+        window = "hann"
+    elif window is False or window is None:
+        window = "boxcar"
+    in_nu = input_nu_index if input_nu_index is not None else min(nu_index, input_map.n_nu - 1)
+    d_in = np.asarray(input_map.data[stokes_index, in_nu, t_index], dtype=float)
     d_out = np.nan_to_num(np.asarray(output_map.data[stokes_index, nu_index, t_index], dtype=float))
 
     if d_in.shape != d_out.shape:
         raise ValueError(f"Map shapes differ: {d_in.shape} vs {d_out.shape}.")
 
     ny, nx = d_in.shape
-    w2d = np.outer(sp.signal.get_window((window, 0.5) if window == "tukey" else window, ny),
-                   sp.signal.get_window((window, 0.5) if window == "tukey" else window, nx))
+    w2d = np.outer(sp.signal.get_window((window, taper) if window == "tukey" else window, ny),
+                   sp.signal.get_window((window, taper) if window == "tukey" else window, nx))
 
     valid = np.asarray(output_map.weight[stokes_index, nu_index, t_index]) > 0
     w2d = w2d * valid

@@ -32,6 +32,8 @@ class BaseMapper:
         tod_preprocessing: dict = {},
         map_postprocessing: dict = {},
         t_bins: int = 1,
+        timestep: float = None,
+        stokes: str = None,
         progress_bars: bool = False,
     ):
         self.frame = Frame(frame)
@@ -56,6 +58,15 @@ class BaseMapper:
         # Stokes inference from detector sensitivity (reference base.py:80-87)
         sw = np.concatenate([tod.dets.stokes_weight() for tod in self.tods], axis=0)
         self.stokes = "".join(s for i, s in enumerate("IQUV") if np.abs(sw[:, i]).max() > 1e-8)
+        if stokes is not None:  # explicit override (reference BinMapper kwarg)
+            self.stokes = stokes
+
+        # the simulation's input map rides along on the TOD metadata so
+        # output maps can compute transfer functions without re-supplying
+        # it (reference base.py:341-343)
+        input_maps = [tod.metadata["input_map"] for tod in self.tods
+                      if tod.metadata and tod.metadata.get("input_map") is not None]
+        self._input_map = input_maps[0] if input_maps else None
 
         # one frequency channel per band
         self.bands = []
@@ -68,9 +79,13 @@ class BaseMapper:
         self.bands.sort(key=lambda b: b.center)
         self.nu = np.array([b.center for b in self.bands])
 
-        # time bins across the combined span
+        # time bins across the combined span; `timestep` (seconds per
+        # bin, reference docs usage/mapping) is an alternative to t_bins
         t_min = min(float(tod.time.min()) for tod in self.tods)
         t_max = max(float(tod.time.max()) for tod in self.tods) + 1e-6
+        if timestep is not None:
+            t_bins = max(int(np.ceil((t_max - t_min) / float(timestep))), 1)
+            self.t_bins = t_bins
         self.t_edges = np.linspace(t_min, t_max, t_bins + 1)
         self.t_centers = 0.5 * (self.t_edges[1:] + self.t_edges[:-1])
 
@@ -97,6 +112,13 @@ class BaseMapper:
         if sigma:
             sums = gaussian_filter(sums, sigma=(0, 0, 0, sigma, sigma))
             weights = gaussian_filter(weights, sigma=(0, 0, 0, sigma, sigma))
+
+        size = self.map_postprocessing.get("median_filter", {}).get("size", 0)
+        if size and size > 1:
+            from scipy.ndimage import median_filter
+
+            sums = median_filter(sums, size=(1, 1, 1, size, size))
+            weights = median_filter(weights, size=(1, 1, 1, size, size))
 
         with np.errstate(invalid="ignore", divide="ignore"):
             m = sums / weights
@@ -126,8 +148,27 @@ class BaseProjectionMapper(BaseMapper):
         tod_preprocessing: dict = {},
         map_postprocessing: dict = {},
         t_bins: int = 1,
+        timestep: float = None,
+        stokes: str = None,
+        target=None,
         progress_bars: bool = False,
     ):
+        if target is not None:
+            # copy the geometry of a target map (reference docs
+            # tutorials/custom-map-simulations: BinMapper(target=input_map))
+            center = center if center is not None else tuple(np.degrees(target.center))
+            width = width if width is not None else float(np.degrees(target.width))
+            height = height if height is not None else float(np.degrees(target.height))
+            resolution = resolution if resolution is not None else float(np.degrees(target.resolution))
+            frame = target.frame
+        # unit-carrying sizes (e.g. resolution=input_map.resolution)
+        # convert to the caller's angular convention
+        if hasattr(width, "deg"):
+            width = float(width.deg) if degrees else float(width.rad)
+        if hasattr(height, "deg"):
+            height = float(height.deg) if degrees else float(height.rad)
+        if hasattr(resolution, "deg"):
+            resolution = float(resolution.deg) if degrees else float(resolution.rad)
         super().__init__(
             tods,
             frame=frame,
@@ -135,6 +176,8 @@ class BaseProjectionMapper(BaseMapper):
             tod_preprocessing=tod_preprocessing,
             map_postprocessing=map_postprocessing,
             t_bins=t_bins,
+            timestep=timestep,
+            stokes=stokes,
             progress_bars=progress_bars,
         )
 
@@ -196,4 +239,18 @@ class BaseProjectionMapper(BaseMapper):
         )
         if self.units != self.tod_units:
             out = out.to(self.units)
+        out._input_map = self._input_map
+        try:
+            fwhms = []
+            for band in self.bands:
+                det_sel = [
+                    float(np.nanmean(np.asarray(tod.dets.angular_fwhm(np.inf).rad)[
+                        np.asarray(tod.dets.band_name) == band.name]))
+                    for tod in self.tods
+                    if (np.asarray(tod.dets.band_name) == band.name).any()
+                ]
+                fwhms.append(float(np.nanmean(det_sel)) if det_sel else np.nan)
+            out._beam_fwhm = fwhms
+        except Exception:  # noqa: BLE001 — beam overlay is cosmetic
+            out._beam_fwhm = None
         return out

@@ -53,6 +53,9 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         n_cg_iters: int = 50,
         spectrum_smoothing: float = 8.0,
         k: int = 0,
+        init: str = "bin",
+        bilinear: bool = False,
+        prior: bool = False,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -60,11 +63,23 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         self.n_cg_iters = n_cg_iters
         self.spectrum_smoothing = spectrum_smoothing
         self.k = k
+        if init not in ("bin", "random"):
+            raise ValueError(f"init must be 'bin' or 'random', not '{init}'.")
+        self.init = init
+        if bilinear:
+            logger.warning("bilinear=True: the ML mapper samples nearest-pixel; ignoring.")
+        if prior:
+            logger.warning("prior=True: no prior term is implemented; ignoring.")
         # per-epoch noise-model diagnostics (reference ml_mapper.py keeps
         # per-epoch noise-model plots); each entry is a list of per-TOD
         # dicts {f, median_psd, mode_psd}
         self.noise_model_history = []
         self._prepare()
+        self._compute_naive_map()
+        # `.map` is inspectable before fit(): the binned (or random)
+        # starting map (reference docs tutorials/mustang-nebula.ipynb
+        # plot mapper.map before fitting)
+        self.map = self._grid_to_map(self.naive_map, self.hits)
 
     def _prepare(self):
         """Per-TOD blocks: channel-offset pixel ids, Stokes weights, data."""
@@ -282,7 +297,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         ax.legend(fontsize=7)
         return ax
 
-    def fit(self, method: str = "conjugate_gradient"):
+    def _compute_naive_map(self):
         # naive (binned) starting map + hit/weight maps; hit counts use
         # |w_s| so Q/U weights don't cancel
         hits = jnp.zeros(self.n_m, dtype=jnp.float32)
@@ -293,38 +308,15 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             hits = hits + self._project_T(ones, abs_block)
             raw = raw + self._project_T(block["data"], block)
         self.hits = hits
-        m = jnp.where(hits > 0, raw / jnp.clip(hits, 1e-8, None), 0.0)
-        self.naive_map = m
+        self.naive_map = jnp.where(hits > 0, raw / jnp.clip(hits, 1e-8, None), 0.0)
 
-        diag = None
-        for epoch in range(self.n_epochs):
-            self._update_noise_model(m)
-            rhs = self._rhs()
-            if method == "conjugate_gradient":
-                # Jacobi preconditioner: 1 / diag(P^T N^-1 P), estimated
-                # with the white (frequency-mean) noise level and squared
-                # Stokes weights; pixels without coverage get 1
-                diag = self._white_diag()
-                inv_diag = jnp.where(diag > 0, 1.0 / jnp.clip(diag, 1e-30, None), 1.0)
-                m, _ = jax.scipy.sparse.linalg.cg(
-                    self._apply_PNP, rhs, x0=m, maxiter=self.n_cg_iters, tol=1e-8,
-                    M=lambda x: x * inv_diag,
-                )
-            elif method == "gradient_descent":
-                m = self._solve_gd(rhs, m, self.n_cg_iters)
-            else:
-                raise ValueError(f"Unknown solver '{method}'.")
-            logger.info(f"ML mapper epoch {epoch + 1}/{self.n_epochs} done.")
-
-        # inverse-variance pixel weights from the final noise model
-        # (reuse the last epoch's preconditioner diagonal — same quantity)
-        ivar = diag if diag is not None else self._white_diag()
-        self.m = m
-
+    def _grid_to_map(self, m, weights):
+        """Assemble a ProjectionMap from flat solution/weight vectors,
+        applying the zero-mean convention per covered slice."""
         shape4 = (self.n_s, self.n_nu, self.t_bins, self.n_pix1)
         m_grid = np.asarray(m).reshape(shape4)[..., :-1]
-        w_grid = np.asarray(ivar).reshape(shape4)[..., :-1]
-        h_grid = np.asarray(hits).reshape(shape4)[..., :-1]
+        w_grid = np.asarray(weights).reshape(shape4)[..., :-1]
+        h_grid = np.asarray(self.hits).reshape(shape4)[..., :-1]
 
         data = np.zeros((self.n_s, self.n_nu, self.t_bins, self.n_y, self.n_x), dtype=np.float32)
         weight = np.zeros_like(data)
@@ -337,7 +329,58 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
                         img = np.where(valid, img - img[valid].mean(), 0.0)
                     data[s, c, t] = img
                     weight[s, c, t] = np.where(valid, w_grid[s, c, t].reshape(self.n_y, self.n_x), 0.0)
-        self.map = self.make_map(data, weight)
+        return self.make_map(data, weight)
+
+    def fit(
+        self,
+        method: str = "conjugate_gradient",
+        epochs: int = None,
+        steps_per_epoch: int = None,
+        max_steps_per_epoch: int = None,
+        plot: bool = False,
+        plot_kwargs: dict = {},
+    ):
+        """Iterate noise-model update + normal-equation solve
+        (reference ml_mapper.py:359). `epochs` / `steps_per_epoch` (alias
+        `max_steps_per_epoch`) override the constructor's n_epochs /
+        n_cg_iters; `plot=True` plots the map after fitting."""
+        n_epochs = epochs if epochs is not None else self.n_epochs
+        n_steps = steps_per_epoch or max_steps_per_epoch or self.n_cg_iters
+        hits = self.hits
+        if self.init == "random":
+            key = jax.random.key(0)
+            scale = float(jnp.std(self.naive_map)) or 1.0
+            m = scale * jax.random.normal(key, (self.n_m,), dtype=jnp.float32)
+        else:
+            m = self.naive_map
+
+        diag = None
+        for epoch in range(n_epochs):
+            self._update_noise_model(m)
+            rhs = self._rhs()
+            if method == "conjugate_gradient":
+                # Jacobi preconditioner: 1 / diag(P^T N^-1 P), estimated
+                # with the white (frequency-mean) noise level and squared
+                # Stokes weights; pixels without coverage get 1
+                diag = self._white_diag()
+                inv_diag = jnp.where(diag > 0, 1.0 / jnp.clip(diag, 1e-30, None), 1.0)
+                m, _ = jax.scipy.sparse.linalg.cg(
+                    self._apply_PNP, rhs, x0=m, maxiter=n_steps, tol=1e-8,
+                    M=lambda x: x * inv_diag,
+                )
+            elif method == "gradient_descent":
+                m = self._solve_gd(rhs, m, n_steps)
+            else:
+                raise ValueError(f"Unknown solver '{method}'.")
+            logger.info(f"ML mapper epoch {epoch + 1}/{self.n_epochs} done.")
+
+        # inverse-variance pixel weights from the final noise model
+        # (reuse the last epoch's preconditioner diagonal — same quantity)
+        ivar = diag if diag is not None else self._white_diag()
+        self.m = m
+        self.map = self._grid_to_map(m, ivar)
+        if plot:
+            self.map.plot(**plot_kwargs)
         return self.map
 
     run = fit

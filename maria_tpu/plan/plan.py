@@ -186,9 +186,28 @@ class Plan:
             site=self.site,
         )
 
-    # reference exposes this as Plan.plot (maria/plan/plan.py:379)
-    def plot(self, *args, **kwargs):
-        return self.plot_hits(*args, **kwargs)
+    def plot(self, frames=None, ax_size: float = 4.0, **kwargs):
+        """Boresight trajectory in one panel per frame
+        (reference: maria/plan/plan.py:269)."""
+        import matplotlib.pyplot as plt
+
+        if frames is None:
+            frames = ["az/el", "ra/dec"]
+        frames = [frames] if isinstance(frames, str) else list(frames)
+        alias = {"glon/glat": "galactic", "gal": "galactic"}
+        fig, axes = plt.subplots(
+            1, len(frames), figsize=(ax_size * len(frames) * 1.15, ax_size),
+            constrained_layout=True, squeeze=False,
+        )
+        for ax, frame in zip(axes[0], frames):
+            f = alias.get(frame, frame)
+            offs = np.degrees(np.asarray(self.coords.offsets(frame=f)))
+            ax.plot(offs[..., 0], offs[..., 1], lw=0.5, **kwargs)
+            ax.set_xlabel(r"$\Delta x$ [deg]")
+            ax.set_ylabel(r"$\Delta y$ [deg]")
+            ax.set_title(frame)
+            ax.set_aspect("equal", adjustable="datalim")
+        return axes[0]
 
     def plot_hits(self, instrument=None, x_bins: int = 100, y_bins: int = 100):
         import matplotlib.pyplot as plt

@@ -48,6 +48,7 @@ class Planner:
         site,
         frame: str = "ra/dec",
         constraints: dict = None,
+        start_time=None,
     ):
         """`target` is (phi, theta) in degrees in `frame`, or a Map whose
         center is used (reference docs usage/inputs/plans). Constraints
@@ -55,6 +56,7 @@ class Planner:
         min_sun_distance (degrees); the reference's doc aliases "el",
         "az" and "hour" are accepted."""
         self.site = get_site(site) if isinstance(site, str) else site
+        self.start_time = start_time  # default horizon start for generate_plans
         from ..map.base import Map
 
         if isinstance(target, Map):
@@ -136,12 +138,21 @@ class Planner:
         start_time=None,
         horizon_days: float = 7.0,
         total_duration: float = 3600.0,
-        chunk_duration: float = 600.0,
+        chunk_duration: float = None,
+        max_chunk_duration: float = None,
         sample_rate: float = 20.0,
         scan_pattern: str = "daisy",
         scan_options: dict = {},
         check_every: float = 60.0,
     ) -> PlanList:
+        # the reference docs call this max_chunk_duration (planner.py:77)
+        chunk_duration = chunk_duration if chunk_duration is not None else (max_chunk_duration or 600.0)
+        if start_time is None:
+            start_time = self.start_time
+        if isinstance(start_time, str):
+            from .plan import parse_time
+
+            start_time = parse_time(start_time)
         t0 = float(start_time if start_time is not None else _time.time())
         t_check = np.arange(t0, t0 + horizon_days * 86400, check_every)
         ok = self.feasible(t_check)

@@ -39,8 +39,8 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
     def __init__(
         self,
         instrument,
-        plans,
-        site,
+        plans=None,
+        site=None,
         atmosphere=None,
         atmosphere_kwargs: dict = {},
         cmb=None,
@@ -54,10 +54,20 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
         keep_mean_signal: bool = False,
         seed: int = None,
         dtype=jnp.float32,
+        plan=None,
         **kwargs,
     ):
         from ..noise import DEFAULT_NOISE_SIM_KWARGS
         from .params import parse_sim_kwargs
+
+        # the reference docs use both plans= and the singular plan=
+        # (docs usage/inputs/atmosphere.rst)
+        if plans is None:
+            plans = plan
+        if plans is None:
+            raise TypeError("Simulation requires 'plans' (or the docs' alias 'plan').")
+        if site is None:
+            raise TypeError("Simulation requires 'site'.")
 
         # route loose kwargs (e.g. pwv=2.0) to their subsystem
         # (reference: sim/params.yml whitelist, simulation.py:42-64)

@@ -43,6 +43,7 @@ OPERATION_KWARGS = {
     "remove_spline": {
         "knot_spacing": {"dtype": float, "aliases": ["remove_spline_knot_spacing"]},
         "remove_el_gradient": {"dtype": bool, "aliases": ["remove_el_gradient"]},
+        "remove_el_gradient_order": {"dtype": int, "aliases": ["remove_el_gradient_order"]},
     },
 }
 
@@ -153,14 +154,20 @@ def remove_slope(data, **kwargs):
     return data - mean - slope[..., None] * t
 
 
-def remove_spline(data, sample_rate, knot_spacing: float = 10.0, remove_el_gradient: bool = False, el=None, **kwargs):
+def remove_spline(data, sample_rate, knot_spacing: float = 10.0, remove_el_gradient: bool = False,
+                  remove_el_gradient_order: int = 0, el=None, **kwargs):
     """Least-squares B-spline baseline removal
-    (reference processing.py:107-130)."""
+    (reference processing.py:107-130). `remove_el_gradient_order` adds
+    polynomial-in-elevation regressors up to that order (the reference
+    notebooks' atmosphere-gradient removal)."""
     n = data.shape[-1]
     spacing_samples = max(int(knot_spacing * sample_rate), 2)
     B = bspline_basis(n, spacing=spacing_samples)  # (k, n)
-    if remove_el_gradient and el is not None:
-        B = np.concatenate([B, np.asarray(el).mean(axis=0, keepdims=True)], axis=0)
+    order = max(int(remove_el_gradient_order), 1 if remove_el_gradient else 0)
+    if order and el is not None:
+        el_mean = np.asarray(el).mean(axis=0, keepdims=True)
+        el_mean = (el_mean - el_mean.mean()) / (el_mean.std() + 1e-30)
+        B = np.concatenate([B, *[el_mean**p for p in range(1, order + 1)]], axis=0)
     B = jnp.asarray(B, dtype=data.dtype)
     # coefficients: data @ B^T @ (B B^T)^-1
     gram = B @ B.T
@@ -222,8 +229,7 @@ def process_tod(tod, **config):
 
     if "remove_spline" in config:
         kw = dict(config["remove_spline"]) if isinstance(config["remove_spline"], dict) else {}
-        if kw.pop("remove_el_gradient", False):
-            kw["remove_el_gradient"] = True
+        if kw.get("remove_el_gradient") or kw.get("remove_el_gradient_order"):
             kw["el"] = tod.el
         data = remove_spline(data, sample_rate=fs, **kw)
         _check_nan("remove_spline", data)

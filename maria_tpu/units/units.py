@@ -161,7 +161,7 @@ class Unit:
             dims[axis] = dims.get(axis, 0) + exp
         dims = {k: v for k, v in dims.items() if v != 0}
         return Unit(
-            name=f"{self.name} {other.name}".strip(),
+            name=" ".join(n for n in (self.name, other.name) if n),
             factor=self.factor * other.factor,
             dims=tuple(sorted(dims.items())),
         )
@@ -172,7 +172,7 @@ class Unit:
     def __pow__(self, p) -> "Unit":
         dims = {axis: exp * p for axis, exp in self.dims}
         dims = {k: v for k, v in dims.items() if v != 0}
-        name = self.name if p == 1 else f"{self.name}^{p}"
+        name = self.name if (p == 1 or not self.name) else f"{self.name}^{p}"
         return Unit(name=name, factor=self.factor**p, dims=tuple(sorted(dims.items())))
 
     @property
