@@ -30,7 +30,7 @@ import numpy as np
 # and skipped when the remaining budget cannot fit their compiles, so
 # the headline JSON always prints before any driver timeout.
 _T0 = time.time()
-BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 900.0))
+BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1080.0))
 
 
 def _remaining() -> float:

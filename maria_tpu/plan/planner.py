@@ -170,7 +170,7 @@ class Planner:
                 j += 1
             remaining = total_duration - accumulated
             duration = min(t_check[min(j, len(ok) - 1)] - t_check[i], chunk_duration, remaining)
-            if duration >= min(chunk_duration, 60.0):
+            if duration >= min(chunk_duration, 60.0, total_duration):
                 plans.append(
                     Plan.generate(
                         site=self.site,

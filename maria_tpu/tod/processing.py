@@ -77,14 +77,24 @@ def validate_process_config(config):
             )
         if not isinstance(params, dict):
             continue
-        for key, value in params.items():
+        for key, value in list(params.items()):
             if key in ("el",):  # injected internally by process_tod
                 continue
             if key not in OPERATION_KWARGS[operation]:
-                raise ValueError(
-                    f"Invalid param '{key}' for operation '{operation}'. Valid parameters "
-                    f"are {list(OPERATION_KWARGS[operation])}."
+                # the reference's nested configs use the alias names
+                # (e.g. remove_modes: {modes_to_remove: 1}); accept and
+                # canonicalize them
+                canonical = next(
+                    (c for c, p in OPERATION_KWARGS[operation].items() if key in p["aliases"]),
+                    None,
                 )
+                if canonical is None:
+                    raise ValueError(
+                        f"Invalid param '{key}' for operation '{operation}'. Valid parameters "
+                        f"are {list(OPERATION_KWARGS[operation])}."
+                    )
+                config[operation][canonical] = config[operation].pop(key)
+                key = canonical
             dtype = OPERATION_KWARGS[operation][key]["dtype"]
             if not isinstance(value, dtype):
                 try:
