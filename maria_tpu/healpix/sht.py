@@ -446,12 +446,24 @@ def _sign_tables(lmax: int):
 def _alm2map_fn(lmax: int, nside: int):
     L = lmax + 1
     _, nh, z_n = _ring_geometry(nside)
-    z = jnp.asarray(z_n, jnp.float32)
-    t = _lane_tables(lmax, nside, 0)
-    cn_f, cs_f = _sign_tables(lmax)
     bt = _belt_tables(nside, lmax)
+    # tables ride as jit ARGUMENTS: embedding them as closure constants
+    # bakes tens of MB into the HLO at nside>=512, which the remote
+    # axon compiler chews on for minutes (same trap as bench.py's
+    # binning plans)
+    tables = {
+        "t": _lane_tables(lmax, nside, 0),
+        "signs": _sign_tables(lmax),
+        "z": jnp.asarray(z_n, jnp.float32),
+        "phase_re": jnp.asarray(np.real(bt["phase"]), jnp.float32),
+        "phase_im": jnp.asarray(np.imag(bt["phase"]), jnp.float32),
+    }
+    bt_static = {k: v for k, v in bt.items() if k != "phase"}
 
-    def fn(a_re, a_im):
+    def fn(a_re, a_im, tb):
+        t, z = tb["t"], tb["z"]
+        cn_f, cs_f = tb["signs"]
+        bt = {**bt_static, "phase": tb["phase_re"] + 1j * tb["phase_im"]}
         rows = (a_re * cn_f, a_im * cn_f, a_re * cs_f, a_im * cs_f)
         acc0 = tuple(jnp.zeros((L, nh), jnp.float32) for _ in range(4))
 
@@ -474,19 +486,28 @@ def _alm2map_fn(lmax: int, nside: int):
         # cannot transfer it): polar g goes out as f32 re/im slices
         return belt.astype(jnp.float32), tuple(a[:, :npol] for a in acc)
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    return lambda a_re, a_im: jfn(a_re, a_im, tables)
 
 
 @lru_cache(maxsize=16)
 def _map2alm_fn(lmax: int, nside: int):
     L = lmax + 1
     _, nh, z_n = _ring_geometry(nside)
-    z = jnp.asarray(z_n, jnp.float32)
-    t = _lane_tables(lmax, nside, 0)
-    cn_f, cs_f = _sign_tables(lmax)
     bt = _belt_tables(nside, lmax)
+    tables = {
+        "t": _lane_tables(lmax, nside, 0),
+        "signs": _sign_tables(lmax),
+        "z": jnp.asarray(z_n, jnp.float32),
+        "phase_re": jnp.asarray(np.real(bt["phase"]), jnp.float32),
+        "phase_im": jnp.asarray(np.imag(bt["phase"]), jnp.float32),
+    }
+    bt_static = {k: v for k, v in bt.items() if k != "phase"}
 
-    def fn(belt_vals, hn_re, hn_im, hs_re, hs_im):
+    def fn(belt_vals, hn_re, hn_im, hs_re, hs_im, tb):
+        t, z = tb["t"], tb["z"]
+        cn_f, cs_f = tb["signs"]
+        bt = {**bt_static, "phase": tb["phase_re"] + 1j * tb["phase_im"]}
         h_belt = _belt_anal(belt_vals, bt, lmax)
         h_n, h_s = _h_layout(hn_re + 1j * hn_im, hs_re + 1j * hs_im, h_belt, bt)
         streams = (h_n.real, h_n.imag, h_s.real, h_s.imag)
@@ -506,20 +527,29 @@ def _map2alm_fn(lmax: int, nside: int):
         alm_im = omega * (cn_f * ys[1] + cs_f * ys[3]) * tri
         return alm_re, alm_im
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    return lambda *args: jfn(*args, tables)
 
 
 @lru_cache(maxsize=16)
 def _alm2map_spin_fn(lmax: int, nside: int):
     L = lmax + 1
     _, nh, z_n = _ring_geometry(nside)
-    z = jnp.asarray(z_n, jnp.float32)
-    tp = _lane_tables(lmax, nside, 2)
-    tm = _lane_tables(lmax, nside, -2)
-    cn_f, cs_f = _sign_tables(lmax)
     bt = _belt_tables(nside, lmax)
+    tables = {
+        "tp": _lane_tables(lmax, nside, 2),
+        "tm": _lane_tables(lmax, nside, -2),
+        "signs": _sign_tables(lmax),
+        "z": jnp.asarray(z_n, jnp.float32),
+        "phase_re": jnp.asarray(np.real(bt["phase"]), jnp.float32),
+        "phase_im": jnp.asarray(np.imag(bt["phase"]), jnp.float32),
+    }
+    bt_static = {k: v for k, v in bt.items() if k != "phase"}
 
-    def fn(e_re, e_im, b_re, b_im):
+    def fn(e_re, e_im, b_re, b_im, tb):
+        tp, tm, z = tb["tp"], tb["tm"], tb["z"]
+        cn_f, cs_f = tb["signs"]
+        bt = {**bt_static, "phase": tb["phase_re"] + 1j * tb["phase_im"]}
         # a2 = -(aE + i aB), am2 = -(aE - i aB), scaled by the
         # north ((-1)^m norm) / south ((-1)^l norm) stream factors
         a2_re, a2_im = -(e_re - b_im), -(e_im + b_re)
@@ -555,20 +585,29 @@ def _alm2map_spin_fn(lmax: int, nside: int):
         npol = bt["npol"]
         return belt.real, belt.imag, tuple(a[:, :npol] for a in acc)
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    return lambda *args: jfn(*args, tables)
 
 
 @lru_cache(maxsize=16)
 def _map2alm_spin_fn(lmax: int, nside: int):
     L = lmax + 1
     _, nh, z_n = _ring_geometry(nside)
-    z = jnp.asarray(z_n, jnp.float32)
-    tp = _lane_tables(lmax, nside, 2)
-    tm = _lane_tables(lmax, nside, -2)
-    cn_f, cs_f = _sign_tables(lmax)
     bt = _belt_tables(nside, lmax)
+    tables = {
+        "tp": _lane_tables(lmax, nside, 2),
+        "tm": _lane_tables(lmax, nside, -2),
+        "signs": _sign_tables(lmax),
+        "z": jnp.asarray(z_n, jnp.float32),
+        "phase_re": jnp.asarray(np.real(bt["phase"]), jnp.float32),
+        "phase_im": jnp.asarray(np.imag(bt["phase"]), jnp.float32),
+    }
+    bt_static = {k: v for k, v in bt.items() if k != "phase"}
 
-    def fn(belt_Q, belt_U, h_pol):
+    def fn(belt_Q, belt_U, h_pol, tb):
+        tp, tm, z = tb["tp"], tb["tm"], tb["z"]
+        cn_f, cs_f = tb["signs"]
+        bt = {**bt_static, "phase": tb["phase_re"] + 1j * tb["phase_im"]}
         belt_P = belt_Q + 1j * belt_U
         hp_belt = _belt_anal(belt_P, bt, lmax)
         hm_belt = _belt_anal(belt_P, bt, lmax, conj_input=True)
@@ -609,7 +648,8 @@ def _map2alm_spin_fn(lmax: int, nside: int):
         aB_im = (a2_re - am2_re) / 2 * tri
         return aE_re, aE_im, aB_re, aB_im
 
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    return lambda *args: jfn(*args, tables)
 
 
 # --------------------------------------------------------------------------

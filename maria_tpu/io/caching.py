@@ -143,10 +143,12 @@ def fetch(
         logger.info(f"fetched {source_path} from {url_base}")
         return destination
 
-    for prefix, generator in _GENERATORS.items():
+    # most-specific (longest) prefix wins: e.g. the planck-map generator
+    # outranks the generic "maps/" family synthesizer
+    for prefix in sorted(_GENERATORS, key=len, reverse=True):
         if source_path.startswith(prefix):
             logger.info(f"generating {source_path} locally (offline)")
-            generator(source_path, destination)
+            _GENERATORS[prefix](source_path, destination)
             return destination
 
     if status == "stale":

@@ -176,11 +176,15 @@ def remove_spline(data, sample_rate, knot_spacing: float = 10.0, remove_el_gradi
     order = max(int(remove_el_gradient_order), 1 if remove_el_gradient else 0)
     if order and el is not None:
         el_mean = np.asarray(el).mean(axis=0, keepdims=True)
-        el_mean = (el_mean - el_mean.mean()) / (el_mean.std() + 1e-30)
-        B = np.concatenate([B, *[el_mean**p for p in range(1, order + 1)]], axis=0)
+        if el_mean.std() > 1e-12 * max(abs(el_mean.mean()), 1e-12):
+            el_mean = (el_mean - el_mean.mean()) / el_mean.std()
+            B = np.concatenate([B, *[el_mean**p for p in range(1, order + 1)]], axis=0)
+        # a constant-elevation scan (stare) has no gradient to remove
     B = jnp.asarray(B, dtype=data.dtype)
-    # coefficients: data @ B^T @ (B B^T)^-1
+    # coefficients: data @ B^T @ (B B^T + eps)^-1; the ridge guards
+    # degenerate bases (e.g. knot spacing longer than the scan)
     gram = B @ B.T
+    gram = gram + 1e-6 * jnp.trace(gram) / gram.shape[0] * jnp.eye(gram.shape[0], dtype=gram.dtype)
     coeffs = jnp.linalg.solve(gram, B @ data.T).T
     return data - coeffs @ B
 

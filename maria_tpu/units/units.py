@@ -110,7 +110,7 @@ _register("K_b", 1, {"K_b": 1}, "brightness_temperature", math_name="K_{b}")
 _register("Jy/pixel", 1, {"Jy_pixel": 1}, "spectral_flux_density_per_pixel", math_name="Jy/\\text{pixel}")
 _register("Jy/beam", 1, {"Jy_beam": 1}, "spectral_flux_density_per_beam", math_name="Jy/\\text{beam}")
 _register("Jy/sr", 1, {"Jy_sr": 1}, "spectral_radiance", math_name="Jy/\\text{sr}")
-_register("y", 1, {"y": 1}, "compton_y", prefixable=False)
+_register("y", 1, {"y": 1}, "compton_y", prefixable=False, aliases=("compton_y",))
 _register("pixel", 1, {"pixel": 1}, "pixel", prefixable=False, aliases=("pixels",))
 _register("beam", 1, {"beam": 1}, "beam", prefixable=False, aliases=("beams",))
 
