@@ -46,7 +46,21 @@ class Instrument:
         min_elevation: float = 20.0,  # deg
         max_elevation: float = 90.0,
     ):
-        self.arrays = ArrayList(arrays)
+        # entries may be Array objects, config dicts, or registry names
+        # (reference docs usage/inputs/instruments/arrays/generation.rst:
+        # Instrument(arrays=[my_array]) with a dict)
+        arrays = arrays if isinstance(arrays, (list, tuple, ArrayList)) else [arrays]
+        resolved = []
+        for i, a in enumerate(arrays):
+            if isinstance(a, dict):
+                resolved.append(Array.from_config({"name": a.get("name", f"array-{i}"), **a}))
+            elif isinstance(a, str):
+                from ..array import get_array
+
+                resolved.append(get_array(a))
+            else:
+                resolved.append(a)
+        self.arrays = ArrayList(resolved)
         self.name = name or "+".join(a.name for a in self.arrays)
         self.description = description
         self.documentation = documentation

@@ -15,11 +15,11 @@ import maria_tpu as maria
 @pytest.fixture(scope="module")
 def nebula_tods():
     """mustang-nebula.ipynb, shrunk: real-sky M1 + planner + MUSTANG-2."""
-    input_map = maria.map.get("maps/M1.h5", fetch_first=False).to("K_RJ")
+    input_map = maria.map.get("maps/M1.h5", fetch_first=False, n=256).to("K_RJ")
     input_map.data[input_map.weight < 0.2 * input_map.weight.max()] = 0
 
     planner = maria.Planner(target=input_map, site="green_bank", constraints={"el": (60, 90)})
-    plans = planner.generate_plans(total_duration=60, sample_rate=10)
+    plans = planner.generate_plans(total_duration=30, sample_rate=8)
 
     instrument = maria.get_instrument("m2/mustang-2")
     sim = maria.Simulation(
@@ -33,10 +33,10 @@ def test_mustang_nebula_flow(nebula_tods):
     from maria_tpu.mappers import MaximumLikelihoodMapper, compute_residual_map
 
     mapper = MaximumLikelihoodMapper(
-        units="K_RJ", tods=tods, resolution=4 * input_map.resolution,
+        units="K_RJ", tods=tods, resolution=8 * input_map.resolution,
     )
     assert mapper.map.data.shape[0] >= 1  # inspectable before fit
-    mapper.fit(epochs=1, steps_per_epoch=8)
+    mapper.fit(epochs=1, steps_per_epoch=5)
     residual = compute_residual_map(input_map[:, 0], mapper.map)
     assert np.isfinite(np.asarray(residual.data)).any()
 
@@ -51,7 +51,7 @@ def test_transfer_function_flow(nebula_tods):
         tods=tods,
         units="uK_RJ",
         stokes="I",
-        resolution=4 * input_map.resolution,
+        resolution=8 * input_map.resolution,
         tod_preprocessing={"remove_modes": {"modes_to_remove": 1}},
         map_postprocessing={},
     )
@@ -89,7 +89,7 @@ def test_custom_array_instrument_flow():
 def test_polarized_observation_flow():
     """polarized-observations.ipynb, shrunk: IQUV einstein map through a
     polarized array; Q/U power must reach the TOD."""
-    input_map = maria.map.get("maps/einstein.h5", fetch_first=False)
+    input_map = maria.map.get("maps/einstein.h5", fetch_first=False, n=128)
     assert input_map.stokes == "IQUV"
     input_map.data *= 50
 
@@ -99,7 +99,7 @@ def test_polarized_observation_flow():
                "polarized": True, "bands": [f150]}
     )
     planner = maria.Planner(target=input_map, site="mauna_kea", constraints={"el": (45, 90)})
-    plans = planner.generate_plans(total_duration=30, sample_rate=20)
+    plans = planner.generate_plans(total_duration=20, sample_rate=16)
     sim = maria.Simulation(instrument, plans=plans[:1], site="mauna_kea",
                            map=input_map, seed=11)
     tod = sim.run()[0]
