@@ -54,6 +54,15 @@ except OSError:
 _tag = hashlib.md5((platform.machine() + _cpu).encode()).hexdigest()[:8]
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", f"/tmp/jax-comp-cache-{_tag}")
 
+
+def _enable_compile_cache():
+    # sitecustomize imports jax before this file runs; the env var alone
+    # is read too late. (Only CPU programs persist — the axon TPU plugin
+    # cannot serialize — but every little helps and it is free.)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
 DURATION_S = 60.0
 SAMPLE_RATE = 50.0
 
@@ -377,6 +386,7 @@ def bench_cpu_baseline(program, obs) -> float:
 
 
 def main():
+    _enable_compile_cache()
     _stamp("build MUSTANG-2 program")
     program, obs = build_program()
     _stamp("headline: compile + time (2 chained programs)")
@@ -448,6 +458,7 @@ def main():
 
 def config_b():
     """AtLAST-50k 3d benchmark, run standalone (see main: subprocess)."""
+    _enable_compile_cache()
     program_b, obs_b = build_program(
         instrument="AtLAST-50k", site="ALMA", duration=60.0, radius=0.5, speed=0.25,
         atmosphere="3d",

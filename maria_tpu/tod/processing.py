@@ -36,6 +36,7 @@ OPERATION_KWARGS = {
         "f_lower": {"dtype": float, "aliases": ["f_lower"]},
         "f_upper": {"dtype": float, "aliases": ["f_upper"]},
         "order": {"dtype": int, "aliases": ["filter_order"]},
+        "method": {"dtype": str, "aliases": ["filter_method"]},
     },
     "remove_modes": {
         "n": {"dtype": int, "aliases": ["modes_to_remove", "n_modes"]},
@@ -197,7 +198,20 @@ def window(data, weight, name: str = "tukey", kwargs: dict = None, **extra):
     return data * w, weight * w
 
 
-def apply_filter(data, sample_rate, f_lower: float = None, f_upper: float = None, order: int = 4, **kwargs):
+def apply_filter(data, sample_rate, f_lower: float = None, f_upper: float = None, order: int = 4,
+                 method: str = "fft", **kwargs):
+    """Frequency-domain filter (reference processing.py:146). `method`
+    selects the device FFT Butterworth-magnitude filter (default) or the
+    reference's host scipy Bessel SOS filters ("bessel")."""
+    if method == "bessel":
+        from ..utils.signal import bessel_highpass, bessel_lowpass
+
+        out = np.asarray(data)
+        if f_lower is not None:
+            out = bessel_highpass(out, f_lower, sample_rate, order=order)
+        if f_upper is not None:
+            out = bessel_lowpass(out, f_upper, sample_rate, order=order)
+        return jnp.asarray(out, dtype=jnp.float32)
     if f_lower is not None and f_upper is not None:
         return bandpass(data, f_lower, f_upper, sample_rate, order=order)
     if f_lower is not None:

@@ -34,6 +34,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", f"/tmp/jax-cpu-cache-{_tag}")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# the axon sitecustomize imports jax at interpreter start, BEFORE this
+# conftest runs, so the JAX_COMPILATION_CACHE_DIR env var above is read
+# too late — the runtime config update is what actually enables the
+# persistent cache on this machine
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
