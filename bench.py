@@ -129,6 +129,7 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
 
     fn = program.total_power_fn()
     args = program.example_args()
+    tables = program.device_tables()
 
     pix = plan = plan_args = None
     if obs is not None:
@@ -155,11 +156,11 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
         # NOTE: pix rides as an ARGUMENT — a 50k-detector id array baked
         # in as a closure constant blows the remote-compile request limit
         @jax.jit
-        def run(key, offsets, bs_az, bs_el, pix_arg, bin_args):
+        def run(key, offsets, bs_az, bs_el, pix_arg, bin_args, tables):
             def body(carry, k):
                 from maria_tpu.ops.binning import bin_blocked, bin_scatter
 
-                tod = fn(k, offsets, bs_az, bs_el)
+                tod = fn(k, offsets, bs_az, bs_el, tables=tables)
                 out = tod.mean()
                 if plan is not None:
                     ly, lx, origins, order = bin_args
@@ -175,12 +176,12 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
         return run
 
     def timed(f):
-        float(np.asarray(f(*args, pix, plan_args)))  # compile + warm up
+        float(np.asarray(f(*args, pix, plan_args, tables)))  # compile + warm up
         times = []
         for i in range(n_repeats):
             fresh = (jax.random.key(i + 1), *args[1:])
             start = time.perf_counter()
-            float(np.asarray(f(*fresh, pix, plan_args)))
+            float(np.asarray(f(*fresh, pix, plan_args, tables)))
             times.append(time.perf_counter() - start)
         return min(times)
 
@@ -205,12 +206,13 @@ def bench_stages(program, n_repeats: int = 3, k_chain: int = 17) -> dict:
     import jax.numpy as jnp
 
     args = program.example_args()
+    tables = program.device_tables()
 
     def chain(stage_fn, k_count):
         @jax.jit
-        def run(key, offsets, bs_az, bs_el):
+        def run(key, offsets, bs_az, bs_el, tables):
             def body(carry, k):
-                out = stage_fn(k, offsets, bs_az, bs_el)
+                out = stage_fn(k, offsets, bs_az, bs_el, tables)
                 vals = out.values() if isinstance(out, dict) else [out]
                 return carry + sum(jnp.sum(v) for v in vals), ()
 
@@ -222,12 +224,12 @@ def bench_stages(program, n_repeats: int = 3, k_chain: int = 17) -> dict:
 
     def marginal(stage_fn):
         def timed(f):
-            float(np.asarray(f(*args)))  # compile + warm
+            float(np.asarray(f(*args, tables)))  # compile + warm
             times = []
             for i in range(n_repeats):
                 fresh = (jax.random.key(i + 1), *args[1:])
                 start = time.perf_counter()
-                float(np.asarray(f(*fresh)))
+                float(np.asarray(f(*fresh, tables)))
                 times.append(time.perf_counter() - start)
             return min(times)
 
@@ -235,9 +237,9 @@ def bench_stages(program, n_repeats: int = 3, k_chain: int = 17) -> dict:
         tk = timed(chain(stage_fn, k_chain))
         return (tk - t1) / (k_chain - 1)
 
-    t_pwv = marginal(lambda k, o, a, e: program._loadings(k, o, a, e, upto="pwv"))
-    t_atm = marginal(lambda k, o, a, e: program._loadings(k, o, a, e, upto="atmosphere"))
-    t_all = marginal(program.total_power_fn())
+    t_pwv = marginal(lambda k, o, a, e, tb: program._loadings(k, o, a, e, upto="pwv", tables=tb))
+    t_atm = marginal(lambda k, o, a, e, tb: program._loadings(k, o, a, e, upto="atmosphere", tables=tb))
+    t_all = marginal(lambda k, o, a, e, tb: program.total_power_fn()(k, o, a, e, tables=tb))
     return {
         "screens_ar_pwv_ms": round(1e3 * max(t_pwv, 0.0), 3),
         "bandpass_upsample_ms": round(1e3 * max(t_atm - t_pwv, 0.0), 3),

@@ -39,6 +39,16 @@ class BandBlock:
 
     name: str
     det_index: np.ndarray  # indices into the detector axis
+
+    @property
+    def det_sel(self):
+        """Static selector for traced arrays: a SLICE when this band's
+        detectors are contiguous (no i32 index constant in the HLO, no
+        gather), else the index array."""
+        idx = self.det_index
+        if len(idx) and np.array_equal(idx, np.arange(idx[0], idx[-1] + 1)):
+            return slice(int(idx[0]), int(idx[-1] + 1))
+        return idx
     pwv_side: jnp.ndarray
     el_side: jnp.ndarray
     power_table: jnp.ndarray  # (n_pwv, n_el) pW
@@ -133,8 +143,46 @@ class TODProgram:
             out = out.at[self.bands[i].det_index].set(piece)
         return out
 
+    def device_tables(self):
+        """The large spectral tables as a device pytree. Passing this as
+        a jit ARGUMENT (see `_loadings(tables=...)`) keeps ~8 MB of
+        group spectral weights out of the HLO as embedded constants —
+        which the remote axon compiler otherwise chews on for many
+        minutes at AtLAST scale (same trap as the SHT lane tables)."""
+        return {
+            "screen_W": [
+                None if s.W is None else jnp.asarray(s.W) for s in self.screens
+            ],
+            "group_W": [jnp.asarray(g.W) for g in self.groups],
+            "group_beam": [
+                None if g.beam is None else jnp.asarray(g.beam) for g in self.groups
+            ],
+            "noise_basis": [
+                None if b.noise_basis is None else jnp.asarray(b.noise_basis)
+                for b in self.bands
+            ],
+        }
+
+    def _resolved(self, tables):
+        """(screens, groups) with array fields swapped for the traced
+        `tables` entries when given."""
+        if tables is None:
+            return self.screens, self.groups
+        import dataclasses
+
+        screens = [
+            dataclasses.replace(s, W=w) if w is not None else s
+            for s, w in zip(self.screens, tables["screen_W"])
+        ]
+        groups = [
+            dataclasses.replace(g, W=w, beam=b)
+            for g, w, b in zip(self.groups, tables["group_W"], tables["group_beam"])
+        ]
+        return screens, groups
+
     def _loadings(
-        self, key, offsets, bs_az_c, bs_el_c, return_pwv: bool = False, upto: str = None
+        self, key, offsets, bs_az_c, bs_el_c, return_pwv: bool = False, upto: str = None,
+        tables=None,
     ):
         """Pure jnp body; returns dict of (n_det, n_t) loadings in pW
         (and optionally the fine-rate zenith-scaled pwv). Gain errors are
@@ -187,8 +235,9 @@ class TODProgram:
                 ran[id(p)] = buf[: p.n_extrusion]
             ar_values[i] = ran[id(p)][:, screen.ar_columns].T  # (ny, nx)
 
+        screens, groups = self._resolved(tables)
         pwv = accumulate_pwv(
-            key_scr, self.mean_pwv, self.screens, self.groups,
+            key_scr, self.mean_pwv, screens, groups,
             px, py, bs_px, bs_py, t_c, ar_values=ar_values,
         )
         if upto == "pwv":
@@ -200,11 +249,11 @@ class TODProgram:
         loading_pieces = {}
         for i, band in enumerate(self.bands):
             if band.power_eval is not None:
-                p = band.power_eval(pwv[band.det_index], el_clip[band.det_index])
+                p = band.power_eval(pwv[band.det_sel], el_clip[band.det_sel])
             else:
                 interp = RegularGridInterpolator((band.pwv_side, band.el_side), band.power_table)
-                p = interp((pwv[band.det_index], el_clip[band.det_index]))
-            loading_pieces[i] = mueller_I[band.det_index, None] * p.astype(jnp.float32)
+                p = interp((pwv[band.det_sel], el_clip[band.det_sel]))
+            loading_pieces[i] = mueller_I[band.det_sel, None] * p.astype(jnp.float32)
         loading_c = self._per_band_assemble(loading_pieces, pwv.shape)
 
         # upsample to the TOD rate (phase stencil: no gathers)
@@ -231,7 +280,7 @@ class TODProgram:
         if has_cmb:
             cmb_pieces = {}
             for i, band in enumerate(self.bands):
-                idx = band.det_index
+                idx = band.det_sel
                 xi = (pwv_f[idx], el_f[idx])
                 if band.cmb_P0_eval is not None:
                     P0 = band.cmb_P0_eval(*xi)
@@ -254,8 +303,8 @@ class TODProgram:
         if has_map:
             map_pieces = {}
             for i, band in enumerate(self.bands):
-                idx = band.det_index
-                piece = jnp.zeros((len(idx), len(self.t_fine)), dtype=jnp.float32)
+                idx = band.det_sel
+                piece = jnp.zeros((len(band.det_index), len(self.t_fine)), dtype=jnp.float32)
                 for table, samples, cal_eval in band.map_stages or []:
                     if cal_eval is not None:
                         cal = cal_eval(pwv_f[idx], el_f[idx])
@@ -282,19 +331,22 @@ class TODProgram:
                 # the (config-ordered) band list, NOT a salted str hash —
                 # the same seed must give the same noise across processes
                 band_key = jax.random.fold_in(key_noise, i)
+                basis = band.noise_basis
+                if tables is not None and tables["noise_basis"][i] is not None:
+                    basis = tables["noise_basis"][i]
                 unscaled = generate_noise_with_knee(
                     band_key,
                     shape=(len(band.det_index), n_t),
                     sample_rate=self.sample_rate,
                     knee=band.knee,
-                    basis=band.noise_basis,
+                    basis=basis,
                     corr_prop=band.corr_prop,
                 )
                 # photon-loading term: total NEP = NEP + NEP_per_loading * P
                 # with P the time-resolved non-noise loading in W
                 # (reference maria/sim/noise.py:33)
                 if band.NEP_per_loading:
-                    loading_W = 1e-12 * sum(v[band.det_index] for v in fields.values())
+                    loading_W = 1e-12 * sum(v[band.det_sel] for v in fields.values())
                     total_NEP = band.NEP + band.NEP_per_loading * loading_W
                 else:
                     total_NEP = band.NEP
@@ -316,11 +368,11 @@ class TODProgram:
         """(key, offsets, bs_az_c, bs_el_c) -> (n_det, n_t) total pW,
         including multiplicative gain errors."""
 
-        def fn(key, offsets, bs_az_c, bs_el_c):
+        def fn(key, offsets, bs_az_c, bs_el_c, tables=None):
             # same derivation as _loadings' third stream: gains must not
             # share a key with the noise stream (split(key)[1] == split(key, 3)[1])
             key_gain = jax.random.split(key, 3)[2]
-            fields = self._loadings(key, offsets, bs_az_c, bs_el_c)
+            fields = self._loadings(key, offsets, bs_az_c, bs_el_c, tables=tables)
             gains = 1.0
             if self.gain_error is not None:
                 gains = jnp.exp(

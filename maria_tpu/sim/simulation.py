@@ -166,7 +166,12 @@ class Simulation(AtmosphereMixin, CMBMixin, MapMixin, NoiseMixin):
             )
             fn = jax.jit(program.fields_fn())
             key = self._next_key()
-            fields, pwv_fine = fn(key, *program.example_args(key)[1:])
+            # the big spectral tables ride as arguments, not HLO
+            # constants: compiles of large (e.g. AtLAST 3-D) scenes over
+            # the remote-compile boundary are minutes faster
+            fields, pwv_fine = fn(
+                key, *program.example_args(key)[1:], tables=program.device_tables()
+            )
             obs.loading = dict(fields)
             # the SAME screen realization feeds any downstream
             # transmission users through the fine-rate zenith-scaled pwv
