@@ -134,3 +134,36 @@ def test_unfused_mixin_path(full_scene):
         a = np.asarray(obs.loading[name])
         b = np.asarray(fused_obs.loading[name])
         assert 0.5 < (a.std() + 1e-30) / (b.std() + 1e-30) < 2.0, name
+
+
+def test_program_hlo_carries_no_large_constants():
+    """The remote-compile trap guard: spectral tables, noise bases, and
+    detector-index arrays must ride as jit arguments / static slices,
+    never as embedded HLO constants (at AtLAST scale those reached
+    ~8.5 MB and multi-minute remote compiles)."""
+    import re
+
+    import jax
+
+    import maria_tpu
+    from maria_tpu.ops.program import build_tod_program
+
+    plan = maria_tpu.get_plan(
+        "five_second_stare", start_time=1.75e9, sample_rate=16, scan_center=(60.0, 45.0)
+    )
+    sim = maria_tpu.Simulation(
+        instrument="AtLAST-SZ_mini", plans=plan, site="ALMA",
+        atmosphere="3d", noise=True, seed=2,
+    )
+    program = build_tod_program(sim.obs_list[0], noise_kwargs=sim.noise_kwargs)
+    fn = program.total_power_fn()
+    txt = jax.jit(fn).lower(*program.example_args(), program.device_tables()).as_text()
+
+    payloads = [
+        len(m.group(1))
+        for m in re.finditer(r"stablehlo\.constant dense<([^>]*)>", txt)
+    ]
+    assert max(payloads, default=0) < 100_000, (
+        f"largest embedded constant is {max(payloads)} chars — "
+        "a big table leaked back into the HLO as a closure constant"
+    )
