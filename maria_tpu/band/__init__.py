@@ -330,3 +330,13 @@ def validate_band_config(band: dict):
     if "passband" not in band:
         if any(key not in band for key in ("center", "width")):
             raise ValueError("The band's center and width must be specified")
+
+
+def _build_band_data():
+    import pandas as pd
+
+    return pd.DataFrame(BAND_CONFIGS).T.sort_index()
+
+
+# reference parity (band/band.py:35): browsable table of all bands
+band_data = _build_band_data()

@@ -168,3 +168,13 @@ def get_instrument_config(name: str) -> dict:
 
 # columns shown in instrument tables (reference: instrument/__init__.py:36)
 INSTRUMENT_DISPLAY_COLUMNS = ["description"]
+
+
+def _build_instrument_data():
+    import pandas as pd
+
+    return pd.DataFrame(INSTRUMENT_CONFIGS).T.reindex(columns=INSTRUMENT_DISPLAY_COLUMNS + ["aliases"])
+
+
+# reference parity (instrument/__init__.py:57): browsable table
+instrument_data = _build_instrument_data()

@@ -75,3 +75,14 @@ def validate_pointing_kwargs(kwargs: dict):
     maria/plan/__init__.py:87-94)."""
     if "end_time" not in kwargs and "duration" not in kwargs:
         raise ValueError("One of 'end_time' or 'duration' must be in the plan kwargs.")
+
+
+def _build_plan_data():
+    import pandas as pd
+
+    return pd.DataFrame(PLAN_CONFIGS).T.sort_index()
+
+
+# reference parity: browsable tables / lowercase registry aliases
+plan_data = _build_plan_data()
+from .patterns import SCAN_PATTERNS as scan_patterns  # noqa: E402, F401

@@ -41,3 +41,7 @@ def parse_sim_kwargs(kwargs: dict, strict: bool = True) -> dict:
     if invalid and strict:
         raise InvalidSimulationParameterError(list(invalid))
     return parsed
+
+
+# reference-name alias (sim/simulation.py:42)
+master_params = MASTER_PARAMS

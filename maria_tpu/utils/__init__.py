@@ -62,13 +62,6 @@ def get_utc_day_hour(t: float) -> float:
     return dt.hour + dt.minute / 60 + dt.second / 3600 + dt.microsecond / 3.6e9
 
 
-def get_day_hour(t: float, tz=None) -> float:
-    """Fractional hour of day of a UNIX timestamp, in `tz` (default UTC;
-    reference utils/time.py:5 uses the arrow object's own timezone)."""
-    dt = datetime.fromtimestamp(float(t), tz=tz or timezone.utc)
-    return dt.hour + dt.minute / 60 + dt.second / 3600 + dt.microsecond / 3.6e9
-
-
 def get_utc_year_day(t: float) -> float:
     dt = datetime.fromtimestamp(float(t), tz=timezone.utc)
     return float(dt.timetuple().tm_yday - 1) + get_utc_day_hour(t) / 24
@@ -241,3 +234,8 @@ def regular_digitization(x, bins):
     bins = np.asarray(bins)
     dx = float(np.mean(np.diff(bins))) if len(bins) > 1 else 1.0
     return np.clip(((np.asarray(x) - (bins.min() - dx)) / dx).astype(int), 0, len(bins))
+
+
+# reference-name aliases (utils/time.py exposes the bare names)
+utc_day_hour = get_utc_day_hour
+utc_year_day = get_utc_year_day
