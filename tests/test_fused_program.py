@@ -167,3 +167,26 @@ def test_program_hlo_carries_no_large_constants():
         f"largest embedded constant is {max(payloads)} chars — "
         "a big table leaked back into the HLO as a closure constant"
     )
+
+
+def test_device_tables_path_matches_constants_path():
+    """Passing the spectral tables as arguments must be bitwise-identical
+    to the closure-constant path (they are the same arrays)."""
+    import jax
+
+    import maria_tpu
+    from maria_tpu.ops.program import build_tod_program
+
+    plan = maria_tpu.get_plan(
+        "five_second_stare", start_time=1.75e9, sample_rate=16, scan_center=(60.0, 45.0)
+    )
+    sim = maria_tpu.Simulation(
+        instrument="test/1deg", plans=plan, site="chajnantor",
+        atmosphere="3d", noise=True, seed=5,
+    )
+    program = build_tod_program(sim.obs_list[0], noise_kwargs=sim.noise_kwargs)
+    fn = program.total_power_fn()
+    args = program.example_args()
+    a = np.asarray(jax.jit(fn)(*args))
+    b = np.asarray(jax.jit(fn)(*args, program.device_tables()))
+    np.testing.assert_array_equal(a, b)
