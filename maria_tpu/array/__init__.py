@@ -82,6 +82,13 @@ class Array:
         name = c.pop("name", str(uuid.uuid4())[:8])
         c.pop("description", None)
 
+        # the reference docs' explicit-detector spellings
+        # (usage/inputs/instruments/arrays/custom.rst): sky_x/sky_y are
+        # focal-plane offsets, pol_angle is the polarization angle
+        for alias, canonical in (("sky_x", "xi"), ("sky_y", "eta"), ("pol_angle", "gamma")):
+            if alias in c:
+                c.setdefault(canonical, c.pop(alias))
+
         # CSV detector tables: columns become per-detector kwargs
         # (reference array/array.py:326-334); paths resolve against the
         # package's array directory first, then the filesystem
