@@ -373,14 +373,14 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             else:
                 raise ValueError(f"Unknown solver '{method}'.")
             logger.info(f"ML mapper epoch {epoch + 1}/{self.n_epochs} done.")
+            if plot:  # per-epoch map plot (reference ml_mapper.py fit(plot=True))
+                self._grid_to_map(m, self._white_diag()).plot(**plot_kwargs)
 
         # inverse-variance pixel weights from the final noise model
         # (reuse the last epoch's preconditioner diagonal — same quantity)
         ivar = diag if diag is not None else self._white_diag()
         self.m = m
         self.map = self._grid_to_map(m, ivar)
-        if plot:
-            self.map.plot(**plot_kwargs)
         return self.map
 
     run = fit
