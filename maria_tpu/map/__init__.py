@@ -114,7 +114,7 @@ EXAMPLE_MAPS = {
     },
 }
 
-all_maps = sorted(EXAMPLE_MAPS)
+all_maps = sorted(EXAMPLE_MAPS)  # provisional; re-pointed below
 
 
 def _generate_map_file(source_path: str, destination: str):
@@ -342,6 +342,12 @@ REFERENCE_MAP_FILES = {
     "time_evolving_source": "maps/time_evolving_sun.fits",
     "time_evolving_sun": "maps/time_evolving_sun.fits",
 }
+
+# reference parity: all_maps lists the maria-data product paths
+# (reference map/__init__.py:26-27 reads maps.txt); every entry resolves
+# through `get` (real fetch first, synthetic stand-in offline). The
+# synthetic family names themselves also resolve (see EXAMPLE_MAPS).
+all_maps = sorted(set(REFERENCE_MAP_FILES.values()))
 
 
 def get(name: str, fetch_first: bool = True, **kwargs) -> ProjectionMap:
