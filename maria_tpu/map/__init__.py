@@ -117,6 +117,14 @@ EXAMPLE_MAPS = {
 all_maps = sorted(EXAMPLE_MAPS)  # provisional; re-pointed below
 
 
+def __getattr__(name):
+    if name == "cmb_cmap":  # reference parity (map/__init__.py:29-35)
+        from ..plotting.map import cmb_cmap
+
+        return cmb_cmap
+    raise AttributeError(name)
+
+
 def _generate_map_file(source_path: str, destination: str):
     """Offline generator for the reference's maria-data map products:
     synthesize the stand-in family and write it in the requested format,

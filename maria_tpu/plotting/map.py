@@ -14,6 +14,15 @@ def _register_cmb_cmap():
 
     if "cmb" not in mpl.colormaps:
         mpl.colormaps.register(LinearSegmentedColormap.from_list("cmb", _CMB_COLORS))
+    return mpl.colormaps["cmb"]
+
+
+def __getattr__(name):
+    # reference parity (map/__init__.py:29-35 exposes cmb_cmap); built
+    # lazily so importing this module never drags in matplotlib
+    if name == "cmb_cmap":
+        return _register_cmb_cmap()
+    raise AttributeError(name)
 
 
 def plot_projection_map(m, nu_index=0, t_index=0, stokes="I", ax=None, cmap="cmb", **kwargs):
