@@ -1,0 +1,142 @@
+"""ctypes loader for the native SHT recursion kernels (_sht_native.cpp).
+
+Compiled on demand with g++ -O3 -fopenmp into a per-machine cache dir;
+falls back silently (available() -> False) when no toolchain exists.
+Disable with MARIA_TPU_SHT_NATIVE=0.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+logger = logging.getLogger("maria_tpu")
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "_sht_native.cpp")
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    src_hash = hashlib.md5(open(_SRC, "rb").read()).hexdigest()[:10]
+    cache = os.environ.get("MARIA_TPU_NATIVE_CACHE", "/tmp/maria-tpu-native")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"_sht_native-{src_hash}.so")
+
+
+def _compile(path: str) -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-o", path, _SRC,
+    ]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as e:  # no toolchain
+        logger.debug(f"native SHT compile unavailable: {e}")
+        return False
+    if r.returncode != 0:
+        logger.warning(f"native SHT compile failed:\n{r.stderr[-2000:]}")
+        return False
+    return True
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("MARIA_TPU_SHT_NATIVE", "1") == "0":
+        return None
+    path = _lib_path()
+    if not os.path.exists(path) and not _compile(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError as e:
+        logger.warning(f"native SHT load failed: {e}")
+        return None
+    f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    for name in ("sht_synth", "sht_anal"):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            f32, f32, f32, f32, f32, i32, f32, f32, f32,
+        ]
+    lib.sht_native_nthreads.restype = ctypes.c_int32
+    lib.sht_native_nthreads.argtypes = []
+    logger.info(
+        f"native SHT kernels loaded ({lib.sht_native_nthreads()} threads)."
+    )
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _c32(x):
+    return np.ascontiguousarray(x, dtype=np.float32)
+
+
+def _tables_T(tables: dict) -> dict:
+    """Transposed [m][l] recursion tables (contiguous inner l-loop).
+    Cached per source dict; the entry holds a reference to the source so
+    a recycled id() can never alias a different table set."""
+    key = id(tables)
+    cached = _T_CACHE.get(key)
+    if cached is None or cached[0] is not tables:
+        cached = (tables, {
+            "alpha": _c32(tables["alpha"].T),
+            "beta": _c32(tables["beta"].T),
+            "gamma": _c32(tables["gamma"].T),
+        })
+        _T_CACHE[key] = cached
+    return cached[1]
+
+
+_T_CACHE: dict = {}
+
+
+def synth(tables: dict, rows: np.ndarray) -> np.ndarray:
+    """rows (S, L, L)[l, m] -> acc (S, L, nh)[m, r]."""
+    lib = _load()
+    S, L = rows.shape[0], rows.shape[1]
+    nh = tables["seed_val"].shape[1]
+    acc = np.zeros((S, L, nh), dtype=np.float32)
+    t = _tables_T(tables)
+    rows = _c32(np.swapaxes(rows, -1, -2))  # -> [s][m][l]
+    lib.sht_synth(
+        L, nh, S,
+        t["alpha"], t["beta"], t["gamma"],
+        _c32(tables["seed_val"]), _c32(tables["seed_exp"]),
+        np.ascontiguousarray(tables["seed_step"], dtype=np.int32),
+        _c32(tables["z"]), rows, acc,
+    )
+    return acc
+
+
+def anal(tables: dict, h: np.ndarray) -> np.ndarray:
+    """h (S, L, nh)[m, r] -> ys (S, L, L)[l, m]."""
+    lib = _load()
+    S, L = h.shape[0], h.shape[1]
+    nh = h.shape[2]
+    ys = np.zeros((S, L, L), dtype=np.float32)
+    t = _tables_T(tables)
+    lib.sht_anal(
+        L, nh, S,
+        t["alpha"], t["beta"], t["gamma"],
+        _c32(tables["seed_val"]), _c32(tables["seed_exp"]),
+        np.ascontiguousarray(tables["seed_step"], dtype=np.int32),
+        _c32(tables["z"]), _c32(h), ys,
+    )
+    return np.swapaxes(ys, -1, -2)  # C wrote [m][l]; callers expect [l][m]

@@ -655,6 +655,190 @@ def _map2alm_spin_fn(lmax: int, nside: int):
 # --------------------------------------------------------------------------
 # public transforms
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# native (OpenMP) CPU path: same recursion in C++ (healpix/_sht_native.cpp),
+# parallel over rings/m and exploiting the m <= l triangle. Used when the
+# default jax backend is CPU; the device scan remains the TPU path.
+# --------------------------------------------------------------------------
+def _use_native() -> bool:
+    from . import native
+
+    try:
+        cpu = jax.default_backend() == "cpu"
+    except RuntimeError:
+        cpu = True
+    return cpu and native.available()
+
+
+@lru_cache(maxsize=16)
+def _host_tables(lmax: int, nside: int, spin: int) -> dict:
+    alpha, beta, gamma = _recursion_tables(lmax, spin)
+    seed_val, seed_exp, seed_step = _seed_tables(lmax, nside, spin)
+    _, nh, z_n = _ring_geometry(nside)
+    return {
+        "alpha": alpha, "beta": beta, "gamma": gamma,
+        "seed_val": seed_val, "seed_exp": seed_exp, "seed_step": seed_step,
+        "z": z_n.astype(np.float32),
+    }
+
+
+@lru_cache(maxsize=16)
+def _sign_tables_np(lmax: int):
+    L = lmax + 1
+    norm = _norm_l(lmax)
+    msign = (-1.0) ** np.arange(L)
+    lsign = (-1.0) ** np.arange(L)
+    cn = (norm[:, None] * msign[None, :]).astype(np.float32)
+    cs = (norm[:, None] * lsign[:, None] * np.ones((1, L))).astype(np.float32)
+    return cn, cs
+
+
+def _belt_g_np(g_n, g_s, bt):
+    north = g_n[..., bt["b0"] : bt["nh"]]
+    south = np.flip(g_s[..., bt["b0"] : bt["nh"] - 1], axis=-1)
+    return np.concatenate([north, south], axis=-1)
+
+
+def _belt_synth_np(g_pos, g_neg, bt, lmax):
+    N, L = bt["N"], lmax + 1
+    phase = np.asarray(bt["phase"])
+    wp = np.swapaxes(g_pos * phase, -1, -2)
+    wn = np.conj(np.swapaxes(g_neg * phase, -1, -2))
+    F = np.zeros((*wp.shape[:-1], N), dtype=np.complex64)
+    F[..., :L] = wp
+    F[..., N - lmax :] += wn[..., 1:][..., ::-1]
+    return np.fft.ifft(F, axis=-1) * N
+
+
+def _belt_anal_np(belt_vals, bt, lmax, conj_input=False):
+    x = np.conj(belt_vals) if conj_input else belt_vals
+    F = np.fft.fft(np.asarray(x, dtype=np.complex64), axis=-1)
+    h = np.swapaxes(F[..., : lmax + 1], -1, -2)
+    return h * np.conj(np.asarray(bt["phase"]))
+
+
+def _h_layout_np(h_pol_n, h_pol_s, h_belt, bt):
+    nb_north = bt["nh"] - bt["b0"]
+    belt_n = h_belt[..., :nb_north]
+    belt_s = np.flip(h_belt[..., nb_north:], axis=-1)
+    zero_eq = np.zeros((*belt_s.shape[:-1], 1), belt_s.dtype)
+    h_n = np.concatenate([np.asarray(h_pol_n), belt_n], axis=-1)
+    h_s = np.concatenate([np.asarray(h_pol_s), belt_s, zero_eq], axis=-1)
+    return h_n, h_s
+
+
+def _alm2map_native(a: np.ndarray, nside: int) -> np.ndarray:
+    """Scalar synthesis for one (L, L) alm on the native CPU kernels."""
+    from . import native
+
+    lmax = a.shape[-2] - 1
+    t = _host_tables(lmax, nside, 0)
+    cn, cs = _sign_tables_np(lmax)
+    bt = _belt_tables(nside, lmax)
+    a_re = np.asarray(a.real, dtype=np.float32)
+    a_im = np.asarray(a.imag, dtype=np.float32)
+    rows = np.stack([a_re * cn, a_im * cn, a_re * cs, a_im * cs])
+    acc = native.synth(t, rows)
+    g_n = acc[0].astype(np.complex64) + 1j * acc[1]
+    g_s = acc[2].astype(np.complex64) + 1j * acc[3]
+    belt = _belt_synth_np(_belt_g_np(g_n, g_s, bt), _belt_g_np(g_n, g_s, bt), bt, lmax).real
+    npol = bt["npol"]
+    north, south = _polar_synth(g_n[:, :npol], g_n[:, :npol], g_s[:, :npol], g_s[:, :npol], nside, lmax)
+    return np.concatenate(
+        [north.astype(np.float32), belt.reshape(-1).astype(np.float32), south.astype(np.float32)],
+        axis=-1,
+    )
+
+
+def _map2alm_native(md: np.ndarray, lmax: int, nside: int) -> np.ndarray:
+    from . import native
+
+    t = _host_tables(lmax, nside, 0)
+    cn, cs = _sign_tables_np(lmax)
+    bt = _belt_tables(nside, lmax)
+    s0, nb, N = bt["start_belt"], bt["n_belt"], bt["N"]
+    belt = md[s0 : s0 + nb * N].reshape(nb, N)
+    h_pol_n, h_pol_s = _polar_anal(md[:s0][None], md[s0 + nb * N :][None], nside, lmax)
+    h_belt = _belt_anal_np(belt, bt, lmax)
+    h_n, h_s = _h_layout_np(h_pol_n[0], h_pol_s[0], h_belt, bt)
+    streams = np.stack([h_n.real, h_n.imag, h_s.real, h_s.imag]).astype(np.float32)
+    ys = native.anal(t, streams)
+    omega = 4 * np.pi / nside2npix(nside)
+    tri = np.tril(np.ones((lmax + 1, lmax + 1), dtype=np.float32))
+    alm_re = omega * (cn * ys[0] + cs * ys[2]) * tri
+    alm_im = omega * (cn * ys[1] + cs * ys[3]) * tri
+    return (alm_re + 1j * alm_im).astype(np.complex64)
+
+
+def _alm2map_spin_native(e: np.ndarray, b: np.ndarray, nside: int):
+    from . import native
+
+    lmax = e.shape[-2] - 1
+    tp = _host_tables(lmax, nside, 2)
+    tm = _host_tables(lmax, nside, -2)
+    cn, cs = _sign_tables_np(lmax)
+    bt = _belt_tables(nside, lmax)
+    e_re, e_im = np.asarray(e.real, np.float32), np.asarray(e.imag, np.float32)
+    b_re, b_im = np.asarray(b.real, np.float32), np.asarray(b.imag, np.float32)
+    a2_re, a2_im = -(e_re - b_im), -(e_im + b_re)
+    am2_re, am2_im = -(e_re + b_im), -(e_im - b_re)
+    # dp multiplies streams (0,1,6,7) of the device ordering; dm (2,3,4,5)
+    acc_p = native.synth(tp, np.stack([a2_re * cn, a2_im * cn, am2_re * cs, am2_im * cs]))
+    acc_m = native.synth(tm, np.stack([am2_re * cn, am2_im * cn, a2_re * cs, a2_im * cs]))
+    gp_n = acc_p[0].astype(np.complex64) + 1j * acc_p[1]
+    gp_s = acc_m[2].astype(np.complex64) + 1j * acc_m[3]
+    gm_n = acc_m[0].astype(np.complex64) + 1j * acc_m[1]
+    gm_s = acc_p[2].astype(np.complex64) + 1j * acc_p[3]
+    belt = _belt_synth_np(_belt_g_np(gp_n, gp_s, bt), _belt_g_np(gm_n, gm_s, bt), bt, lmax)
+    npol = bt["npol"]
+    north, south = _polar_synth(
+        gp_n[:, :npol], gm_n[:, :npol], gp_s[:, :npol], gm_s[:, :npol],
+        nside, lmax, complex_out=True,
+    )
+    Q = np.concatenate([north.real.astype(np.float32),
+                        belt.real.reshape(-1).astype(np.float32),
+                        south.real.astype(np.float32)], axis=-1)
+    U = np.concatenate([north.imag.astype(np.float32),
+                        belt.imag.reshape(-1).astype(np.float32),
+                        south.imag.astype(np.float32)], axis=-1)
+    return Q, U
+
+
+def _map2alm_spin_native(Qm: np.ndarray, Um: np.ndarray, lmax: int, nside: int):
+    from . import native
+
+    tp = _host_tables(lmax, nside, 2)
+    tm = _host_tables(lmax, nside, -2)
+    cn, cs = _sign_tables_np(lmax)
+    bt = _belt_tables(nside, lmax)
+    s0, nb, N = bt["start_belt"], bt["n_belt"], bt["N"]
+    P = Qm.astype(np.complex64) + 1j * Um.astype(np.complex64)
+    belt_P = P[s0 : s0 + nb * N].reshape(nb, N)
+    hp_belt = _belt_anal_np(belt_P, bt, lmax)
+    hm_belt = _belt_anal_np(belt_P, bt, lmax, conj_input=True)
+    north, south = P[:s0][None], P[s0 + nb * N :][None]
+    hp_n, hp_s = _polar_anal(north, south, nside, lmax)
+    hm_n, hm_s = _polar_anal(north, south, nside, lmax, conj_input=True)
+    hp_n2, hp_s2 = _h_layout_np(hp_n[0], hp_s[0], hp_belt, bt)
+    hm_n2, hm_s2 = _h_layout_np(hm_n[0], hm_s[0], hm_belt, bt)
+    # device ordering: dp * streams (0,1,6,7), dm * streams (2,3,4,5)
+    ys_p = native.anal(tp, np.stack(
+        [hp_n2.real, hp_n2.imag, hm_s2.real, hm_s2.imag]).astype(np.float32))
+    ys_m = native.anal(tm, np.stack(
+        [hp_s2.real, hp_s2.imag, hm_n2.real, hm_n2.imag]).astype(np.float32))
+    omega = 4 * np.pi / nside2npix(nside)
+    a2_re = omega * (cn * ys_p[0] + cs * ys_m[0])
+    a2_im = omega * (cn * ys_p[1] + cs * ys_m[1])
+    am2_re = omega * (cn * ys_m[2] + cs * ys_p[2])
+    am2_im = omega * (cn * ys_m[3] + cs * ys_p[3])
+    tri = np.tril(np.ones((lmax + 1, lmax + 1), dtype=np.float32))
+    aE_re = -(a2_re + am2_re) / 2 * tri
+    aE_im = -(a2_im + am2_im) / 2 * tri
+    aB_re = -(a2_im - am2_im) / 2 * tri
+    aB_im = (a2_re - am2_re) / 2 * tri
+    return (aE_re + 1j * aE_im).astype(np.complex64), (aB_re + 1j * aB_im).astype(np.complex64)
+
+
 def _check_lmax(lmax, nside):
     if lmax >= 4 * nside:
         raise ValueError(f"lmax={lmax} >= 4*nside={4 * nside}: belt rings would alias.")
@@ -687,6 +871,12 @@ def alm2map(alm, nside: int):
     _check_lmax(lmax, nside)
     a_re, batch = _as_batched(a_re, 2)
     a_im, _ = _as_batched(a_im, 2)
+    if _use_native():
+        a_np = np.asarray(a_re, np.float32) + 1j * np.asarray(a_im, np.float32)
+        if batch:
+            out = np.stack([_alm2map_native(x, nside) for x in a_np])
+            return jnp.asarray(out.reshape(*batch, -1))
+        return jnp.asarray(_alm2map_native(a_np, nside))
     fn = _alm2map_fn(lmax, nside)
     if batch:
         fn = jax.vmap(fn)
@@ -709,6 +899,13 @@ def map2alm(m, lmax: int):
     iter=0); band-limited fields round-trip to ~0.2%."""
     nside = int(round(np.sqrt(np.shape(m)[-1] / 12)))
     _check_lmax(lmax, nside)
+    if _use_native():
+        md_np = np.asarray(m, dtype=np.float32)
+        md_np, batch = _as_batched(md_np, 1)
+        if batch:
+            alm = np.stack([_map2alm_native(x, lmax, nside) for x in md_np])
+            return jnp.asarray(alm.reshape(*batch, lmax + 1, lmax + 1))
+        return jnp.asarray(_map2alm_native(md_np, lmax, nside))
     bt = _belt_tables(nside, lmax)
     md = jnp.asarray(m, dtype=jnp.float32)
     md, batch = _as_batched(md, 1)
@@ -745,6 +942,16 @@ def alm2map_spin(alm_e, alm_b, nside: int):
     e_im, _ = _as_batched(e_im, 2)
     b_re, _ = _as_batched(b_re, 2)
     b_im, _ = _as_batched(b_im, 2)
+    if _use_native():
+        e_np = np.asarray(e_re, np.float32) + 1j * np.asarray(e_im, np.float32)
+        b_np = np.asarray(b_re, np.float32) + 1j * np.asarray(b_im, np.float32)
+        if batch:
+            QU = [_alm2map_spin_native(x, y, nside) for x, y in zip(e_np, b_np)]
+            Q = np.stack([q for q, _ in QU]).reshape(*batch, -1)
+            U = np.stack([u for _, u in QU]).reshape(*batch, -1)
+            return jnp.asarray(Q), jnp.asarray(U)
+        Q, U = _alm2map_spin_native(e_np, b_np, nside)
+        return jnp.asarray(Q), jnp.asarray(U)
     fn = _alm2map_spin_fn(lmax, nside)
     if batch:
         fn = jax.vmap(fn)
@@ -772,6 +979,18 @@ def map2alm_spin(Q, U, lmax: int):
     """Spin-2 analysis: (Q, U) maps (..., npix) -> (aE, aB) on device."""
     nside = int(round(np.sqrt(np.shape(Q)[-1] / 12)))
     _check_lmax(lmax, nside)
+    if _use_native():
+        Qn = np.asarray(Q, np.float32)
+        Un = np.asarray(U, np.float32)
+        Qn, batch = _as_batched(Qn, 1)
+        Un, _ = _as_batched(Un, 1)
+        if batch:
+            EB = [_map2alm_spin_native(q, u, lmax, nside) for q, u in zip(Qn, Un)]
+            aE = np.stack([e for e, _ in EB]).reshape(*batch, lmax + 1, lmax + 1)
+            aB = np.stack([b for _, b in EB]).reshape(*batch, lmax + 1, lmax + 1)
+            return jnp.asarray(aE), jnp.asarray(aB)
+        aE, aB = _map2alm_spin_native(Qn, Un, lmax, nside)
+        return jnp.asarray(aE), jnp.asarray(aB)
     bt = _belt_tables(nside, lmax)
     Qd = jnp.asarray(Q, jnp.float32)
     Ud = jnp.asarray(U, jnp.float32)
