@@ -661,13 +661,14 @@ def _map2alm_spin_fn(lmax: int, nside: int):
 # default jax backend is CPU; the device scan remains the TPU path.
 # --------------------------------------------------------------------------
 def _use_native() -> bool:
+    # The SHT is host-side scene setup (sky synthesis/analysis before
+    # the fused device program), so the native kernels are preferred
+    # whenever they compiled — including TPU sessions, where they also
+    # avoid a ~40 s remote compile per (lmax, nside). The jax scan
+    # remains the fallback (no toolchain / MARIA_TPU_SHT_NATIVE=0).
     from . import native
 
-    try:
-        cpu = jax.default_backend() == "cpu"
-    except RuntimeError:
-        cpu = True
-    return cpu and native.available()
+    return native.available()
 
 
 @lru_cache(maxsize=16)
