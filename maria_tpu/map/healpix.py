@@ -150,8 +150,14 @@ class HEALPixMap(Map):
             f.create_dataset("nu", data=self.nu)
             f.create_dataset("t", data=self.t)
 
-    def plot(self, **kwargs):
-        """Mollweide view (reference: maria/plotting/healpix.py)."""
+    def plot(self, slices=None, **kwargs):
+        """Mollweide view (reference: maria/plotting/healpix.py). With
+        `slices` ("all" or a dict, like ProjectionMap.plot) a panel grid
+        is drawn over the slice dims."""
+        if slices is not None:
+            from ..plotting.map import plot_map_slices
+
+            return plot_map_slices(self, slices=slices, **kwargs)
         from ..plotting.healpix import plot_healpix_map
 
         return plot_healpix_map(self, **kwargs)
