@@ -14,7 +14,9 @@ from ..ops import RegularGridInterpolator, upsample_time
 
 logger = logging.getLogger("maria_tpu")
 
-DEFAULT_CMB_SIM_KWARGS = {"nside": 256}
+# reference default (sim/cmb.py:25). Feasible everywhere now that the
+# SHT synthesis runs on the native kernels (~1 min even on one core).
+DEFAULT_CMB_SIM_KWARGS = {"nside": 1024}
 
 
 def cmb_power_tables(band, spectrum, base_temperature: float, eps: float = 1e-6):
