@@ -71,6 +71,20 @@ _m.to_fits("my_fits_map.fits"); _m.to_hdf("my_hdf_map.h5")
 tod.to_fits("filename.fits"); tod.to_hdf("filename.h5")
 """
 
+# Per-(doc, block) setup: a few doc blocks describe their inputs only in
+# prose ("an array with shape e.g. (4, 3, 256, 256)"); these hooks give
+# the namespace exactly the shapes the prose describes.
+BLOCK_SETUP = {
+    ("usage/inputs/maps/maps.rst", 5): (
+        "data = np.zeros((4, 3, 64, 64), dtype='float32'); "
+        "weight = np.ones_like(data)"
+    ),
+    ("usage/inputs/maps/maps.rst", 6): (
+        "data = np.zeros((4, 3, 12 * 16**2), dtype='float32'); "
+        "weight = np.ones_like(data)"
+    ),
+}
+
 results = {}
 for doc, blocks in examples.items():
     if only and not any(o in doc for o in only):
@@ -80,6 +94,9 @@ for doc, blocks in examples.items():
     doc_results = []
     for i, block in enumerate(blocks):
         block = block.replace(", ...]", "]")  # docs' literal ellipses in lists
+        setup = BLOCK_SETUP.get((doc, i))
+        if setup:
+            exec(compile(setup, f"{doc}[{i}] setup", "exec"), ns)
         import signal
 
         def _alarm(sig, frame):
