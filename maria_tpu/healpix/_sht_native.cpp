@@ -53,6 +53,7 @@ void sht_synth(int32_t L, int32_t nh, int32_t S, const float *alpha,
                const float *beta, const float *gamma, const float *seed_val,
                const float *seed_exp, const int32_t *seed_step, const float *z,
                const float *rows, float *acc) {
+  if (S > 8) return; // fixed out[8][W] stack buffers; callers guard too
   const int32_t n_blocks = (nh + W - 1) / W;
 #pragma omp parallel for schedule(static)
   for (int32_t blk = 0; blk < n_blocks; ++blk) {
@@ -123,6 +124,7 @@ void sht_anal(int32_t L, int32_t nh, int32_t S, const float *alpha,
               const float *beta, const float *gamma, const float *seed_val,
               const float *seed_exp, const int32_t *seed_step, const float *z,
               const float *h, float *ys) {
+  if (S > 8) return; // fixed hv[8][W] stack buffers; callers guard too
   const int32_t n_blocks = (nh + W - 1) / W;
 #pragma omp parallel for schedule(dynamic, 8)
   for (int32_t m = 0; m < L; ++m) {

@@ -11,6 +11,8 @@ import ctypes
 import hashlib
 import logging
 import os
+import platform
+import stat
 import subprocess
 import sys
 
@@ -23,12 +25,43 @@ _SRC = os.path.join(_HERE, "_sht_native.cpp")
 _LIB = None
 _TRIED = False
 
+# Fixed stack buffers in _sht_native.cpp bound the batch dimension.
+MAX_S = 8
+
+
+def _machine_tag() -> str:
+    """-march=native artifacts must never be shared across hosts with
+    different CPU features (SIGILL); key the .so by a machine fingerprint
+    like the XLA compile cache in __graft_entry__.py."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            cpu = next((line for line in f if line.startswith("flags")), "")
+    except OSError:
+        cpu = platform.processor()
+    return hashlib.md5((platform.machine() + cpu).encode()).hexdigest()[:8]
+
+
+def _cache_dir() -> str:
+    """A user-owned 0700 cache dir: a predictable world-writable /tmp path
+    would let another local user pre-plant a .so that ctypes then executes."""
+    cache = os.environ.get("MARIA_TPU_NATIVE_CACHE")
+    if cache is None:
+        base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+        cache = os.path.join(base, "maria-tpu")
+    os.makedirs(cache, mode=0o700, exist_ok=True)
+    st = os.stat(cache)
+    if st.st_uid != os.getuid():
+        raise OSError(f"native cache dir {cache!r} is owned by uid {st.st_uid}, not us")
+    if st.st_mode & (stat.S_IWGRP | stat.S_IWOTH):
+        os.chmod(cache, 0o700)
+    return cache
+
 
 def _lib_path() -> str:
     src_hash = hashlib.md5(open(_SRC, "rb").read()).hexdigest()[:10]
-    cache = os.environ.get("MARIA_TPU_NATIVE_CACHE", "/tmp/maria-tpu-native")
-    os.makedirs(cache, exist_ok=True)
-    return os.path.join(cache, f"_sht_native-{src_hash}.so")
+    return os.path.join(
+        _cache_dir(), f"_sht_native-{src_hash}-{_machine_tag()}.so"
+    )
 
 
 def _compile(path: str) -> bool:
@@ -54,7 +87,11 @@ def _load():
     _TRIED = True
     if os.environ.get("MARIA_TPU_SHT_NATIVE", "1") == "0":
         return None
-    path = _lib_path()
+    try:
+        path = _lib_path()
+    except OSError as e:
+        logger.warning(f"native SHT cache dir unusable: {e}")
+        return None
     if not os.path.exists(path) and not _compile(path):
         return None
     try:
@@ -90,27 +127,25 @@ def _c32(x):
 
 def _tables_T(tables: dict) -> dict:
     """Transposed [m][l] recursion tables (contiguous inner l-loop).
-    Cached per source dict; the entry holds a reference to the source so
-    a recycled id() can never alias a different table set."""
-    key = id(tables)
-    cached = _T_CACHE.get(key)
-    if cached is None or cached[0] is not tables:
-        cached = (tables, {
+    Memoized inside the source dict itself so the O(L^2) copies share the
+    lru_cache lifetime of _host_tables and are evicted together."""
+    cached = tables.get("_native_T")
+    if cached is None:
+        cached = {
             "alpha": _c32(tables["alpha"].T),
             "beta": _c32(tables["beta"].T),
             "gamma": _c32(tables["gamma"].T),
-        })
-        _T_CACHE[key] = cached
-    return cached[1]
-
-
-_T_CACHE: dict = {}
+        }
+        tables["_native_T"] = cached
+    return cached
 
 
 def synth(tables: dict, rows: np.ndarray) -> np.ndarray:
     """rows (S, L, L)[l, m] -> acc (S, L, nh)[m, r]."""
     lib = _load()
     S, L = rows.shape[0], rows.shape[1]
+    if S > MAX_S:
+        raise ValueError(f"native SHT batch {S} exceeds MAX_S={MAX_S}")
     nh = tables["seed_val"].shape[1]
     acc = np.zeros((S, L, nh), dtype=np.float32)
     t = _tables_T(tables)
@@ -129,6 +164,8 @@ def anal(tables: dict, h: np.ndarray) -> np.ndarray:
     """h (S, L, nh)[m, r] -> ys (S, L, L)[l, m]."""
     lib = _load()
     S, L = h.shape[0], h.shape[1]
+    if S > MAX_S:
+        raise ValueError(f"native SHT batch {S} exceeds MAX_S={MAX_S}")
     nh = h.shape[2]
     ys = np.zeros((S, L, L), dtype=np.float32)
     t = _tables_T(tables)
