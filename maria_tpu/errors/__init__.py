@@ -9,6 +9,12 @@ class PointingError(Exception):
     pass
 
 
+class IncompatibleMapError(Exception):
+    """Raised when a map type cannot be observed the way it was passed
+    (e.g. a HEALPix all-sky map given as `map=`; pass it as `cmb=` or
+    project it to a ProjectionMap first)."""
+
+
 class ShapeError(Exception):
     pass
 

@@ -131,6 +131,17 @@ class MapMixin:
             self.map = map
         else:
             raise ValueError("'map' must be either a Map or a string.")
+        from ..map.projection import ProjectionMap
+
+        if not isinstance(self.map, ProjectionMap):
+            from ..errors import IncompatibleMapError
+
+            raise IncompatibleMapError(
+                f"Cannot observe a {type(self.map).__name__} passed as 'map=': only "
+                f"ProjectionMap skies can be scanned (the same limit as the reference, "
+                f"maria/map/projection.py:173). Pass HEALPix all-sky realizations as "
+                f"'cmb=' instead, or project the map to a ProjectionMap first."
+            )
         check_map_observable(self.map)
 
     def _map_offsets(self, obs, band_idx):

@@ -131,3 +131,19 @@ def test_get_cmb_real_download(tmp_path, monkeypatch):
     monkeypatch.setattr(caching, "_cache_state", {"base": str(tmp_path)})
     cmb = get_cmb()
     assert np.isnan(np.asarray(cmb.data[0, 0, 0])).any()  # masked pixels
+
+
+def test_healpix_map_as_input_map_raises_typed_error():
+    """A HEALPix sky passed as map= must fail with a typed, actionable
+    error (not an AttributeError deep in the projection path)."""
+    from maria_tpu.errors import IncompatibleMapError
+    from maria_tpu.sim import Simulation
+
+    cmb = generate_cmb(nside=32, lmax=64, seed=0)
+    with pytest.raises(IncompatibleMapError, match="cmb="):
+        Simulation(
+            instrument="test/1deg",
+            plans="ten_second_zenith_stare",
+            site="green_bank",
+            map=cmb,
+        )
