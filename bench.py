@@ -67,6 +67,40 @@ DURATION_S = 60.0
 SAMPLE_RATE = 50.0
 
 
+def _acquire_backend(attempts: int = 4, probe_timeout: float = 60.0) -> str:
+    """Return the default jax backend, surviving a dead TPU relay.
+
+    The axon tunnel has died mid-round before (BENCH_r02 recorded rc=1
+    with a raw traceback). Backend init through a dead relay HANGS
+    in-process, so each probe runs in a subprocess under a timeout,
+    retried with backoff. If the backend never comes up, force the CPU
+    platform for this process (jax.config.update — the env var is read
+    too late because sitecustomize imports jax at interpreter start) and
+    return 'cpu-fallback' so main() can mark the JSON accordingly.
+    """
+    import subprocess
+
+    sleeps = [15, 30, 60, 60, 120]
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=probe_timeout,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                return r.stdout.strip()
+            _stamp(f"backend probe {i + 1}/{attempts}: rc={r.returncode}")
+        except subprocess.TimeoutExpired:
+            _stamp(f"backend probe {i + 1}/{attempts}: hung >{probe_timeout:.0f}s")
+        if i + 1 < attempts:
+            time.sleep(sleeps[min(i, len(sleeps) - 1)])
+    _stamp("TPU backend unavailable; falling back to CPU for this run")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu-fallback"
+
+
 def build_program(
     instrument="MUSTANG-2", site="GBT", duration=DURATION_S, radius=0.083, speed=0.017,
     atmosphere="2d",
@@ -389,7 +423,9 @@ def bench_cpu_baseline(program, obs) -> float:
 
 def main():
     _enable_compile_cache()
-    _stamp("build MUSTANG-2 program")
+    platform_name = _acquire_backend()
+    fallback = platform_name == "cpu-fallback"
+    _stamp(f"backend: {platform_name}; build MUSTANG-2 program")
     program, obs = build_program()
     _stamp("headline: compile + time (2 chained programs)")
     tpu_rate = bench_tpu(program, obs)
@@ -404,7 +440,9 @@ def main():
     # the headline JSON.
     atlast_rate = None
     budget = min(_remaining() - 120, 720)
-    if budget > 240:
+    if fallback:
+        _stamp("skipping AtLAST config (no TPU; 50k-det x 3d is infeasible on 1 CPU core)")
+    elif budget > 240:
         try:
             import subprocess
 
@@ -451,10 +489,14 @@ def main():
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
         "baseline_samples_per_s": round(cpu_rate, 1),
         "baseline_threads": os.cpu_count(),
+        "platform": platform_name,
         "atlast_50k_samples_per_s": round(atlast_rate, 1) if atlast_rate else None,
         "stage_breakdown": stages,
         "roofline": roofline,
     }
+    if fallback:
+        result["error"] = "tpu-backend-unavailable"
+        result["note"] = "TPU relay never answered; value measured on the CPU fallback platform"
     print(json.dumps(result))
 
 
@@ -473,4 +515,17 @@ if __name__ == "__main__":
     if "--config-b" in sys.argv:
         config_b()
     else:
-        main()
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001 — the driver must always get one JSON line
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            print(json.dumps({
+                "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise + map binning, end-to-end on device)",
+                "value": None,
+                "unit": "samples/s",
+                "vs_baseline": None,
+                "error": f"{type(e).__name__}: {e}"[:400],
+            }))
+            sys.exit(0)

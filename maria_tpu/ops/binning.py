@@ -232,13 +232,17 @@ def make_blocked_bin_plan(
     det_block: int = 512,
     max_window_frac: float = 0.5,
     order: np.ndarray = None,
+    force_window: tuple = None,
 ) -> BlockedBinPlan:
     """Build the plan from static per-sample pixel rows/cols (n_det, n_t).
 
     Out-of-map samples must be marked with negative indices (they get
     zero one-hot weight). Returns None when even blocked windows would
     span most of the map (then use `bin_scatter`). Pass a precomputed
-    `order` (hilbert_detector_order) to share the sort across time bins."""
+    `order` (hilbert_detector_order) to share the sort across time bins.
+    `force_window=(wy, wx)` overrides the fitted window size — the
+    sharded binner uses it to give every shard's plan identical static
+    shapes (returns None if the forced window cannot cover a block)."""
     iy = np.asarray(iy, dtype=np.int32)
     ix = np.asarray(ix, dtype=np.int32)
     n_det, n_t = iy.shape
@@ -280,6 +284,10 @@ def make_blocked_bin_plan(
     ox, hi_x = span(ix_b)
     wy = int(-(-(hi_y - oy + 1).max() // 8) * 8)
     wx = int(-(-(hi_x - ox + 1).max() // 8) * 8)
+    if force_window is not None:
+        if force_window[0] < wy or force_window[1] < wx:
+            return None  # forced window cannot cover some block
+        wy, wx = int(force_window[0]), int(force_window[1])
     if wy * wx > max_window_frac * n_y * n_x or wy > n_y or wx > n_x:
         return None
     oy = np.clip(oy, 0, n_y - wy)
@@ -305,6 +313,7 @@ def bin_blocked(
     origins=None,
     order=None,
     precision=None,
+    pvary_axes=None,
 ):
     """Bin data into (n_y, n_x) maps with per-(det-block, time-chunk)
     MXU one-hot contractions — no scatters of any size.
@@ -359,6 +368,10 @@ def bin_blocked(
         return jax.lax.fori_loop(0, plan.n_blocks, block_body, m), ()
 
     m0 = jnp.zeros((n_ch, plan.n_y, plan.n_x), dtype=jnp.float32)
+    if pvary_axes:
+        # under shard_map the accumulated windows are device-varying;
+        # the scan carry must start with the same varying type
+        m0 = jax.lax.pvary(m0, tuple(pvary_axes))
     m, _ = jax.lax.scan(chunk_body, m0, jnp.arange(plan.n_chunks))
     return m[0] if squeeze else m
 

@@ -124,6 +124,40 @@ class TODProgram:
         )
         self.band_order = order if is_partition else None
 
+    def pad_detectors(self, multiple: int) -> int:
+        """Pad the detector axis to a multiple of the mesh's det-shard
+        count (equal shards need equal rows). Padded detectors replicate
+        the LAST detector — same band, same pointing — and must be
+        excluded from maps downstream (mark their pixels negative).
+        Call BEFORE device_tables(). Returns the number of padded rows."""
+        n_det = len(self.offsets)
+        pad = -n_det % multiple
+        if not pad:
+            return 0
+        self.offsets = np.pad(self.offsets, ((0, pad), (0, 0)), mode="edge")
+        self.mueller_I = np.pad(self.mueller_I, (0, pad), mode="edge")
+        if self.gain_error is not None:
+            self.gain_error = np.pad(np.asarray(self.gain_error), (0, pad), mode="edge")
+        band = max(
+            self.bands,
+            key=lambda b: b.det_index[-1] if len(b.det_index) else -1,
+        )
+        band.det_index = np.concatenate(
+            [band.det_index, n_det + np.arange(pad)]
+        ).astype(band.det_index.dtype)
+
+        def pad_rows(a):
+            return None if a is None else np.pad(np.asarray(a), ((0, pad), (0, 0)), mode="edge")
+
+        band.cmb_samples = pad_rows(band.cmb_samples)
+        band.noise_basis = pad_rows(band.noise_basis)
+        if band.map_stages:
+            band.map_stages = [
+                (table, pad_rows(samples), ev) for (table, samples, ev) in band.map_stages
+            ]
+        self.__post_init__()  # recompute band contiguity + upsample ratio
+        return pad
+
     def _upsample(self, values):
         if self.upsample_ratio is not None:
             return upsample_time_phases(values, self.upsample_ratio, len(self.t_fine), kind="cubic")
