@@ -289,6 +289,11 @@ class TODProgram:
                 p = interp((pwv[band.det_sel], el_clip[band.det_sel]))
             loading_pieces[i] = mueller_I[band.det_sel, None] * p.astype(jnp.float32)
         loading_c = self._per_band_assemble(loading_pieces, pwv.shape)
+        if upto == "coarse":
+            # the streaming executor's whole-observation stage: every
+            # coarse-rate field (O(n_det x n_tc)); fine-rate synthesis
+            # then proceeds block-by-block at O(block) memory
+            return {"loading_c": loading_c, "pwv_c": pwv, "el_c": el_clip}
 
         # upsample to the TOD rate (phase stencil: no gathers)
         fields = {"atmosphere": self._upsample(loading_c)}

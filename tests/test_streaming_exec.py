@@ -1,0 +1,124 @@
+"""Bounded-memory streaming executor (reference behavior anchor:
+maria README.rst:34-36 "arbitrarily long periods of atmospheric
+evolution"; maria/tod/tod.py:63 dask-lazy TOD fields)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import maria_tpu
+from maria_tpu.noise import generate_noise_with_knee
+from maria_tpu.noise.streaming import StreamingBandNoise
+from maria_tpu.ops.interp import upsample_time_phases
+from maria_tpu.ops.program import build_tod_program
+from maria_tpu.ops.streaming_exec import (
+    StreamingExecutor,
+    pad_coarse_for_blocks,
+    upsample_block_phases,
+)
+
+
+def test_blockwise_upsample_equals_full():
+    """The haloed per-block phase-stencil upsample must be bitwise equal
+    to upsample_time_phases over the whole series."""
+    rng = np.random.default_rng(0)
+    n_det, n_c, r = 7, 53, 16
+    block_tc = 8
+    v = jnp.asarray(rng.standard_normal((n_det, n_c)).astype(np.float32))
+    for n_fine in (n_c * r, (n_c - 1) * r + 3, n_c * r - 5):
+        full = np.asarray(upsample_time_phases(v, r, n_fine, kind="cubic"))
+        n_blocks = -(-n_fine // (block_tc * r))
+        pad = pad_coarse_for_blocks(v, block_tc, n_blocks)
+        blocks = [
+            np.asarray(
+                upsample_block_phases(pad, b * block_tc, block_tc, r, n_c, v[:, -1])
+            )
+            for b in range(n_blocks)
+        ]
+        chunked = np.concatenate(blocks, axis=-1)[:, :n_fine]
+        np.testing.assert_array_equal(chunked, full)
+
+
+def test_streaming_noise_psd_matches_fft_generator():
+    """The AR-cascade stream must carry the same pink spectrum as the
+    batch FFT generator, octave by octave, down to ~1/T."""
+    fs, knee, n, n_det = 50.0, 0.5, 2**14, 96
+    model = StreamingBandNoise(fs, knee, T_ref=4096.0)
+    key = jax.random.key(0)
+    state = model.init_state(jax.random.key(1), n_det)
+    blocks = []
+    for b in range(8):
+        state, blk = model.block(state, jax.random.fold_in(key, b), n_det, n // 8)
+        blocks.append(np.asarray(blk))
+    x_stream = np.concatenate(blocks, axis=-1)
+    x_fft = np.asarray(
+        generate_noise_with_knee(jax.random.key(2), (n_det, n), sample_rate=fs, knee=knee)
+    )
+
+    def psd(x):
+        return (np.abs(np.fft.rfft(x, axis=-1)) ** 2).mean(0) * 2 / (fs * x.shape[-1])
+
+    f = np.fft.rfftfreq(n, 1 / fs)
+    p_s, p_f = psd(x_stream), psd(x_fft)
+    edges = np.geomspace(4 / (n / fs), fs / 3, 10)
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        m = (f >= lo) & (f < hi)
+        ratio = p_s[m].mean() / p_f[m].mean()
+        assert 0.75 < ratio < 1.35, (lo, hi, ratio)
+
+
+@pytest.fixture(scope="module")
+def mustang_program():
+    plan = maria_tpu.get_plan(
+        "daisy_5arcmin_60s", start_time=1.75e9, scan_center=(150.0, 41.0),
+        frame="az/el", duration=60.0, sample_rate=50.0,
+    )
+    sim = maria_tpu.Simulation(
+        instrument="MUSTANG-2", plans=plan, site="GBT", atmosphere="2d", noise=True, seed=0
+    )
+    obs = sim.obs_list[0]
+    return build_tod_program(obs, noise_kwargs=sim.noise_kwargs), obs
+
+
+def test_chunked_equals_unchunked_map(mustang_program):
+    """Grouping blocks differently must not change the binned map at all
+    (same blocks, same state chain -> identical float ops)."""
+    program, obs = mustang_program
+    ex = StreamingExecutor(program, obs, block_tc=32)
+    key = jax.random.key(5)
+    res_chunked = ex.run(key, group_size=1)
+    res_onego = ex.run(key, group_size=ex.n_blocks)
+    assert res_chunked.map_wgt.sum() == program.offsets.shape[0] * len(program.t_fine)
+    # not bitwise: XLA reassociates the f32 reductions differently for a
+    # 1-block scan vs an n-block scan (measured max rel diff ~2e-7)
+    np.testing.assert_allclose(res_chunked.map_sum, res_onego.map_sum, rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(res_chunked.map_wgt, res_onego.map_wgt)
+
+
+def test_streaming_atmosphere_equals_batch_program(mustang_program):
+    """With noise off, the streamed TOD must equal the batch fused
+    program's atmosphere field exactly (same key -> same coarse fields;
+    the blockwise upsample is bitwise; gains are the same stream)."""
+    program, obs = mustang_program
+    import copy
+
+    p = copy.copy(program)
+    p.with_noise = False
+    key = jax.random.key(3)
+    batch = np.asarray(jax.jit(p.total_power_fn())(*p.example_args(key), p.device_tables()))
+
+    ex = StreamingExecutor(p, obs, block_tc=32)
+    stream = np.concatenate([blk for _, blk in ex.tod_blocks(key)], axis=-1)
+    np.testing.assert_allclose(stream, batch, rtol=1e-6, atol=1e-6)
+
+
+def test_tod_blocks_shapes(mustang_program):
+    program, obs = mustang_program
+    ex = StreamingExecutor(program, obs, block_tc=32)
+    total = 0
+    for b, blk in ex.tod_blocks(jax.random.key(0), group_size=4):
+        assert blk.shape[0] == len(program.offsets)
+        total += blk.shape[1]
+    assert total == len(program.t_fine)
+    assert np.isfinite(blk).all()
