@@ -303,11 +303,40 @@ class StreamingExecutor:
             self._block_fn_cache[with_tod] = run_group
         return self._block_fn_cache[with_tod]
 
+    def _shard_state(self, state, mesh):
+        """Lay the carried state out over the mesh's det axis: every
+        detector-major leaf shards P("det", ...); map accumulators and
+        scalars replicate. XLA propagates the shardings through the
+        block scan (segment-sum binning picks up the cross-shard psum
+        automatically)."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        band_rows = {len(b.det_index) for b in self.program.bands}
+
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and (
+                x.shape[0] == self.n_det or x.shape[0] in band_rows
+            ):
+                spec = P("det", *[None] * (x.ndim - 1))
+            else:
+                spec = P()
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        return jax.tree.map(put, state)
+
     # ------------------------------------------------------------------
-    def run(self, key=None, group_size: int = 8) -> StreamingResult:
+    def run(self, key=None, group_size: int = 8, mesh=None) -> StreamingResult:
         """Synthesize + bin the whole observation, `group_size` blocks
-        per device dispatch, state carried between dispatches."""
+        per device dispatch, state carried between dispatches. Pass a
+        ("det", ...) `mesh` to shard the detector axis across chips —
+        the streamed map then reduces with an XLA-inserted psum and the
+        result equals the single-device run (tested). Det sharding needs
+        equal shards: call `program.pad_detectors(n_det_shards)` before
+        building the executor."""
         state = self.init_state(key if key is not None else jax.random.key(0))
+        if mesh is not None:
+            state = self._shard_state(state, mesh)
         for state in self._iterate(state, group_size, with_tod=False):
             pass
         return StreamingResult(

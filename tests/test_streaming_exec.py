@@ -122,3 +122,23 @@ def test_tod_blocks_shapes(mustang_program):
         total += blk.shape[1]
     assert total == len(program.t_fine)
     assert np.isfinite(blk).all()
+
+
+def test_streaming_det_sharded_equals_single_device(mustang_program):
+    """Long-observation streaming + det sharding compose: the same run
+    with the carried state laid out over an 8-device mesh must equal the
+    single-device result (XLA inserts the binning psum)."""
+    import copy
+
+    from maria_tpu.parallel import create_mesh
+
+    program, obs = mustang_program
+    program = copy.deepcopy(program)  # pad_detectors mutates bands in place
+    program.pad_detectors(8)
+    ex = StreamingExecutor(program, obs, block_tc=32)
+    key = jax.random.key(7)
+    single = ex.run(key, group_size=4)
+    mesh = create_mesh(8, axis_names=("det",), shape=(8,))
+    sharded = ex.run(key, group_size=4, mesh=mesh)
+    np.testing.assert_array_equal(single.map_wgt, sharded.map_wgt)
+    np.testing.assert_allclose(single.map_sum, sharded.map_sum, rtol=1e-5, atol=1e-3)
