@@ -103,6 +103,11 @@ class StreamingResult:
     n_y: int
     center: tuple
     res: float
+    # per-band Welch noise spectra (ML-mapper noise statistics without
+    # ever holding the full TOD): mean detrended+Hann periodogram over
+    # blocks and band detectors, one-sided, pW^2/Hz
+    psd_freqs: np.ndarray = None  # (B//2 + 1,)
+    psds: list = None  # [(n_freq,) per band]
 
     @property
     def map(self):
@@ -232,10 +237,15 @@ class StreamingExecutor:
             "noise_keys": noise_keys,
             "map_sum": jnp.zeros((self.n_y * self.n_x,), dtype=jnp.float32),
             "map_wgt": jnp.zeros((self.n_y * self.n_x,), dtype=jnp.float32),
+            # Welch accumulators (only updated when run(accumulate_psd=True))
+            "psd_sum": [
+                jnp.zeros((self.B // 2 + 1,), dtype=jnp.float32) for _ in p.bands
+            ],
+            "psd_blocks": jnp.float32(0.0),
         }
 
     # ------------------------------------------------------------------
-    def _make_block_fn(self, with_tod: bool):
+    def _make_block_fn(self, with_tod: bool, with_psd: bool = False):
         p = self.program
         r, B, block_tc = self.r, self.B, self.block_tc
         n_c, n_t, n_det = self.n_c, self.n_t, self.n_det
@@ -287,21 +297,40 @@ class StreamingExecutor:
             map_wgt = state["map_wgt"] + bin_scatter(w, pix, n_y * n_x + 1)[:-1]
 
             new_state = dict(state, noise=new_states, map_sum=map_sum, map_wgt=map_wgt)
+
+            if with_psd:
+                # Welch: detrended + Hann-windowed per-band periodograms,
+                # mean over band detectors; partial tail blocks excluded
+                # (their padded samples would bias the spectrum)
+                full = ((b + 1) * B <= n_t).astype(jnp.float32)
+                hann = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(B) / B)
+                norm = 2.0 / (p.sample_rate * jnp.sum(hann**2))
+                psd_sum = []
+                for i, band in enumerate(p.bands):
+                    x = tod[band.det_sel]
+                    x = x - x.mean(axis=-1, keepdims=True)
+                    spec = jnp.abs(jnp.fft.rfft(x * hann, axis=-1)) ** 2
+                    psd_sum.append(
+                        state["psd_sum"][i] + full * norm * spec.mean(axis=0)
+                    )
+                new_state["psd_sum"] = psd_sum
+                new_state["psd_blocks"] = state["psd_blocks"] + full
             return new_state, (tod if with_tod else ())
 
         return block_fn
 
-    def _group_fn(self, with_tod: bool):
-        # ONE jit per with_tod mode; jit re-specializes per group length
-        if with_tod not in self._block_fn_cache:
-            block_fn = self._make_block_fn(with_tod)
+    def _group_fn(self, with_tod: bool, with_psd: bool = False):
+        # ONE jit per mode; jit re-specializes per group length
+        key = (with_tod, with_psd)
+        if key not in self._block_fn_cache:
+            block_fn = self._make_block_fn(with_tod, with_psd)
 
             @jax.jit
             def run_group(state, bs, az, el):
                 return jax.lax.scan(block_fn, state, (bs, az, el))
 
-            self._block_fn_cache[with_tod] = run_group
-        return self._block_fn_cache[with_tod]
+            self._block_fn_cache[key] = run_group
+        return self._block_fn_cache[key]
 
     def _shard_state(self, state, mesh):
         """Lay the carried state out over the mesh's det axis: every
@@ -326,7 +355,9 @@ class StreamingExecutor:
         return jax.tree.map(put, state)
 
     # ------------------------------------------------------------------
-    def run(self, key=None, group_size: int = 8, mesh=None) -> StreamingResult:
+    def run(
+        self, key=None, group_size: int = 8, mesh=None, accumulate_psd: bool = False
+    ) -> StreamingResult:
         """Synthesize + bin the whole observation, `group_size` blocks
         per device dispatch, state carried between dispatches. Pass a
         ("det", ...) `mesh` to shard the detector axis across chips —
@@ -337,13 +368,19 @@ class StreamingExecutor:
         state = self.init_state(key if key is not None else jax.random.key(0))
         if mesh is not None:
             state = self._shard_state(state, mesh)
-        for state in self._iterate(state, group_size, with_tod=False):
+        for state in self._iterate(state, group_size, with_tod=False, with_psd=accumulate_psd):
             pass
+        psd_freqs = psds = None
+        if accumulate_psd:
+            n_blocks = max(float(state["psd_blocks"]), 1.0)
+            psd_freqs = np.fft.rfftfreq(self.B, d=1.0 / self.program.sample_rate)
+            psds = [np.asarray(s) / n_blocks for s in state["psd_sum"]]
         return StreamingResult(
             map_sum=np.asarray(state["map_sum"]).reshape(self.n_y, self.n_x),
             map_wgt=np.asarray(state["map_wgt"]).reshape(self.n_y, self.n_x),
             n_samples=self.n_det * self.n_t,
             n_x=self.n_x, n_y=self.n_y, center=self.center, res=self.res,
+            psd_freqs=psd_freqs, psds=psds,
         )
 
     def tod_blocks(self, key=None, group_size: int = 1):
@@ -357,8 +394,11 @@ class StreamingExecutor:
                 yield b, np.asarray(tod)[:, :hi]
                 b += 1
 
-    def _iterate(self, state, group_size: int, with_tod: bool, yield_tod: bool = False):
-        run_group = self._group_fn(with_tod)
+    def _iterate(
+        self, state, group_size: int, with_tod: bool, yield_tod: bool = False,
+        with_psd: bool = False,
+    ):
+        run_group = self._group_fn(with_tod, with_psd)
         az = self.bs_az_f.reshape(self.n_blocks, self.B)
         el = self.bs_el_f.reshape(self.n_blocks, self.B)
         for g0 in range(0, self.n_blocks, group_size):

@@ -142,3 +142,31 @@ def test_streaming_det_sharded_equals_single_device(mustang_program):
     sharded = ex.run(key, group_size=4, mesh=mesh)
     np.testing.assert_array_equal(single.map_wgt, sharded.map_wgt)
     np.testing.assert_allclose(single.map_sum, sharded.map_sum, rtol=1e-5, atol=1e-3)
+
+
+def test_streamed_welch_psd_matches_full_tod(mustang_program):
+    """The executor's per-band Welch accumulators (the ML mapper's noise
+    statistics without holding the TOD) must match the PSD of the full
+    streamed TOD within Welch-vs-periodogram tolerance."""
+    import scipy.signal
+
+    program, obs = mustang_program
+    ex = StreamingExecutor(program, obs, block_tc=32)
+    key = jax.random.key(11)
+    res = ex.run(key, group_size=4, accumulate_psd=True)
+    assert res.psds is not None and len(res.psds) == len(program.bands)
+
+    tod = np.concatenate([blk for _, blk in ex.tod_blocks(key, group_size=4)], axis=-1)
+    band = program.bands[0]
+    x = tod[band.det_index]
+    f_ref, p_ref = scipy.signal.welch(
+        x, fs=program.sample_rate, nperseg=ex.B, window="hann", detrend="constant",
+        noverlap=0,
+    )
+    p_ref = p_ref.mean(axis=0)
+    f, p = res.psd_freqs, res.psds[0]
+    # compare away from DC; scipy drops no bins, grids match exactly
+    np.testing.assert_allclose(f, f_ref, atol=1e-9)
+    sel = f > 0.5
+    ratio = p[sel] / p_ref[sel]
+    assert np.median(np.abs(ratio - 1)) < 0.15, np.median(ratio)
