@@ -371,7 +371,7 @@ def bin_blocked(
     if pvary_axes:
         # under shard_map the accumulated windows are device-varying;
         # the scan carry must start with the same varying type
-        m0 = jax.lax.pvary(m0, tuple(pvary_axes))
+        m0 = jax.lax.pcast(m0, tuple(pvary_axes), to="varying")
     m, _ = jax.lax.scan(chunk_body, m0, jnp.arange(plan.n_chunks))
     return m[0] if squeeze else m
 
