@@ -17,9 +17,11 @@ So the executor splits the fused program at the coarse/fine boundary:
   the batch program (same key, same ops).
 - FINE-rate synthesis in fixed blocks of `block_tc` coarse cells: the
   phase-stencil cubic upsample runs per block on a haloed coarse slice
-  (bitwise-equal to the full upsample — tested), detector noise comes
-  from the streaming pink cascade (noise/streaming.py), gains multiply,
-  and each block is binned straight into carried (map_sum, map_wgt)
+  (bitwise-equal to the full upsample — tested), sky stages (cmb=/
+  input_map=) are sampled along the block's exact pointing with the
+  batch program's calibration tables, detector noise comes from the
+  streaming pink cascade (noise/streaming.py), gains multiply, and each
+  block is binned straight into carried (map_sum, map_wgt)
   accumulators. Nothing of size (n_det, n_t) ever exists.
 
 Chunk-invariance: every block depends only on (carried state, block
@@ -60,6 +62,46 @@ def pad_coarse_for_blocks(values, block_tc: int, n_blocks: int):
     n_right = n_blocks * block_tc + 2 - n_c
     right = jnp.repeat(values[..., -1:], n_right, axis=-1)
     return jnp.concatenate([values[..., :1], values, right], axis=-1)
+
+
+def pad_coarse_for_blocks_ext(values, block_tc: int, n_blocks: int):
+    """Like `pad_coarse_for_blocks` but with TWO left clamps and extra
+    right clamps, for `upsample_block_ext`'s one-cell halo."""
+    n_c = values.shape[-1]
+    n_right = n_blocks * block_tc + 3 - n_c
+    right = jnp.repeat(values[..., -1:], n_right, axis=-1)
+    return jnp.concatenate([values[..., :1], values[..., :1], values, right], axis=-1)
+
+
+def upsample_block_ext(values_pad2, c0, block_tc: int, ratio: int, n_c: int, v_last, kind="cubic"):
+    """Blockwise upsample over cells [c0 - 1, c0 + block_tc + 1): one
+    coarse-cell halo on each side of the block, for stages (like the
+    continuous-integration kernel) that need fine-sample context across
+    block boundaries. `values_pad2` comes from
+    `pad_coarse_for_blocks_ext`. Interior fine values are bitwise-equal
+    to `upsample_block_phases`; halo cells beyond the global fine range
+    are junk that callers must clamp (see the kernel helper)."""
+    n_cells = block_tc + 2
+    # cell (c0 - 1)'s p0 = v[c0 - 2] lives at pad2 index c0 (two clamps)
+    sl = jax.lax.dynamic_slice_in_dim(values_pad2, c0, n_cells + 3, axis=-1)
+    dtype = values_pad2.dtype
+    s = (jnp.arange(ratio, dtype=dtype) / ratio)[None, :]
+    p0 = sl[..., 0:n_cells, None]
+    p1 = sl[..., 1 : n_cells + 1, None]
+    p2 = sl[..., 2 : n_cells + 2, None]
+    p3 = sl[..., 3 : n_cells + 3, None]
+    if kind == "linear" or n_c < 4:
+        out = p1 * (1 - s) + p2 * s
+    else:
+        out = 0.5 * (
+            2 * p1
+            + (-p0 + p2) * s
+            + (2 * p0 - 5 * p1 + 4 * p2 - p3) * s**2
+            + (-p0 + 3 * p1 - 3 * p2 + p3) * s**3
+        )
+    out = out.reshape(*out.shape[:-2], n_cells * ratio)
+    g = (c0 - 1) * ratio + jnp.arange(n_cells * ratio)
+    return jnp.where(g >= (n_c - 1) * ratio, v_last[..., None], out)
 
 
 def upsample_block_phases(values_pad, c0, block_tc: int, ratio: int, n_c: int, v_last, kind="cubic"):
@@ -118,9 +160,12 @@ class StreamingResult:
 class StreamingExecutor:
     """Time-blocked executor over a TODProgram (see module docstring).
 
-    Supports the atmosphere + noise (+ gains) pipeline — the memory-
-    relevant fields. Static-sky stages (cmb=/map=) hold whole-observation
-    timelines by construction and are rejected with a clear error.
+    Streams the full pipeline: atmosphere + noise + gains, and — when
+    `cmb=`/`input_map=` are given — the sky stages too, sampled per
+    block from the same calibration tables and smoothed channel maps the
+    batch program bakes into static timelines (matches the batch output;
+    tested). The program itself must be built WITHOUT cmb/input_map.
+    Time-evolving input maps are not streamed yet.
     """
 
     def __init__(
@@ -133,6 +178,9 @@ class StreamingExecutor:
         res: float = None,
         center: tuple = None,
         T_ref: float = None,
+        cmb=None,
+        input_map=None,
+        map_kwargs: dict = None,
     ):
         if program.upsample_ratio is None:
             raise ValueError(
@@ -141,10 +189,12 @@ class StreamingExecutor:
             )
         if any(b.cmb_samples is not None or b.map_stages for b in program.bands):
             raise NotImplementedError(
-                "StreamingExecutor streams atmosphere + noise; cmb=/map= stages "
-                "hold whole-observation sky timelines — run those through the "
-                "batch program, or bin them separately."
+                "This program carries whole-observation static sky timelines; "
+                "build it without cmb/input_map and pass cmb=/input_map= to the "
+                "executor instead — it samples the sky per block."
             )
+        if (cmb is not None or input_map is not None) and obs is None:
+            raise ValueError("streaming sky stages need the Observation (obs=)")
         self.program = program
         self.r = int(program.upsample_ratio)
         self.block_tc = int(block_tc)
@@ -199,7 +249,94 @@ class StreamingExecutor:
             )
             for b in program.bands
         ]
+        self.sky = None
+        if cmb is not None or input_map is not None:
+            self._build_sky(obs, cmb, input_map, map_kwargs or {}, pad_f)
         self._block_fn_cache = {}
+
+    def _build_sky(self, obs, cmb, input_map, map_kwargs, pad_f: int):
+        """Host setup for per-block sky sampling: the SAME calibration
+        tables and smoothed channel maps the batch program bakes into
+        static timelines (program.py build_tod_program), minus the
+        (n_det, n_t) timelines themselves — those are evaluated
+        in-program, block by block."""
+        from ..beam import compute_angular_fwhm
+        from ..sim.cmb import cmb_power_tables
+        from ..sim.map import check_map_observable, map_transmission_table
+        from ..units import Quantity
+        from .interp import make_table_eval
+
+        atm = obs.atmosphere
+        T_base = float(atm.weather.temperature[0])
+        stokes_weight = np.asarray(obs.instrument.dets.stokes_weight(), dtype=np.float32)
+        sky = {"cmb": None, "map": None, "bands": [], "need_radec": False}
+
+        if cmb is not None:
+            if cmb.frame not in ("galactic", "ra/dec"):
+                raise ValueError(f"Cannot stream a CMB in frame '{cmb.frame}'.")
+            sky["cmb"] = {
+                "nside": cmb.nside,
+                "frame": cmb.frame,
+                "fields": np.asarray(cmb.data[:, 0, 0], dtype=np.float32),
+                "n_stokes": cmb.n_stokes,
+            }
+            sky["need_radec"] = True
+
+        map_frame_radec = None
+        if input_map is not None:
+            check_map_observable(input_map)
+            if len(input_map.t) > 1:
+                raise NotImplementedError(
+                    "streaming time-evolving input maps is not supported yet; "
+                    "use the batch program for multi-frame maps."
+                )
+            map_frame_radec = input_map.frame in ("ra/dec", "icrs")
+            sky["need_radec"] = sky["need_radec"] or map_frame_radec
+            sky["map"] = {
+                "center": (float(input_map.center[0]), float(input_map.center[1])),
+                "radec": map_frame_radec,
+                "bilinear": map_kwargs.get("bilinear_sampling", True),
+            }
+
+        for band, block in zip(obs.instrument.dets.bands, self.program.bands):
+            entry = {"sw": jnp.asarray(stokes_weight[block.det_index])}
+            if cmb is not None:
+                pwv_side, el_side, P0, dPdT = cmb_power_tables(band, atm.spectrum, T_base)
+                entry["cmb_P0_eval"] = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), P0)
+                entry["cmb_dPdT_eval"] = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), dPdT)
+            if input_map is not None:
+                band_fwhm = compute_angular_fwhm(
+                    fwhm_0=float(np.mean(obs.instrument.dets.primary_size)),
+                    z=np.inf, nu=band.center,
+                )
+                channel_map = input_map.smooth(fwhm=Quantity(band_fwhm, "rad")).to(
+                    "K_RJ", band=band
+                )
+                stages = []
+                for channel, (nu_min, nu_max) in enumerate(input_map.nu_bin_bounds):
+                    if band.nu.max() < float(nu_min.Hz) or float(nu_max.Hz) < band.nu.min():
+                        continue
+                    tab = map_transmission_table(band, input_map, channel, atm.spectrum, T_base)
+                    stages.append({
+                        "cal_eval": make_table_eval(
+                            np.asarray(block.pwv_side), np.asarray(block.el_side), tab
+                        ),
+                        "fields": np.asarray(channel_map.data[:, channel, 0], dtype=np.float32),
+                        "x_side": np.asarray(channel_map.x_side),
+                        "y_side": np.asarray(channel_map.y_side),
+                    })
+                entry["map_stages"] = stages
+            sky["bands"].append(entry)
+
+        if sky["need_radec"]:
+            sky["bs_ra_f"] = np.pad(
+                np.asarray(obs.boresight.ra, dtype=np.float32), (0, pad_f), mode="edge"
+            )
+            sky["bs_dec_f"] = np.pad(
+                np.asarray(obs.boresight.dec, dtype=np.float32), (0, pad_f), mode="edge"
+            )
+            sky["q_f"] = np.pad(np.asarray(obs.q, dtype=np.float32), (0, pad_f), mode="edge")
+        self.sky = sky
 
     # ------------------------------------------------------------------
     def init_state(self, key):
@@ -229,7 +366,25 @@ class StreamingExecutor:
         # coarse loading padded once for the haloed blockwise upsample
         lc = coarse["loading_c"]
         lc_pad = pad_coarse_for_blocks(lc, self.block_tc, self.n_blocks)
+        sky_state = {}
+        if self.sky is not None:
+            # coarse pwv/el drive the per-block calibration factors; the
+            # ext pads carry the one-cell halo the integration kernel needs
+            sky_state = {
+                "pwv_pad2": pad_coarse_for_blocks_ext(coarse["pwv_c"], self.block_tc, self.n_blocks),
+                "pwv_last": coarse["pwv_c"][:, -1],
+                "el_pad2": pad_coarse_for_blocks_ext(coarse["el_c"], self.block_tc, self.n_blocks),
+                "el_last": coarse["el_c"][:, -1],
+                "cmb_fields": (
+                    jnp.asarray(self.sky["cmb"]["fields"]) if self.sky["cmb"] else ()
+                ),
+                "map_fields": [
+                    [jnp.asarray(st["fields"]) for st in e.get("map_stages", [])]
+                    for e in self.sky["bands"]
+                ],
+            }
         return {
+            **sky_state,
             "lc_pad": lc_pad,
             "lc_last": lc[:, -1],
             "gains": gains,
@@ -254,17 +409,136 @@ class StreamingExecutor:
         offsets = jnp.asarray(p.offsets, dtype=jnp.float32)
         half = res * n_x / 2
 
+        sky = self.sky
+        mueller_I = jnp.asarray(p.mueller_I, dtype=jnp.float32)
+        interior = slice(r, r + B)
+
+        def sky_fields_block(state, xs_sky, c0):
+            """Non-atmosphere sky loading for this block (pW, ungained):
+            the same physics as the batch program's cmb/map stages, with
+            the static timelines evaluated here instead of baked."""
+            from ..ops.interp import interp_bilinear_grid
+
+            total = jnp.zeros((n_det, B), dtype=jnp.float32)
+            # ext fine grids: the integration kernel needs a one-cell halo
+            pwv_ext = upsample_block_ext(
+                state["pwv_pad2"], c0, block_tc, r, n_c, state["pwv_last"], kind="linear"
+            )
+            el_ext = upsample_block_ext(
+                state["el_pad2"], c0, block_tc, r, n_c, state["el_last"], kind="cubic"
+            )
+            ra_ext, dec_ext, q_ext, az_ext, el_tr_ext = xs_sky
+
+            if sky["cmb"] is not None:
+                cm = sky["cmb"]
+                cq, sq = jnp.cos(q_ext[interior]), jnp.sin(q_ext[interior])
+                cmb_piece = {}
+                for i, (band, entry) in enumerate(zip(p.bands, sky["bands"])):
+                    o = offsets[band.det_sel]
+                    offs_rot = jnp.stack(
+                        [o[:, :1] * cq - o[:, 1:] * sq, o[:, :1] * sq + o[:, 1:] * cq],
+                        axis=-1,
+                    )
+                    pt = offsets_to_phi_theta(offs_rot, ra_ext[interior], dec_ext[interior])
+                    ra_d, dec_d = pt[..., 0], pt[..., 1]
+                    if cm["frame"] == "galactic":
+                        from ..coords import ephemeris as eph
+                        from ..healpix.core import ang2pix_ring
+
+                        R = jnp.asarray(eph.ICRS_TO_GAL, dtype=jnp.float32)
+                        cos_d = jnp.cos(dec_d)
+                        v = jnp.stack(
+                            [jnp.cos(ra_d) * cos_d, jnp.sin(ra_d) * cos_d, jnp.sin(dec_d)],
+                            axis=-1,
+                        )
+                        vg = jnp.einsum("ij,...j->...i", R, v)
+                        phi = jnp.arctan2(vg[..., 1], vg[..., 0])
+                        lat = jnp.arcsin(jnp.clip(vg[..., 2], -1, 1))
+                    else:
+                        from ..healpix.core import ang2pix_ring
+
+                        phi, lat = ra_d, dec_d
+                    pix = ang2pix_ring(cm["nside"], jnp.pi / 2 - lat, phi)
+                    sample = 0.0
+                    sw = entry["sw"]
+                    for s in range(cm["n_stokes"]):
+                        sample = sample + sw[:, s][:, None] * jnp.take(
+                            state["cmb_fields"][s], pix, axis=0
+                        )
+                    pwv_b = pwv_ext[band.det_sel][:, interior]
+                    el_b = el_ext[band.det_sel][:, interior]
+                    P0 = entry["cmb_P0_eval"](pwv_b, el_b)
+                    dPdT = entry["cmb_dPdT_eval"](pwv_b, el_b)
+                    cmb_piece[i] = (
+                        P0.astype(jnp.float32) * mueller_I[band.det_sel, None]
+                        + dPdT.astype(jnp.float32) * sample
+                    )
+                total = total + p._per_band_assemble(cmb_piece, (n_det, B))
+
+            if sky["map"] is not None:
+                mp = sky["map"]
+                map_piece = {}
+                for i, (band, entry) in enumerate(zip(p.bands, sky["bands"])):
+                    if mp["radec"]:
+                        cq, sq = jnp.cos(q_ext), jnp.sin(q_ext)
+                        o = offsets[band.det_sel]
+                        offs_rot = jnp.stack(
+                            [o[:, :1] * cq - o[:, 1:] * sq, o[:, :1] * sq + o[:, 1:] * cq],
+                            axis=-1,
+                        )
+                        pt = offsets_to_phi_theta(offs_rot, ra_ext, dec_ext)
+                    else:
+                        pt = offsets_to_phi_theta(
+                            offsets[band.det_sel][:, None, :], az_ext, el_tr_ext
+                        )
+                    d = phi_theta_to_offsets_jit(pt, mp["center"][0], mp["center"][1])
+                    pwv_b = pwv_ext[band.det_sel]
+                    el_b = el_ext[band.det_sel]
+                    piece_ext = jnp.zeros((d.shape[0], B + 2 * r), dtype=jnp.float32)
+                    sw = entry["sw"]
+                    for j, st_ in enumerate(entry["map_stages"]):
+                        fields = state["map_fields"][i][j]
+                        sample = 0.0
+                        for s in range(fields.shape[0]):
+                            # axes stay host-side numpy: the interp
+                            # classifies them statically (tiny constants)
+                            sample = sample + sw[:, s][:, None] * interp_bilinear_grid(
+                                fields[s], d[..., 0], d[..., 1],
+                                st_["x_side"], st_["y_side"],
+                            )
+                        cal = st_["cal_eval"](pwv_b, el_b)
+                        piece_ext = piece_ext + cal.astype(jnp.float32) * sample
+                    # continuous-integration kernel on the halo'd product,
+                    # clamped at the global fine edges like the batch pad
+                    g0 = (c0 - 1) * r
+                    g = g0 + jnp.arange(B + 2 * r)
+                    idx = jnp.clip(g, 0, n_t - 1) - g0
+                    clamped = jnp.take_along_axis(
+                        piece_ext, jnp.broadcast_to(idx, piece_ext.shape), axis=-1
+                    )
+                    x = clamped[:, r - 1 : r + B + 1]
+                    map_piece[i] = 0.25 * x[:, :-2] + 0.5 * x[:, 1:-1] + 0.25 * x[:, 2:]
+                total = total + p._per_band_assemble(map_piece, (n_det, B))
+            return total
+
         def block_fn(state, xs):
-            b, bs_az_b, bs_el_b = xs
+            if sky is not None:
+                b, bs_az_b, bs_el_b, xs_sky = xs
+            else:
+                b, bs_az_b, bs_el_b = xs
             c0 = b * block_tc
 
             atm = upsample_block_phases(
                 state["lc_pad"], c0, block_tc, r, n_c, state["lc_last"], kind="cubic"
             )
-            tod = atm * state["gains"]
+            fields_sum = atm  # ungained non-noise loading (pW)
+            if sky is not None:
+                fields_sum = fields_sum + sky_fields_block(state, xs_sky, c0)
+            tod = fields_sum * state["gains"]
 
             # streaming noise per band (NEP_per_loading sees this block's
-            # non-noise loading, mirroring the batch program)
+            # UNGAINED non-noise loading, mirroring the batch program's
+            # field/gain operation order in total_power_fn)
             if p.with_noise:
                 noise_pieces, new_states = {}, []
                 for i, (band, model) in enumerate(zip(p.bands, self.noise_models)):
@@ -274,7 +548,7 @@ class StreamingExecutor:
                     )
                     new_states.append(st)
                     if band.NEP_per_loading:
-                        total_NEP = band.NEP + band.NEP_per_loading * 1e-12 * tod[band.det_sel]
+                        total_NEP = band.NEP + band.NEP_per_loading * 1e-12 * fields_sum[band.det_sel]
                     else:
                         total_NEP = band.NEP
                     noise_pieces[i] = 1e12 * total_NEP * unscaled
@@ -326,8 +600,8 @@ class StreamingExecutor:
             block_fn = self._make_block_fn(with_tod, with_psd)
 
             @jax.jit
-            def run_group(state, bs, az, el):
-                return jax.lax.scan(block_fn, state, (bs, az, el))
+            def run_group(state, xs):
+                return jax.lax.scan(block_fn, state, xs)
 
             self._block_fn_cache[key] = run_group
         return self._block_fn_cache[key]
@@ -401,13 +675,38 @@ class StreamingExecutor:
         run_group = self._group_fn(with_tod, with_psd)
         az = self.bs_az_f.reshape(self.n_blocks, self.B)
         el = self.bs_el_f.reshape(self.n_blocks, self.B)
+        sky_ext = self._sky_track_blocks() if self.sky is not None else None
         for g0 in range(0, self.n_blocks, group_size):
             g1 = min(g0 + group_size, self.n_blocks)
             bs = jnp.arange(g0, g1)
-            state, tods = run_group(
-                state, bs, jnp.asarray(az[g0:g1]), jnp.asarray(el[g0:g1])
-            )
+            xs = (bs, jnp.asarray(az[g0:g1]), jnp.asarray(el[g0:g1]))
+            if sky_ext is not None:
+                xs = (*xs, tuple(jnp.asarray(a[g0:g1]) for a in sky_ext))
+            state, tods = run_group(state, xs)
             if yield_tod:
                 yield state, tods
             else:
                 yield state
+
+    def _sky_track_blocks(self):
+        """Overlapping ext-grid track slices per block: block b covers
+        fine indices [b*B - r, (b+1)*B + r) (the integration-kernel
+        halo), realized as stride tricks over r-edge-padded tracks."""
+        if getattr(self, "_sky_blocks_cache", None) is not None:
+            return self._sky_blocks_cache
+        r, B = self.r, self.B
+
+        def ext_blocks(track):
+            padded = np.pad(track, (r, r), mode="edge")
+            return np.stack(
+                [padded[b * B : (b + 1) * B + 2 * r] for b in range(self.n_blocks)]
+            )
+
+        zeros = np.zeros(self.n_blocks * self.B, dtype=np.float32)
+        ra = self.sky.get("bs_ra_f", zeros)
+        dec = self.sky.get("bs_dec_f", zeros)
+        q = self.sky.get("q_f", zeros)
+        self._sky_blocks_cache = tuple(
+            ext_blocks(t) for t in (ra, dec, q, self.bs_az_f, self.bs_el_f)
+        )
+        return self._sky_blocks_cache

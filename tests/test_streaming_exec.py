@@ -170,3 +170,65 @@ def test_streamed_welch_psd_matches_full_tod(mustang_program):
     sel = f > 0.5
     ratio = p[sel] / p_ref[sel]
     assert np.median(np.abs(ratio - 1)) < 0.15, np.median(ratio)
+
+
+@pytest.fixture(scope="module")
+def radec_sim_ingredients():
+    input_map = maria_tpu.map.get("big_cluster", center=(150.0, 10.0))
+    from maria_tpu.plan import Planner
+
+    plans = Planner(target=(150.0, 10.0), site="GBT").generate_plans(
+        start_time=1.75e9, horizon_days=2, total_duration=60, chunk_duration=60,
+        scan_pattern="daisy", scan_options={"radius": 0.083, "speed": 0.017}, sample_rate=50,
+    )
+    sim = maria_tpu.Simulation(
+        instrument="MUSTANG-2", plans=plans[0], site="GBT",
+        atmosphere="2d", noise=False, seed=2,
+    )
+    return input_map, sim.obs_list[0]
+
+
+def test_streaming_map_stage_matches_batch(radec_sim_ingredients):
+    """map= streamed per block must match the batch program's baked
+    static timelines (identical calibration tables and channel maps; the
+    only difference is f32 vs f64 pointing rotation round-off)."""
+    input_map, obs = radec_sim_ingredients
+    key = jax.random.key(4)
+
+    batch_prog = build_tod_program(obs, with_noise=False, input_map=input_map)
+    batch = np.asarray(
+        jax.jit(batch_prog.total_power_fn())(*batch_prog.example_args(key), batch_prog.device_tables())
+    )
+
+    stream_prog = build_tod_program(obs, with_noise=False)
+    ex = StreamingExecutor(stream_prog, obs, block_tc=32, input_map=input_map)
+    stream = np.concatenate([blk for _, blk in ex.tod_blocks(key)], axis=-1)
+
+    assert stream.shape == batch.shape
+    scale = np.abs(batch).max()
+    np.testing.assert_allclose(stream, batch, atol=2e-4 * scale, rtol=2e-4)
+
+
+def test_streaming_cmb_stage_matches_batch(radec_sim_ingredients):
+    """cmb= streamed per block: same power tables, same HEALPix sampling
+    math; boundary pixels may flip from f32 rotation round-off, so the
+    comparison is quantile-based."""
+    from maria_tpu.cmb import generate_cmb
+
+    _, obs = radec_sim_ingredients
+    cmb = generate_cmb(nside=64, lmax=128, seed=0)
+    key = jax.random.key(6)
+
+    batch_prog = build_tod_program(obs, with_noise=False, cmb=cmb)
+    batch = np.asarray(
+        jax.jit(batch_prog.total_power_fn())(*batch_prog.example_args(key), batch_prog.device_tables())
+    )
+
+    stream_prog = build_tod_program(obs, with_noise=False)
+    ex = StreamingExecutor(stream_prog, obs, block_tc=32, cmb=cmb)
+    stream = np.concatenate([blk for _, blk in ex.tod_blocks(key)], axis=-1)
+
+    diff = np.abs(stream - batch)
+    fluct = np.std(batch - batch.mean())
+    assert np.quantile(diff, 0.999) < 1e-3 * max(fluct, 1e-12) + 1e-9
+    assert (diff > 0.05 * fluct).mean() < 1e-3  # isolated pixel-boundary flips only
