@@ -60,6 +60,9 @@ try:
     )
     from .sim import Simulation  # noqa: E402,F401
     from .tod import TOD  # noqa: E402,F401
+    # TPU-native extension beyond the reference surface: bounded-memory
+    # long observations (reference: dask-lazy TOD fields, tod/tod.py:63)
+    from .ops.streaming_exec import StreamingExecutor  # noqa: E402,F401
 except ImportError as _e:  # pragma: no cover
     logger.debug(f"partial import during bring-up: {_e}")
 
@@ -73,6 +76,7 @@ __all__ = [
     "Quantity",
     "Simulation",
     "Site",
+    "StreamingExecutor",
     "TOD",
     "TransferFunction",
     "all_arrays",
