@@ -56,6 +56,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         init: str = "bin",
         bilinear: bool = False,
         prior: bool = False,
+        mesh=None,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -63,6 +64,15 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         self.n_cg_iters = n_cg_iters
         self.spectrum_smoothing = spectrum_smoothing
         self.k = k
+        # multi-chip: shard every per-TOD block over the mesh's "det"
+        # axis (detectors are independent through P, N^-1 and the FFTs;
+        # the segment-sums and Woodbury contractions psum via XLA's
+        # sharding propagation). Detector counts are padded with
+        # zero-weight rows to the shard count, so any n_det works.
+        self.mesh = mesh
+        self._det_shards = (
+            dict(zip(mesh.axis_names, mesh.devices.shape)).get("det", 1) if mesh else 1
+        )
         if init not in ("bin", "random"):
             raise ValueError(f"init must be 'bin' or 'random', not '{init}'.")
         self.init = init
@@ -134,14 +144,29 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             # per-detector Stokes weights (n_det, n_s) from the Mueller rows
             sw = np.asarray(tod.dets.stokes_weight(), dtype=np.float32)[:, stokes_cols]
             data = jnp.asarray(tod.signal, dtype=jnp.float32)
+            pad = -data.shape[0] % self._det_shards
+            if pad:
+                # zero-weight rows: pix -> an overflow bucket, sw -> 0,
+                # data -> 0; they contribute nothing anywhere
+                pix_chan = jnp.pad(pix_chan, ((0, pad), (0, 0)), constant_values=self.n_pix)
+                sw = np.pad(sw, ((0, pad), (0, 0)))
+                data = jnp.pad(data, ((0, pad), (0, 0)))
             self.blocks.append(
                 {
-                    "pix": pix_chan,
-                    "sw": jnp.asarray(sw),
-                    "data": data,
+                    "pix": self._put_det(pix_chan),
+                    "sw": self._put_det(jnp.asarray(sw)),
+                    "data": self._put_det(data),
                     "fs": tod.fs,
                 }
             )
+
+    def _put_det(self, x):
+        """Shard a det-major array over the mesh (no-op without one)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(x, NamedSharding(self.mesh, P("det", *[None] * (x.ndim - 1))))
 
     # -- pointing ------------------------------------------------------------------
     def _project(self, m_flat, block):
@@ -183,7 +208,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             if self.k > 0 and d.shape[0] > self.k:
                 # top-k detector modes of the windowed residuals
                 a, b = decompose(np.asarray(wd), k=self.k)
-                U = jnp.asarray(a, dtype=jnp.float32)  # (n_det, k)
+                U = self._put_det(jnp.asarray(a, dtype=jnp.float32))  # (n_det, k)
                 modes = jnp.asarray(b, dtype=jnp.float32)  # (k, n_t)
                 noise = wd - U @ modes
                 lam = jnp.abs(jnp.fft.rfft(modes, axis=-1)) ** 2 / (win**2).sum()

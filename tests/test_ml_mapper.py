@@ -267,3 +267,25 @@ def test_ml_time_bins_solve_independently(clean_tod_and_map):
         b = m_in[mask] - m_in[mask].mean()
         corr = (a * b).sum() / np.sqrt((a**2).sum() * (b**2).sum())
         assert corr > 0.8, (t, corr)
+
+
+def test_ml_mapper_det_sharded_equals_single(noisy_tod_and_map):
+    """mesh= shards every per-TOD block over detectors (zero-weight
+    padding to the shard count); the CG solution must match the
+    single-device solve."""
+    from maria_tpu.parallel import create_mesh
+
+    input_map, tod = noisy_tod_and_map
+    kwargs = dict(
+        center=(150.0, 10.0), width=np.degrees(input_map.width),
+        resolution=np.degrees(input_map.resolution),
+        frame="ra/dec", units="K_RJ", n_epochs=1, n_cg_iters=25, k=2,
+    )
+    single = MaximumLikelihoodMapper([tod], **kwargs).fit()
+    mesh = create_mesh(8, axis_names=("det",), shape=(8,))
+    sharded = MaximumLikelihoodMapper([tod], mesh=mesh, **kwargs).fit()
+
+    a = np.nan_to_num(np.asarray(single.data, dtype=np.float64))
+    b = np.nan_to_num(np.asarray(sharded.data, dtype=np.float64))
+    scale = np.abs(a).max() or 1.0
+    np.testing.assert_allclose(b, a, atol=1e-3 * scale, rtol=1e-3)
