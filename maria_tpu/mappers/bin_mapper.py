@@ -52,8 +52,15 @@ _bin_tod_block_jit = jax.jit(_bin_tod_block, static_argnames=("n_x", "n_y", "n_s
 
 
 class BinMapper(BaseProjectionMapper):
-    def run(self):
+    def run(self, mesh=None):
+        """Bin all TODs into the map. With a ("det", "time") `mesh`,
+        each (TOD, band, time-bin) block bins through the production
+        multi-chip kernel (parallel/binning.py: per-shard MXU plans +
+        one psum) — the result equals the single-device run (tested).
+        Detector/time axes are padded with zero-weight samples to the
+        mesh shape."""
         n_s, n_nu, n_t = len(self.stokes), len(self.nu), self.t_bins
+        mesh_sizes = dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh is not None else None
         # accumulate ON DEVICE across all blocks; the only device->host
         # transfer is the final one (reference hauled every sparse-matvec
         # product back per TOD, bin_mapper.py:100-112)
@@ -130,8 +137,15 @@ class BinMapper(BaseProjectionMapper):
                             [w_block_in * sw[:, s][:, None] * d_block for s in range(len(stokes_idx))]
                             + [w_block_in * jnp.abs(sw[:, s])[:, None] for s in range(len(stokes_idx))]
                         )
-                        binned = bin_blocked(channels, plan)
                         n_sk = len(stokes_idx)
+                        if mesh is not None:
+                            binned = self._bin_sharded(
+                                channels, iy_all[:, sl], ix_all[:, sl], mesh, mesh_sizes
+                            )
+                        else:
+                            binned = None
+                        if binned is None:
+                            binned = bin_blocked(channels, plan)
                         sums = sums.at[:, i_nu, i_t].add(binned[:n_sk])
                         wgts = wgts.at[:, i_nu, i_t].add(binned[n_sk:])
                         continue
@@ -147,3 +161,22 @@ class BinMapper(BaseProjectionMapper):
         data, weights = self.postprocess(np.asarray(sums), np.asarray(wgts))
         self.map = self.make_map(data, weights)
         return self.map
+
+    def _bin_sharded(self, channels, iy, ix, mesh, sizes):
+        """One (TOD, band, bin) block through the multi-chip MXU path;
+        None when the per-shard windows would not pay (caller falls back
+        to the single-device plan)."""
+        from ..parallel.binning import bin_blocked_sharded, make_sharded_bin_plan
+
+        n_ds = sizes.get("det", 1)
+        n_ts = sizes.get("time", 1)
+        pad_d = -iy.shape[0] % n_ds
+        pad_t = -iy.shape[1] % n_ts
+        if pad_d or pad_t:
+            iy = np.pad(iy, ((0, pad_d), (0, pad_t)), constant_values=-1)
+            ix = np.pad(ix, ((0, pad_d), (0, pad_t)), constant_values=-1)
+            channels = jnp.pad(channels, ((0, 0), (0, pad_d), (0, pad_t)))
+        plan = make_sharded_bin_plan(iy, ix, self.n_y, self.n_x, mesh)
+        if plan is None:
+            return None
+        return bin_blocked_sharded(channels, plan, mesh)

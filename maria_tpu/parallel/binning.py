@@ -124,18 +124,21 @@ def make_sharded_bin_plan(
 
 
 def bin_blocked_sharded(data, plan: ShardedBinPlan, mesh, device_args=None, weights=None):
-    """Bin a mesh-sharded TOD into a replicated (n_y, n_x) map.
+    """Bin a mesh-sharded TOD into replicated (n_y, n_x) map(s).
 
-    `data` is (n_det, n_t) laid out P(det, time) on `mesh` (or any
-    layout — it is resharded). Each shard runs the MXU-blocked kernel on
-    its local block with its own plan, then one psum over both axes
-    reduces the partials. Equals the single-device `bin_blocked` /
-    segment-sum to f32 accumulation order (tested)."""
+    `data` is (n_det, n_t) or channel-stacked (n_ch, n_det, n_t), laid
+    out P(det, time) on `mesh` (or any layout — it is resharded). Each
+    shard runs the MXU-blocked kernel on its local block with its own
+    plan, then one psum over both axes reduces the partials. Equals the
+    single-device `bin_blocked` / segment-sum to f32 accumulation order
+    (tested)."""
     args = plan.device_args(mesh) if device_args is None else device_args
     spec = P(plan.det_axis, plan.time_axis)
     axes = (plan.det_axis, plan.time_axis)
     if weights is not None:
         data = data * weights  # bin_blocked folds weights the same way
+    stacked = data.ndim == 3
+    data_spec = P(None, plan.det_axis, plan.time_axis) if stacked else spec
 
     def shard_fn(d, ly, lx, origins, order):
         m = bin_blocked(
@@ -144,7 +147,7 @@ def bin_blocked_sharded(data, plan: ShardedBinPlan, mesh, device_args=None, weig
         )
         return jax.lax.psum(m, axes)
 
-    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(spec,) * 5, out_specs=P())
+    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(data_spec,) + (spec,) * 4, out_specs=P())
     with mesh:
-        data = jax.device_put(data, NamedSharding(mesh, spec))
+        data = jax.device_put(data, NamedSharding(mesh, data_spec))
         return fn(data, *args)

@@ -114,3 +114,38 @@ def test_mapper_map_only_units(recovery):
     assert out.units == "Jy/pixel"
     w = np.asarray(out.weight)
     assert (w > 0).any() and np.isfinite(np.nan_to_num(np.asarray(out.data))).all()
+
+
+def test_bin_mapper_sharded_equals_single():
+    """BinMapper.run(mesh=...) routes every block through the multi-chip
+    MXU binning path and must equal the single-device map."""
+    import jax
+
+    from maria_tpu.mappers import BinMapper
+    from maria_tpu.parallel import create_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+
+    plan = maria_tpu.get_plan(
+        "daisy_5arcmin_60s", start_time=1.75e9, scan_center=(150.0, 41.0),
+        frame="az/el", duration=20.0, sample_rate=50.0,
+    )
+    sim = maria_tpu.Simulation(
+        instrument="MUSTANG-2", plans=plan, site="GBT", atmosphere="2d", noise=True, seed=3
+    )
+    tod = sim.run()[0]
+    kwargs = dict(center=(150.0, 41.0), frame="az/el", width=0.1, resolution=0.1 / 128,
+                  units="K_RJ", progress_bars=False)
+    single = BinMapper([tod], **kwargs).run()
+    sharded = BinMapper([tod], **kwargs).run(mesh=create_mesh(8))
+
+    a = np.nan_to_num(np.asarray(single.data, dtype=np.float64))
+    b = np.nan_to_num(np.asarray(sharded.data, dtype=np.float64))
+    scale = np.abs(a).max() or 1.0
+    np.testing.assert_allclose(b, a, atol=1e-5 * scale, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sharded.weight), np.asarray(single.weight), rtol=1e-5, atol=1e-6
+    )
