@@ -18,7 +18,7 @@ echo "rc=$?" >> /tmp/tpu_profile.log
 ( time timeout 900  python tools/bench_ml_mapper.py )              > /tmp/tpu_mlmapper.log 2>&1
 echo "rc=$?" >> /tmp/tpu_mlmapper.log
 
-( time timeout 900  python tools/bench_cmb_synthesis.py )          > /tmp/tpu_cmb.log      2>&1
+( time timeout 900  python tools/bench_cmb_synthesis.py --scan )   > /tmp/tpu_cmb.log      2>&1
 echo "rc=$?" >> /tmp/tpu_cmb.log
 
 grep -h '^{' /tmp/tpu_bench.log /tmp/tpu_profile.log /tmp/tpu_mlmapper.log /tmp/tpu_cmb.log
