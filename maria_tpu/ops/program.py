@@ -129,7 +129,13 @@ class TODProgram:
         count (equal shards need equal rows). Padded detectors replicate
         the LAST detector — same band, same pointing — and must be
         excluded from maps downstream (mark their pixels negative).
-        Call BEFORE device_tables(). Returns the number of padded rows."""
+        Call BEFORE device_tables(). Returns the number of padded rows.
+
+        Note: padding changes the shapes of the noise/gain draws, so a
+        padded program is a DIFFERENT realization from the unpadded one
+        for the same key (the turbulence screens are unaffected). All
+        sharded-vs-unsharded comparisons must use the same padded
+        program on both sides."""
         n_det = len(self.offsets)
         pad = -n_det % multiple
         if not pad:
