@@ -92,6 +92,16 @@ def _load():
     except OSError as e:
         logger.warning(f"native SHT cache dir unusable: {e}")
         return None
+    # never load a cached .so we don't own or that others can write
+    # (a user-supplied MARIA_TPU_NATIVE_CACHE may predate the 0700 fix)
+    if os.path.exists(path):
+        st = os.stat(path)
+        if st.st_uid != os.getuid() or st.st_mode & (stat.S_IWGRP | stat.S_IWOTH):
+            logger.warning(f"discarding untrusted cached {path}; recompiling")
+            try:
+                os.unlink(path)
+            except OSError:
+                return None
     if not os.path.exists(path) and not _compile(path):
         return None
     try:

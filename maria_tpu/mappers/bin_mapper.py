@@ -109,6 +109,9 @@ class BinMapper(BaseProjectionMapper):
                 # the Hilbert detector sort depends only on the (shared)
                 # pointing — compute once per band, reuse for every t bin
                 det_order = hilbert_detector_order(iy_all, ix_all)
+                shard_orders = (
+                    self._shard_orders(iy_all, ix_all, mesh_sizes) if mesh is not None else None
+                )
 
                 for i_t in range(n_t):
                     cols = np.where(t_index == i_t)[0]
@@ -140,7 +143,8 @@ class BinMapper(BaseProjectionMapper):
                         n_sk = len(stokes_idx)
                         if mesh is not None:
                             binned = self._bin_sharded(
-                                channels, iy_all[:, sl], ix_all[:, sl], mesh, mesh_sizes
+                                channels, iy_all[:, sl], ix_all[:, sl], mesh, mesh_sizes,
+                                shard_orders,
                             )
                         else:
                             binned = None
@@ -162,7 +166,25 @@ class BinMapper(BaseProjectionMapper):
         self.map = self.make_map(data, weights)
         return self.map
 
-    def _bin_sharded(self, channels, iy, ix, mesh, sizes):
+    def _shard_orders(self, iy_all, ix_all, sizes):
+        """Per-det-shard Hilbert orders over the FULL time range, shared
+        by every time bin's sharded plan (the sort depends only on the
+        pointing)."""
+        n_ds = sizes.get("det", 1)
+        pad_d = -iy_all.shape[0] % n_ds
+        if pad_d:
+            iy_all = np.pad(iy_all, ((0, pad_d), (0, 0)), constant_values=-1)
+            ix_all = np.pad(ix_all, ((0, pad_d), (0, 0)), constant_values=-1)
+        d_local = iy_all.shape[0] // n_ds
+        return [
+            hilbert_detector_order(
+                iy_all[i * d_local : (i + 1) * d_local],
+                ix_all[i * d_local : (i + 1) * d_local],
+            )
+            for i in range(n_ds)
+        ]
+
+    def _bin_sharded(self, channels, iy, ix, mesh, sizes, shard_orders=None):
         """One (TOD, band, bin) block through the multi-chip MXU path;
         None when the per-shard windows would not pay (caller falls back
         to the single-device plan)."""
@@ -176,7 +198,7 @@ class BinMapper(BaseProjectionMapper):
             iy = np.pad(iy, ((0, pad_d), (0, pad_t)), constant_values=-1)
             ix = np.pad(ix, ((0, pad_d), (0, pad_t)), constant_values=-1)
             channels = jnp.pad(channels, ((0, 0), (0, pad_d), (0, pad_t)))
-        plan = make_sharded_bin_plan(iy, ix, self.n_y, self.n_x, mesh)
+        plan = make_sharded_bin_plan(iy, ix, self.n_y, self.n_x, mesh, orders=shard_orders)
         if plan is None:
             return None
         return bin_blocked_sharded(channels, plan, mesh)

@@ -140,6 +140,7 @@ class TODProgram:
         pad = -n_det % multiple
         if not pad:
             return 0
+        self.n_real_det = n_det  # consumers mask rows >= n_real_det out of maps
         self.offsets = np.pad(self.offsets, ((0, pad), (0, 0)), mode="edge")
         self.mueller_I = np.pad(self.mueller_I, (0, pad), mode="edge")
         if self.gain_error is not None:

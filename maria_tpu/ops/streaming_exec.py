@@ -73,18 +73,12 @@ def pad_coarse_for_blocks_ext(values, block_tc: int, n_blocks: int):
     return jnp.concatenate([values[..., :1], values[..., :1], values, right], axis=-1)
 
 
-def upsample_block_ext(values_pad2, c0, block_tc: int, ratio: int, n_c: int, v_last, kind="cubic"):
-    """Blockwise upsample over cells [c0 - 1, c0 + block_tc + 1): one
-    coarse-cell halo on each side of the block, for stages (like the
-    continuous-integration kernel) that need fine-sample context across
-    block boundaries. `values_pad2` comes from
-    `pad_coarse_for_blocks_ext`. Interior fine values are bitwise-equal
-    to `upsample_block_phases`; halo cells beyond the global fine range
-    are junk that callers must clamp (see the kernel helper)."""
-    n_cells = block_tc + 2
-    # cell (c0 - 1)'s p0 = v[c0 - 2] lives at pad2 index c0 (two clamps)
-    sl = jax.lax.dynamic_slice_in_dim(values_pad2, c0, n_cells + 3, axis=-1)
-    dtype = values_pad2.dtype
+def _stencil_cells(sl, n_cells: int, ratio: int, n_c: int, kind: str):
+    """Catmull-Rom (or linear) phase stencil over `n_cells` coarse cells
+    given the slice [p0 of cell 0 ... p3 of cell n_cells-1] — the same
+    weights as ops/interp.upsample_time_phases, factored out so the two
+    blockwise variants cannot drift from each other."""
+    dtype = sl.dtype
     s = (jnp.arange(ratio, dtype=dtype) / ratio)[None, :]
     p0 = sl[..., 0:n_cells, None]
     p1 = sl[..., 1 : n_cells + 1, None]
@@ -99,7 +93,21 @@ def upsample_block_ext(values_pad2, c0, block_tc: int, ratio: int, n_c: int, v_l
             + (2 * p0 - 5 * p1 + 4 * p2 - p3) * s**2
             + (-p0 + 3 * p1 - 3 * p2 + p3) * s**3
         )
-    out = out.reshape(*out.shape[:-2], n_cells * ratio)
+    return out.reshape(*out.shape[:-2], n_cells * ratio)
+
+
+def upsample_block_ext(values_pad2, c0, block_tc: int, ratio: int, n_c: int, v_last, kind="cubic"):
+    """Blockwise upsample over cells [c0 - 1, c0 + block_tc + 1): one
+    coarse-cell halo on each side of the block, for stages (like the
+    continuous-integration kernel) that need fine-sample context across
+    block boundaries. `values_pad2` comes from
+    `pad_coarse_for_blocks_ext`. Interior fine values are bitwise-equal
+    to `upsample_block_phases`; halo cells beyond the global fine range
+    are junk that callers must clamp (see the kernel helper)."""
+    n_cells = block_tc + 2
+    # cell (c0 - 1)'s p0 = v[c0 - 2] lives at pad2 index c0 (two clamps)
+    sl = jax.lax.dynamic_slice_in_dim(values_pad2, c0, n_cells + 3, axis=-1)
+    out = _stencil_cells(sl, n_cells, ratio, n_c, kind)
     g = (c0 - 1) * ratio + jnp.arange(n_cells * ratio)
     return jnp.where(g >= (n_c - 1) * ratio, v_last[..., None], out)
 
@@ -113,22 +121,7 @@ def upsample_block_phases(values_pad, c0, block_tc: int, ratio: int, n_c: int, v
     fine samples past cell n_c - 2 replicate the last coarse value,
     matching the full version's tail extension."""
     sl = jax.lax.dynamic_slice_in_dim(values_pad, c0, block_tc + 3, axis=-1)
-    dtype = values_pad.dtype
-    s = (jnp.arange(ratio, dtype=dtype) / ratio)[None, :]
-    p0 = sl[..., 0:block_tc, None]
-    p1 = sl[..., 1 : block_tc + 1, None]
-    p2 = sl[..., 2 : block_tc + 2, None]
-    p3 = sl[..., 3 : block_tc + 3, None]
-    if kind == "linear" or n_c < 4:
-        out = p1 * (1 - s) + p2 * s
-    else:
-        out = 0.5 * (
-            2 * p1
-            + (-p0 + p2) * s
-            + (2 * p0 - 5 * p1 + 4 * p2 - p3) * s**2
-            + (-p0 + 3 * p1 - 3 * p2 + p3) * s**3
-        )
-    out = out.reshape(*out.shape[:-2], block_tc * ratio)
+    out = _stencil_cells(sl, block_tc, ratio, n_c, kind)
     # tail: fine j >= (n_c - 1) * ratio repeats the last coarse value
     g = c0 * ratio + jnp.arange(block_tc * ratio)
     return jnp.where(g >= (n_c - 1) * ratio, v_last[..., None], out)
@@ -202,6 +195,7 @@ class StreamingExecutor:
         self.n_t = len(program.t_fine)
         self.n_c = len(program.t_coarse)
         self.n_det = len(program.offsets)
+        self.n_real_det = getattr(program, "n_real_det", self.n_det)
         self.n_blocks = -(-self.n_t // self.B)
         duration = float(program.t_fine[-1] - program.t_fine[0]) + 1.0
         T_ref = T_ref or max(4096.0, 2.0 * duration)
@@ -412,6 +406,15 @@ class StreamingExecutor:
         sky = self.sky
         mueller_I = jnp.asarray(p.mueller_I, dtype=jnp.float32)
         interior = slice(r, r + B)
+        # pad_detectors replicates the last detector to fill det shards;
+        # those rows must not reach the map or the PSDs (program.py
+        # pad_detectors contract)
+        n_real = self.n_real_det
+        real_row = (np.arange(n_det) < n_real)[:, None]
+        band_real = [
+            jnp.asarray((np.asarray(band.det_index) < n_real), dtype=jnp.float32)
+            for band in p.bands
+        ]
 
         def sky_fields_block(state, xs_sky, c0):
             """Non-atmosphere sky loading for this block (pW, ungained):
@@ -563,7 +566,8 @@ class StreamingExecutor:
             iy = jnp.floor((offs[..., 1] + half) / res).astype(jnp.int32)
             g = c0 * r + jnp.arange(B)
             inside = (
-                (ix >= 0) & (ix < n_x) & (iy >= 0) & (iy < n_y) & (g < n_t)[None, :]
+                (ix >= 0) & (ix < n_x) & (iy >= 0) & (iy < n_y)
+                & (g < n_t)[None, :] & jnp.asarray(real_row)
             )
             pix = jnp.where(inside, iy * n_x + ix, n_y * n_x)  # overflow bucket
             w = inside.astype(jnp.float32)
@@ -574,19 +578,26 @@ class StreamingExecutor:
 
             if with_psd:
                 # Welch: detrended + Hann-windowed per-band periodograms,
-                # mean over band detectors; partial tail blocks excluded
-                # (their padded samples would bias the spectrum)
+                # mean over REAL band detectors; partial tail blocks
+                # excluded (their padded samples would bias the spectrum)
                 full = ((b + 1) * B <= n_t).astype(jnp.float32)
                 hann = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(B) / B)
-                norm = 2.0 / (p.sample_rate * jnp.sum(hann**2))
+                # one-sided scale: interior bins double, DC/Nyquist do not
+                # (the scipy.signal.welch convention)
+                one_sided = jnp.full(B // 2 + 1, 2.0).at[0].set(1.0)
+                if B % 2 == 0:
+                    one_sided = one_sided.at[-1].set(1.0)
+                norm = one_sided / (p.sample_rate * jnp.sum(hann**2))
                 psd_sum = []
                 for i, band in enumerate(p.bands):
                     x = tod[band.det_sel]
                     x = x - x.mean(axis=-1, keepdims=True)
                     spec = jnp.abs(jnp.fft.rfft(x * hann, axis=-1)) ** 2
-                    psd_sum.append(
-                        state["psd_sum"][i] + full * norm * spec.mean(axis=0)
+                    w_real = band_real[i]
+                    mean_spec = (w_real[:, None] * spec).sum(axis=0) / jnp.maximum(
+                        w_real.sum(), 1.0
                     )
+                    psd_sum.append(state["psd_sum"][i] + full * norm * mean_spec)
                 new_state["psd_sum"] = psd_sum
                 new_state["psd_blocks"] = state["psd_blocks"] + full
             return new_state, (tod if with_tod else ())
@@ -652,7 +663,7 @@ class StreamingExecutor:
         return StreamingResult(
             map_sum=np.asarray(state["map_sum"]).reshape(self.n_y, self.n_x),
             map_wgt=np.asarray(state["map_wgt"]).reshape(self.n_y, self.n_x),
-            n_samples=self.n_det * self.n_t,
+            n_samples=self.n_real_det * self.n_t,
             n_x=self.n_x, n_y=self.n_y, center=self.center, res=self.res,
             psd_freqs=psd_freqs, psds=psds,
         )

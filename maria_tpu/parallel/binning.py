@@ -18,6 +18,7 @@ the shard_map body compiles once.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +49,17 @@ class ShardedBinPlan:
     origins: np.ndarray  # (n_ds, n_ts, n_blocks, n_chunks, 2)
     order: np.ndarray  # (n_ds, n_ts, n_blocks * det_block)
 
+    def mesh_axes(self, mesh):
+        """(det_axis or None, time_axis or None) restricted to the axes
+        this mesh actually has (a det-only mesh has one time shard)."""
+        names = set(mesh.axis_names)
+        return (
+            self.det_axis if self.det_axis in names else None,
+            self.time_axis if self.time_axis in names else None,
+        )
+
     def device_args(self, mesh):
-        spec = P(self.det_axis, self.time_axis)
+        spec = P(*self.mesh_axes(mesh))
         put = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))  # noqa: E731
         return (put(self.ly), put(self.lx), put(self.origins), put(self.order))
 
@@ -65,17 +75,23 @@ def make_sharded_bin_plan(
     chunk: int = 64,
     det_block: int = 512,
     max_window_frac: float = 0.5,
+    orders: list = None,
 ) -> ShardedBinPlan:
     """Build per-shard MXU binning plans from static (n_det, n_t) pixel
     rows/cols. The detector and time axes must already be padded to
     multiples of the mesh axis sizes (mark padded samples with negative
-    indices). Returns None when any shard's window would not pay off
+    indices). `orders` optionally gives each det shard's precomputed
+    local Hilbert order (len n_det_shards) — callers binning many time
+    bins of the same pointing share the sorts.
+    Returns None when any shard's window would not pay off
     (fall back to a sharded segment-sum)."""
     iy = np.asarray(iy, dtype=np.int32)
     ix = np.asarray(ix, dtype=np.int32)
     n_det, n_t = iy.shape
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    n_ds, n_ts = sizes[det_axis], sizes[time_axis]
+    # a mesh may carry only one of the two axes (e.g. a det-only mesh);
+    # the missing axis simply has one shard
+    n_ds, n_ts = sizes.get(det_axis, 1), sizes.get(time_axis, 1)
     if n_det % n_ds or n_t % n_ts:
         raise ValueError(
             f"pad the TOD to the mesh first: ({n_det}, {n_t}) is not divisible by ({n_ds}, {n_ts})"
@@ -92,6 +108,7 @@ def make_sharded_bin_plan(
             p = make_blocked_bin_plan(
                 shard_block(iy, i, j), shard_block(ix, i, j), n_y, n_x,
                 chunk=chunk, det_block=det_block, max_window_frac=max_window_frac,
+                order=None if orders is None else orders[i],
             )
             if p is None:
                 return None
@@ -107,6 +124,7 @@ def make_sharded_bin_plan(
                 shard_block(iy, i, j), shard_block(ix, i, j), n_y, n_x,
                 chunk=chunk, det_block=det_block, max_window_frac=max_window_frac,
                 force_window=(wy, wx),
+                order=None if orders is None else orders[i],
             )
             if p is None:
                 return None
@@ -133,21 +151,50 @@ def bin_blocked_sharded(data, plan: ShardedBinPlan, mesh, device_args=None, weig
     single-device `bin_blocked` / segment-sum to f32 accumulation order
     (tested)."""
     args = plan.device_args(mesh) if device_args is None else device_args
-    spec = P(plan.det_axis, plan.time_axis)
-    axes = (plan.det_axis, plan.time_axis)
+    da, ta = plan.mesh_axes(mesh)
+    axes = tuple(a for a in (da, ta) if a is not None)
+    if not axes:
+        raise ValueError(f"mesh {mesh.axis_names} has neither a det nor a time axis")
+    spec = P(da, ta)
     if weights is not None:
         data = data * weights  # bin_blocked folds weights the same way
     stacked = data.ndim == 3
-    data_spec = P(None, plan.det_axis, plan.time_axis) if stacked else spec
+    data_spec = P(None, da, ta) if stacked else spec
+
+    fn = _cached_shard_bin_fn(mesh, axes, _static_key(plan.local), data_spec, spec)
+    with mesh:
+        data = jax.device_put(data, NamedSharding(mesh, data_spec))
+        return fn(data, *args)
+
+
+def _static_key(local: BlockedBinPlan) -> tuple:
+    """The static shape fields bin_blocked reads from the plan (index
+    arrays always ride as arguments here)."""
+    return (
+        local.n_y, local.n_x, local.wy, local.wx, local.chunk,
+        local.n_chunks, local.det_block, local.n_blocks, local.n_t,
+    )
+
+
+@lru_cache(maxsize=64)
+def _cached_shard_bin_fn(mesh, axes, static_key, data_spec, spec):
+    """One jitted shard_map per (mesh, plan shapes): callers binning many
+    time bins would otherwise build a fresh closure per block and
+    retrace/recompile every time (jit caches on function identity)."""
+    shell = BlockedBinPlan(
+        n_y=static_key[0], n_x=static_key[1], wy=static_key[2], wx=static_key[3],
+        chunk=static_key[4], n_chunks=static_key[5], det_block=static_key[6],
+        n_blocks=static_key[7], n_t=static_key[8],
+        order=None, ly=None, lx=None, origins=None,
+    )
 
     def shard_fn(d, ly, lx, origins, order):
         m = bin_blocked(
-            d, plan.local, ly=ly[0, 0], lx=lx[0, 0], origins=origins[0, 0],
+            d, shell, ly=ly[0, 0], lx=lx[0, 0], origins=origins[0, 0],
             order=order[0, 0], pvary_axes=axes,
         )
         return jax.lax.psum(m, axes)
 
-    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(data_spec,) + (spec,) * 4, out_specs=P())
-    with mesh:
-        data = jax.device_put(data, NamedSharding(mesh, data_spec))
-        return fn(data, *args)
+    return jax.jit(
+        jax.shard_map(shard_fn, mesh=mesh, in_specs=(data_spec,) + (spec,) * 4, out_specs=P())
+    )

@@ -142,6 +142,11 @@ def test_streaming_det_sharded_equals_single_device(mustang_program):
     sharded = ex.run(key, group_size=4, mesh=mesh)
     np.testing.assert_array_equal(single.map_wgt, sharded.map_wgt)
     np.testing.assert_allclose(single.map_sum, sharded.map_sum, rtol=1e-5, atol=1e-3)
+    # padded (replicated) detectors must never reach the map: exactly
+    # n_real_det x n_t hits, not n_padded x n_t
+    assert program.n_real_det == 217 and len(program.offsets) == 224
+    assert single.map_wgt.sum() == program.n_real_det * len(program.t_fine)
+    assert single.n_samples == program.n_real_det * len(program.t_fine)
 
 
 def test_streamed_welch_psd_matches_full_tod(mustang_program):

@@ -24,7 +24,10 @@ import sys
 import time
 
 # keep the persistent compile cache warm across runs (CPU-only artifact;
-# the axon TPU plugin cannot serialize executables)
+# the axon TPU plugin cannot serialize executables). The fingerprint is
+# intentionally duplicated from bench.py/__graft_entry__: the env var
+# must exist BEFORE jax initializes, and importing maria_tpu (which
+# hosts the shared helper) would import jax first.
 import hashlib
 import platform
 

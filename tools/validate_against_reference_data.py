@@ -42,7 +42,10 @@ BANDS_GHZ = {"f090": (75, 105), "f150": (125, 170), "f220": (195, 245), "f280": 
 
 
 def _download(rel_path: str, dest_dir: str):
-    """Network-only fetch (no generator fallback). None when offline."""
+    """Network-only fetch (no generator fallback). None when offline or
+    when MARIA_TPU_OFFLINE=1 forces the offline path (CI smoke)."""
+    if os.environ.get("MARIA_TPU_OFFLINE") == "1":
+        return None
     from maria_tpu.io.caching import _download as dl
 
     dest = os.path.join(dest_dir, rel_path.replace("/", "_"))
