@@ -10,8 +10,10 @@ run grows with every field at the fine rate).
 Usage:  python tools/streaming_memory_demo.py [durations_s ...]
         python tools/streaming_memory_demo.py --child 3600   (internal)
 
-Writes one JSON line per duration and a summary. CPU-safe (forces the
-cpu platform): the point is the memory scaling, not device speed.
+Writes one JSON line per duration and a summary. Forces the cpu
+platform by default (the point is the memory scaling); pass --tpu to
+run on the default platform instead (then samples_per_s is the
+long-observation on-chip throughput — run SOLO on the tunnel).
 """
 
 from __future__ import annotations
@@ -23,14 +25,16 @@ import subprocess
 import sys
 import time
 
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["JAX_PLATFORMS"] = "cpu"
+if "--tpu" not in sys.argv:
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 
 def child(duration: float) -> None:
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if "--tpu" not in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     import maria_tpu
@@ -75,8 +79,11 @@ def child(duration: float) -> None:
 def main(durations) -> None:
     rows = []
     for d in durations:
+        child_args = [sys.executable, os.path.abspath(__file__), "--child", str(d)]
+        if "--tpu" in sys.argv:
+            child_args.append("--tpu")
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(d)],
+            child_args,
             capture_output=True, text=True, timeout=7200,
         )
         line = next((ln for ln in proc.stdout.splitlines() if ln.startswith("{")), None)

@@ -22,3 +22,7 @@ echo "rc=$?" >> /tmp/tpu_mlmapper.log
 echo "rc=$?" >> /tmp/tpu_cmb.log
 
 grep -h '^{' /tmp/tpu_bench.log /tmp/tpu_profile.log /tmp/tpu_mlmapper.log /tmp/tpu_cmb.log
+
+( time timeout 1200 python tools/streaming_memory_demo.py --tpu 600 1800 ) > /tmp/tpu_streaming.log 2>&1
+echo "rc=$?" >> /tmp/tpu_streaming.log
+grep -h '^{' /tmp/tpu_streaming.log
