@@ -174,6 +174,7 @@ class StreamingExecutor:
         cmb=None,
         input_map=None,
         map_kwargs: dict = None,
+        frame: str = "az/el",
     ):
         if program.upsample_ratio is None:
             raise ValueError(
@@ -188,6 +189,11 @@ class StreamingExecutor:
             )
         if (cmb is not None or input_map is not None) and obs is None:
             raise ValueError("streaming sky stages need the Observation (obs=)")
+        if frame not in ("az/el", "ra/dec"):
+            raise ValueError(f"frame must be 'az/el' or 'ra/dec', not '{frame}'")
+        if frame == "ra/dec" and obs is None:
+            raise ValueError("binning in ra/dec needs the Observation (obs=)")
+        self.frame = frame
         self.program = program
         self.r = int(program.upsample_ratio)
         self.block_tc = int(block_tc)
@@ -215,23 +221,39 @@ class StreamingExecutor:
         self.bs_az_f = np.pad(bs_az_f, (0, pad_f), mode="edge")
         self.bs_el_f = np.pad(bs_el_f, (0, pad_f), mode="edge")
 
+        # binning-frame tracks (exact pointing; O(n_t) scalars on host)
+        self.bs_ra_f = self.bs_dec_f = self.q_f = None
+        if obs is not None and frame == "ra/dec":
+            self._load_radec_tracks(obs, pad_f)
+
         # map geometry (defaults sized from the detector hull like bench)
         self.n_x, self.n_y = int(n_x), int(n_y)
-        c_az = center[0] if center else float(np.mean(np.asarray(program.bs_az_coarse)))
-        c_el = center[1] if center else float(np.mean(np.asarray(program.bs_el_coarse)))
-        self.center = (c_az, c_el)
+        if frame == "ra/dec":
+            phi_f, theta_f = self.bs_ra_f, self.bs_dec_f
+        else:
+            phi_f, theta_f = self.bs_az_f, self.bs_el_f
+        c0 = center[0] if center else float(np.mean(phi_f))
+        c1 = center[1] if center else float(np.mean(theta_f))
+        self.center = (c0, c1)
         if res is None:
-            # bound every det x time sample: hull detectors x a coarse
+            # bound every det x time sample: all detectors x a coarse
             # boresight subsample, with margin for the skipped samples
-            step = max(1, len(self.bs_az_f) // 1024)
+            step = max(1, len(phi_f) // 1024)
+            o = program.offsets.astype(np.float32)
+            if frame == "ra/dec":
+                q = self.q_f[::step]
+                cq, sq = np.cos(q), np.sin(q)
+                det_offs = np.stack(
+                    [o[:, :1] * cq - o[:, 1:] * sq, o[:, :1] * sq + o[:, 1:] * cq], axis=-1
+                )
+            else:
+                det_offs = o[:, None, :]
             pt = np.asarray(
                 offsets_to_phi_theta(
-                    program.offsets[:, None, :].astype(np.float32),
-                    jnp.asarray(self.bs_az_f[::step]),
-                    jnp.asarray(self.bs_el_f[::step]),
+                    jnp.asarray(det_offs), jnp.asarray(phi_f[::step]), jnp.asarray(theta_f[::step])
                 )
             )
-            offs = np.asarray(phi_theta_to_offsets_jit(jnp.asarray(pt), c_az, c_el))
+            offs = np.asarray(phi_theta_to_offsets_jit(jnp.asarray(pt), c0, c1))
             half = float(np.abs(offs).max()) * 1.05 + 1e-6
             res = 2 * half / self.n_x
         self.res = float(res)
@@ -323,14 +345,19 @@ class StreamingExecutor:
             sky["bands"].append(entry)
 
         if sky["need_radec"]:
-            sky["bs_ra_f"] = np.pad(
-                np.asarray(obs.boresight.ra, dtype=np.float32), (0, pad_f), mode="edge"
-            )
-            sky["bs_dec_f"] = np.pad(
-                np.asarray(obs.boresight.dec, dtype=np.float32), (0, pad_f), mode="edge"
-            )
-            sky["q_f"] = np.pad(np.asarray(obs.q, dtype=np.float32), (0, pad_f), mode="edge")
+            self._load_radec_tracks(obs, pad_f)
         self.sky = sky
+
+    def _load_radec_tracks(self, obs, pad_f: int):
+        if self.bs_ra_f is not None:
+            return
+        self.bs_ra_f = np.pad(
+            np.asarray(obs.boresight.ra, dtype=np.float32), (0, pad_f), mode="edge"
+        )
+        self.bs_dec_f = np.pad(
+            np.asarray(obs.boresight.dec, dtype=np.float32), (0, pad_f), mode="edge"
+        )
+        self.q_f = np.pad(np.asarray(obs.q, dtype=np.float32), (0, pad_f), mode="edge")
 
     # ------------------------------------------------------------------
     def init_state(self, key):
@@ -401,7 +428,6 @@ class StreamingExecutor:
         n_x, n_y, res = self.n_x, self.n_y, self.res
         c_az, c_el = self.center
         offsets = jnp.asarray(p.offsets, dtype=jnp.float32)
-        half = res * n_x / 2
 
         sky = self.sky
         mueller_I = jnp.asarray(p.mueller_I, dtype=jnp.float32)
@@ -524,11 +550,14 @@ class StreamingExecutor:
                 total = total + p._per_band_assemble(map_piece, (n_det, B))
             return total
 
+        need_tracks = sky is not None or self.frame == "ra/dec"
+
         def block_fn(state, xs):
-            if sky is not None:
+            if need_tracks:
                 b, bs_az_b, bs_el_b, xs_sky = xs
             else:
                 b, bs_az_b, bs_el_b = xs
+                xs_sky = None
             c0 = b * block_tc
 
             atm = upsample_block_phases(
@@ -559,11 +588,22 @@ class StreamingExecutor:
             else:
                 new_states = state["noise"]
 
-            # bin the block straight into the carried map (pW sums)
-            pt = offsets_to_phi_theta(offsets[:, None, :], bs_az_b, bs_el_b)
+            # bin the block straight into the carried map (pW sums);
+            # same pixel convention as BinMapper (round, centered grid)
+            if self.frame == "ra/dec":
+                ra_ext, dec_ext, q_ext = xs_sky[0], xs_sky[1], xs_sky[2]
+                cq, sq = jnp.cos(q_ext[interior]), jnp.sin(q_ext[interior])
+                offs_rot = jnp.stack(
+                    [offsets[:, :1] * cq - offsets[:, 1:] * sq,
+                     offsets[:, :1] * sq + offsets[:, 1:] * cq], axis=-1)
+                pt = offsets_to_phi_theta(offs_rot, ra_ext[interior], dec_ext[interior])
+            else:
+                pt = offsets_to_phi_theta(offsets[:, None, :], bs_az_b, bs_el_b)
             offs = phi_theta_to_offsets_jit(pt, c_az, c_el)
-            ix = jnp.floor((offs[..., 0] + half) / res).astype(jnp.int32)
-            iy = jnp.floor((offs[..., 1] + half) / res).astype(jnp.int32)
+            x0 = -(n_x - 1) / 2 * res
+            y0 = -(n_y - 1) / 2 * res
+            ix = jnp.round((offs[..., 0] - x0) / res).astype(jnp.int32)
+            iy = jnp.round((offs[..., 1] - y0) / res).astype(jnp.int32)
             g = c0 * r + jnp.arange(B)
             inside = (
                 (ix >= 0) & (ix < n_x) & (iy >= 0) & (iy < n_y)
@@ -686,7 +726,8 @@ class StreamingExecutor:
         run_group = self._group_fn(with_tod, with_psd)
         az = self.bs_az_f.reshape(self.n_blocks, self.B)
         el = self.bs_el_f.reshape(self.n_blocks, self.B)
-        sky_ext = self._sky_track_blocks() if self.sky is not None else None
+        need_tracks = self.sky is not None or self.frame == "ra/dec"
+        sky_ext = self._sky_track_blocks() if need_tracks else None
         for g0 in range(0, self.n_blocks, group_size):
             g1 = min(g0 + group_size, self.n_blocks)
             bs = jnp.arange(g0, g1)
@@ -714,9 +755,9 @@ class StreamingExecutor:
             )
 
         zeros = np.zeros(self.n_blocks * self.B, dtype=np.float32)
-        ra = self.sky.get("bs_ra_f", zeros)
-        dec = self.sky.get("bs_dec_f", zeros)
-        q = self.sky.get("q_f", zeros)
+        ra = self.bs_ra_f if self.bs_ra_f is not None else zeros
+        dec = self.bs_dec_f if self.bs_dec_f is not None else zeros
+        q = self.q_f if self.q_f is not None else zeros
         self._sky_blocks_cache = tuple(
             ext_blocks(t) for t in (ra, dec, q, self.bs_az_f, self.bs_el_f)
         )

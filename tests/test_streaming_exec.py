@@ -237,3 +237,44 @@ def test_streaming_cmb_stage_matches_batch(radec_sim_ingredients):
     fluct = np.std(batch - batch.mean())
     assert np.quantile(diff, 0.999) < 1e-3 * max(fluct, 1e-12) + 1e-9
     assert (diff > 0.05 * fluct).mean() < 1e-3  # isolated pixel-boundary flips only
+
+
+def test_streaming_radec_binning_matches_host(radec_sim_ingredients):
+    """frame='ra/dec': streamed binning must follow the sky (match an
+    independent host bincount from Pointing.det_radec on the same
+    streamed TOD and grid)."""
+    from maria_tpu.coords.transforms import phi_theta_to_offsets_jit
+    from maria_tpu.tod.tod import Pointing
+
+    input_map, obs = radec_sim_ingredients
+    key = jax.random.key(9)
+    prog = build_tod_program(obs, with_noise=False)
+    ex = StreamingExecutor(
+        prog, obs, block_tc=32, input_map=input_map, frame="ra/dec",
+        center=(float(input_map.center[0]), float(input_map.center[1])),
+    )
+    res = ex.run(key, group_size=8)
+
+    tod = np.concatenate([blk for _, blk in ex.tod_blocks(key, group_size=8)], axis=-1)
+    ra, dec = Pointing(obs.boresight, obs.offsets, obs.q).det_radec()
+    pt = jnp.stack([ra, dec], axis=-1)
+    offs = np.asarray(phi_theta_to_offsets_jit(pt, ex.center[0], ex.center[1]))
+    x0 = -(ex.n_x - 1) / 2 * ex.res
+    y0 = -(ex.n_y - 1) / 2 * ex.res
+    ixh = np.round((offs[..., 0] - x0) / ex.res).astype(int)
+    iyh = np.round((offs[..., 1] - y0) / ex.res).astype(int)
+    inside = (ixh >= 0) & (ixh < ex.n_x) & (iyh >= 0) & (iyh < ex.n_y)
+    ref = np.bincount(
+        (iyh[inside] * ex.n_x + ixh[inside]).ravel(), weights=tod[inside].ravel(),
+        minlength=ex.n_y * ex.n_x,
+    ).reshape(ex.n_y, ex.n_x)
+    wgt_ref = np.bincount(
+        (iyh[inside] * ex.n_x + ixh[inside]).ravel(), minlength=ex.n_y * ex.n_x
+    ).reshape(ex.n_y, ex.n_x)
+
+    # pointing rotation runs in f32 on device vs f64 on host: a tiny
+    # fraction of samples can land one pixel over near boundaries
+    assert np.abs(res.map_wgt - wgt_ref).sum() / wgt_ref.sum() < 2e-3
+    scale = np.abs(ref).max() or 1.0
+    close = np.isclose(res.map_sum, ref, atol=2e-3 * scale, rtol=1e-3)
+    assert close.mean() > 0.995
