@@ -3,18 +3,26 @@
 The batch generator (noise/__init__.py) synthesizes pink noise with one
 FFT over the whole observation — O(n_t) memory, and a chunked FFT would
 lose all power below 1/chunk. This module streams the same spectrum at
-O(1) state per detector: a sum of K independent AR(1) processes with
-log-spaced poles approximates the 1/f^beta spectrum over many decades
-(each pole contributes a Lorentzian knee; nonnegative least squares
-fits the amplitudes to the target PSD). The recursion over a block is
-one `associative_scan` — parallel-prefix, so the time axis still
-vectorizes on device.
+O(1) state per detector: K AR(1) processes with log-spaced poles,
+driven by ONE shared innovation stream and summed with signed
+amplitudes — a K-pole rational filter whose magnitude is fit to the
+1/f^beta target (alternating phase-fixing least squares). Sharing the
+innovation costs nothing in fit quality versus independent-stream
+cascades at equal K but needs K× fewer random bits per block — at
+AtLAST scale the normals would otherwise dominate the streaming PRNG
+budget. The recursion over a block is one `associative_scan` —
+parallel-prefix, so the time axis still vectorizes on device.
 
 Chunk-invariance: a block's output depends only on (carried state,
 block key), so any grouping of blocks gives identical streams. The
 spectrum matches the FFT path's above ~1/T_ref and flattens below it
 (stationary, finite variance) — choose T_ref at least the observation
-length (tested against the batch generator's periodogram).
+length (tested against the batch generator's periodogram). Structural
+cap: every rational filter's PSD has zero slope at Nyquist, so the fit
+cannot track 1/f through the last fraction of an octave — the deviation
+there reaches ~13% of the PINK part, ~4% of the white+pink total at
+MUSTANG-like knees, and shrinks with knee/Nyquist (asserted in
+tests/test_streaming_exec.py::test_cascade_fit_quality).
 
 Reference behavior: maria/noise/generation.py:11 (white + pink with a
 knee); the reference synthesizes eagerly over the full observation.
@@ -30,9 +38,18 @@ __all__ = ["PinkCascade", "StreamingBandNoise"]
 
 
 def _fit_cascade(sample_rate: float, knee: float, beta: float, T_ref: float, poles_per_decade: float):
-    """Fit AR(1) pole/amplitude pairs so that the incoherent sum
-    sum_k a_k^2 / |1 - p_k e^{-iw}|^2 matches the batch pink filter's
-    squared magnitude 2 * fs * (knee/2) / f^beta on a log grid."""
+    """Fit poles p_k and SIGNED amplitudes a_k so that the rational
+    filter R(w) = sum_k a_k / (1 - p_k e^{-iw}) — all poles driven by one
+    shared innovation stream — has |R|^2 matching the batch pink filter's
+    squared magnitude 2 * fs * (knee/2) / f^beta on a log grid.
+
+    Magnitude-only fitting is non-convex; the classic fix is alternating
+    phase-fixing: freeze the phase of the current R, solve the now-linear
+    complex least squares for a, repeat. Initialized from the incoherent
+    NNLS solution (which is also the fallback if the iteration ever
+    degrades it)."""
+    import scipy.optimize
+
     # fit one decade below f_min so [f_min, fs/2] sits in the interior of
     # the fit (edge scalloping lands below the band anyone observes)
     f_min = 1.0 / T_ref
@@ -40,27 +57,47 @@ def _fit_cascade(sample_rate: float, knee: float, beta: float, T_ref: float, pol
     f_max = sample_rate / 2
     n_decades = np.log10(f_max / f_lo)
     K = max(3, int(np.ceil(n_decades * poles_per_decade)) + 1)
-    f_poles = np.geomspace(f_lo / 2, f_max / 2, K)
+    f_poles = np.geomspace(f_lo / 2, f_max, K)
     p = np.exp(-2 * np.pi * f_poles / sample_rate)
 
-    f_grid = np.geomspace(f_lo, f_max * 0.99, 16 * K)
+    f_grid = np.geomspace(f_lo, f_max * 0.999, 32 * K)
     w = 2 * np.pi * f_grid / sample_rate
-    # design matrix: per-pole AR(1) spectra on the grid
-    G = 1.0 / (1 - 2 * p[None, :] * np.cos(w[:, None]) + p[None, :] ** 2)
+    H = 1.0 / (1 - p[None, :] * np.exp(-1j * w[:, None]))  # (n_grid, K)
     target = 2 * sample_rate * (knee / 2) / f_grid**beta
-    # weighted NNLS in log-f measure (equal weight per octave)
-    import scipy.optimize
+    s = np.sqrt(target)
+    Wt = 1.0 / s  # relative error metric, equal weight per octave
 
-    Wt = 1.0 / target  # relative error metric
-    A = G * Wt[:, None]
+    def pink_err(a):
+        return np.abs(np.log(np.abs(H @ a) ** 2 / target)).max()
+
+    # init: incoherent NNLS on the per-pole power spectra
+    G = np.abs(H) ** 2
+    A = (G / target[:, None])
     col = np.linalg.norm(A, axis=0)  # unit columns keep the solve well-conditioned
-    res = scipy.optimize.lsq_linear(A / col, target * Wt, bounds=(0.0, np.inf))
-    amps2 = res.x
-    return p.astype(np.float32), np.sqrt(amps2 / col).astype(np.float32)
+    res = scipy.optimize.lsq_linear(A / col, np.ones_like(target), bounds=(0.0, np.inf))
+    a = np.sqrt(np.maximum(res.x, 0.0) / col)
+    best_a, best_err = a.copy(), pink_err(a)
+
+    Hw = H * Wt[:, None]
+    M = np.concatenate([Hw.real, Hw.imag])
+    for _ in range(120):
+        R = H @ a
+        phase = R / np.maximum(np.abs(R), 1e-30)
+        rhs = s * phase * Wt
+        a_new, *_ = np.linalg.lstsq(M, np.concatenate([rhs.real, rhs.imag]), rcond=None)
+        if np.max(np.abs(a_new - a)) < 1e-10 * max(np.abs(a).max(), 1e-30):
+            a = a_new
+            break
+        a = a_new
+    err = pink_err(a)
+    if err < best_err:
+        best_a, best_err = a, err
+    return p.astype(np.float32), best_a.astype(np.float32)
 
 
 class PinkCascade:
-    """K independent AR(1) streams whose sum has the pink spectrum."""
+    """K AR(1) streams sharing ONE innovation stream; their signed sum
+    has the pink spectrum (a K-pole rational filter)."""
 
     def __init__(
         self,
@@ -76,20 +113,35 @@ class PinkCascade:
         self.p = jnp.asarray(p)  # (K,)
         self.a = jnp.asarray(a)  # (K,)
         self.K = len(p)
+        # stationary covariance of the shared-innovation states:
+        # Cov(x_j, x_k) = 1 / (1 - p_j p_k); draw x0 = L z with C = L L^T
+        p64 = np.asarray(p, dtype=np.float64)
+        C = 1.0 / (1.0 - np.outer(p64, p64))
+        for jitter in (0.0, 1e-12, 1e-9, 1e-6):
+            try:
+                L = np.linalg.cholesky(C + jitter * np.diag(np.diag(C)))
+                break
+            except np.linalg.LinAlgError:
+                continue
+        else:
+            raise np.linalg.LinAlgError("cascade stationary covariance is not PD")
+        self._chol0 = jnp.asarray(L, dtype=jnp.float32)
 
     def init_state(self, key, shape: tuple):
-        """Stationary start: x_k ~ N(0, 1/(1-p_k^2))."""
-        std = 1.0 / jnp.sqrt(1.0 - self.p**2)
-        return std * jax.random.normal(key, (*shape, self.K), dtype=jnp.float32)
+        """Stationary start with the correct cross-pole covariance."""
+        z = jax.random.normal(key, (*shape, self.K), dtype=jnp.float32)
+        return z @ self._chol0.T
 
     def block(self, state, key, n: int):
         """(state, key, n) -> (new_state, pink (..., n)). The AR(1)
-        recursions x_t = p x_{t-1} + w_t run as one parallel prefix
-        (associative_scan over the affine maps x -> A x + B)."""
+        recursions x_k,t = p_k x_k,t-1 + w_t (one SHARED innovation w)
+        run as one parallel prefix (associative_scan over the affine
+        maps x -> A x + B)."""
         shape = state.shape[:-1]
-        w = jax.random.normal(key, (*shape, self.K, n), dtype=jnp.float32)
-        A = jnp.broadcast_to(self.p[:, None], w.shape).astype(jnp.float32)
-        B = w.at[..., 0].add(self.p * state)
+        w = jax.random.normal(key, (*shape, n), dtype=jnp.float32)
+        B = jnp.broadcast_to(w[..., None, :], (*shape, self.K, n))
+        B = B.at[..., 0].add(self.p * state)
+        A = jnp.broadcast_to(self.p[:, None], B.shape).astype(jnp.float32)
 
         def combine(l, r):  # compose affine maps, left-to-right in time
             return (r[0] * l[0], r[0] * l[1] + r[1])

@@ -65,7 +65,29 @@ def test_streaming_noise_psd_matches_fft_generator():
     for lo, hi in zip(edges[:-1], edges[1:]):
         m = (f >= lo) & (f < hi)
         ratio = p_s[m].mean() / p_f[m].mean()
-        assert 0.75 < ratio < 1.35, (lo, hi, ratio)
+        # the lowest octaves hold only a few Fourier bins, so the
+        # chi^2 sampling noise of both estimates dominates there
+        tol = (0.80, 1.25) if m.sum() < 30 else (0.93, 1.08)
+        assert tol[0] < ratio < tol[1], (lo, hi, ratio, int(m.sum()))
+
+
+def test_cascade_fit_quality():
+    """The rational-filter fit must track the 1/f target to a few
+    percent everywhere except the structurally-uncatchable last
+    fraction of an octave at Nyquist (any rational filter's PSD has
+    zero slope there)."""
+    from maria_tpu.noise.streaming import PinkCascade
+
+    for fs, knee, T_ref in ((50.0, 0.5, 4096.0), (100.0, 1.0, 36000.0), (20.0, 0.05, 4096.0)):
+        c = PinkCascade(fs, knee, T_ref=T_ref)
+        p = np.asarray(c.p, dtype=np.float64)
+        a = np.asarray(c.a, dtype=np.float64)
+        f = np.geomspace(1.0 / T_ref, fs / 2 * 0.999, 600)
+        w = 2 * np.pi * f / fs
+        H = 1.0 / (1 - p[None, :] * np.exp(-1j * w[:, None]))
+        logratio = np.abs(np.log(np.abs(H @ a) ** 2 / (fs * knee / f)))
+        assert logratio.max() < 0.15, (fs, knee, T_ref, logratio.max())
+        assert logratio[f < 0.7 * fs / 2].max() < 0.07, (fs, knee, T_ref)
 
 
 @pytest.fixture(scope="module")
