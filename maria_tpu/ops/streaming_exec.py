@@ -679,9 +679,72 @@ class StreamingExecutor:
 
         return jax.tree.map(put, state)
 
+    # -- checkpoint / resume -------------------------------------------
+    #
+    # Only the leaves a block MUTATES are persisted (noise cascade
+    # states, map accumulators, Welch accumulators) — everything else in
+    # the carried state (coarse fields, gains, calibration pads) is a
+    # deterministic function of the run key, so resume recomputes it
+    # with one init_state dispatch and overwrites the mutable subtree
+    # from disk. Blocks depend only on (carried state, block index), so
+    # a resumed run is exactly the uninterrupted one.
+
+    _MUTABLE_KEYS = ("noise", "map_sum", "map_wgt", "psd_sum", "psd_blocks")
+
+    @staticmethod
+    def _key_bits(key):
+        try:
+            return np.asarray(jax.random.key_data(key))
+        except TypeError:  # old-style uint32 key array
+            return np.asarray(key)
+
+    def _fingerprint(self) -> str:
+        return (
+            f"v1:{self.n_blocks}:{self.B}:{self.n_det}:{self.n_x}:{self.n_y}:"
+            f"{self.res:.9g}:{self.center[0]:.9g}:{self.center[1]:.9g}:{self.frame}"
+        )
+
+    def _save_ckpt(self, path, state, next_block: int, key):
+        import os
+
+        mut = {k: state[k] for k in self._MUTABLE_KEYS}
+        leaves, _ = jax.tree.flatten(mut)
+        payload = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        tmp = f"{path}.tmp"
+        np.savez(
+            tmp,
+            next_block=np.int64(next_block),
+            fingerprint=np.str_(self._fingerprint()),
+            key_data=self._key_bits(key),
+            **payload,
+        )
+        os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
+
+    def _load_ckpt(self, path, state, key):
+        """Overwrite `state`'s mutable subtree from `path`; returns
+        (state, next_block). Raises ValueError on any mismatch."""
+        with np.load(path, allow_pickle=False) as z:
+            if str(z["fingerprint"]) != self._fingerprint():
+                raise ValueError(
+                    f"checkpoint {path} was written for a different run "
+                    f"({z['fingerprint']} != {self._fingerprint()})"
+                )
+            if not np.array_equal(z["key_data"], self._key_bits(key)):
+                raise ValueError(f"checkpoint {path} was written with a different PRNG key")
+            mut = {k: state[k] for k in self._MUTABLE_KEYS}
+            leaves, treedef = jax.tree.flatten(mut)
+            loaded = [z[f"leaf_{i}"] for i in range(len(leaves))]
+            for cur, new in zip(leaves, loaded):
+                if tuple(cur.shape) != tuple(new.shape):
+                    raise ValueError(f"checkpoint {path} leaf shape mismatch: {new.shape} != {cur.shape}")
+            state = dict(state)
+            state.update(jax.tree.unflatten(treedef, [jnp.asarray(x) for x in loaded]))
+            return state, int(z["next_block"])
+
     # ------------------------------------------------------------------
     def run(
-        self, key=None, group_size: int = 8, mesh=None, accumulate_psd: bool = False
+        self, key=None, group_size: int = 8, mesh=None, accumulate_psd: bool = False,
+        checkpoint_path=None, checkpoint_every: int = None,
     ) -> StreamingResult:
         """Synthesize + bin the whole observation, `group_size` blocks
         per device dispatch, state carried between dispatches. Pass a
@@ -689,12 +752,33 @@ class StreamingExecutor:
         the streamed map then reduces with an XLA-inserted psum and the
         result equals the single-device run (tested). Det sharding needs
         equal shards: call `program.pad_detectors(n_det_shards)` before
-        building the executor."""
-        state = self.init_state(key if key is not None else jax.random.key(0))
+        building the executor.
+
+        `checkpoint_path` makes long runs resumable: accumulator state
+        is written atomically every `checkpoint_every` blocks (default:
+        every dispatch group), and if the file already exists for the
+        SAME key and geometry the run continues where it left off — the
+        result is exactly the uninterrupted run's (tested)."""
+        key = key if key is not None else jax.random.key(0)
+        state = self.init_state(key)
+        start_block = 0
+        if checkpoint_path is not None:
+            import os
+
+            if os.path.exists(checkpoint_path):
+                state, start_block = self._load_ckpt(checkpoint_path, state, key)
         if mesh is not None:
             state = self._shard_state(state, mesh)
-        for state in self._iterate(state, group_size, with_tod=False, with_psd=accumulate_psd):
-            pass
+        last_saved = start_block
+        for g1, state in self._iterate(
+            state, group_size, with_tod=False, with_psd=accumulate_psd,
+            start_block=start_block,
+        ):
+            if checkpoint_path is not None and g1 < self.n_blocks and (
+                g1 - last_saved >= (checkpoint_every or group_size)
+            ):
+                self._save_ckpt(checkpoint_path, state, g1, key)
+                last_saved = g1
         psd_freqs = psds = None
         if accumulate_psd:
             n_blocks = max(float(state["psd_blocks"]), 1.0)
@@ -721,14 +805,14 @@ class StreamingExecutor:
 
     def _iterate(
         self, state, group_size: int, with_tod: bool, yield_tod: bool = False,
-        with_psd: bool = False,
+        with_psd: bool = False, start_block: int = 0,
     ):
         run_group = self._group_fn(with_tod, with_psd)
         az = self.bs_az_f.reshape(self.n_blocks, self.B)
         el = self.bs_el_f.reshape(self.n_blocks, self.B)
         need_tracks = self.sky is not None or self.frame == "ra/dec"
         sky_ext = self._sky_track_blocks() if need_tracks else None
-        for g0 in range(0, self.n_blocks, group_size):
+        for g0 in range(start_block, self.n_blocks, group_size):
             g1 = min(g0 + group_size, self.n_blocks)
             bs = jnp.arange(g0, g1)
             xs = (bs, jnp.asarray(az[g0:g1]), jnp.asarray(el[g0:g1]))
@@ -738,7 +822,7 @@ class StreamingExecutor:
             if yield_tod:
                 yield state, tods
             else:
-                yield state
+                yield g1, state
 
     def _sky_track_blocks(self):
         """Overlapping ext-grid track slices per block: block b covers

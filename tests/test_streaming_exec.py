@@ -300,3 +300,41 @@ def test_streaming_radec_binning_matches_host(radec_sim_ingredients):
     scale = np.abs(ref).max() or 1.0
     close = np.isclose(res.map_sum, ref, atol=2e-3 * scale, rtol=1e-3)
     assert close.mean() > 0.995
+
+
+def test_checkpoint_resume_equals_uninterrupted(mustang_program, tmp_path):
+    """A run killed mid-stream and resumed from its checkpoint must
+    produce exactly the uninterrupted run's accumulators (blocks depend
+    only on carried state + block index; checkpoints align with group
+    boundaries)."""
+    program, obs = mustang_program
+    ex = StreamingExecutor(program, obs, block_tc=8)
+    key = jax.random.key(11)
+    ckpt = str(tmp_path / "stream.ckpt.npz")
+    assert ex.n_blocks >= 6
+
+    full = ex.run(key, group_size=2, accumulate_psd=True)
+
+    # simulate a crash: run only the first few groups, checkpointing each
+    state = ex.init_state(key)
+    n_groups_before_crash = 2
+    for i, (g1, state) in enumerate(
+        ex._iterate(state, 2, with_tod=False, with_psd=True)
+    ):
+        ex._save_ckpt(ckpt, state, g1, key)
+        if i + 1 >= n_groups_before_crash:
+            break
+    assert g1 < ex.n_blocks, "test needs a mid-stream crash point"
+
+    resumed = ex.run(key, group_size=2, accumulate_psd=True, checkpoint_path=ckpt)
+    np.testing.assert_array_equal(resumed.map_sum, full.map_sum)
+    np.testing.assert_array_equal(resumed.map_wgt, full.map_wgt)
+    for a, b in zip(resumed.psds, full.psds):
+        np.testing.assert_array_equal(a, b)
+
+    # wrong key or wrong geometry must refuse to resume
+    with pytest.raises(ValueError, match="PRNG key"):
+        ex.run(jax.random.key(12), group_size=2, accumulate_psd=True, checkpoint_path=ckpt)
+    ex2 = StreamingExecutor(program, obs, block_tc=8, n_x=64, n_y=64)
+    with pytest.raises(ValueError, match="different run"):
+        ex2.run(key, group_size=2, accumulate_psd=True, checkpoint_path=ckpt)
