@@ -26,12 +26,42 @@ from ..functions import matern_spectral_density
 
 __all__ = [
     "good_fft_size",
+    "white_rfft2_spectrum",
     "synthesize_matern_field_2d",
     "field_spectral_weights_2d",
     "layered_matern_kz_nodes",
     "layered_field_spectral_weights",
     "synthesize_layered_matern_2d",
 ]
+
+
+def white_rfft2_spectrum(key, batch, ny: int, nx: int):
+    """Draw Z distributed exactly as rfft2(normal(*batch, ny, nx)) — the
+    half-spectrum of 2-D white noise — WITHOUT the forward FFT.
+
+    Interior columns 0 < kx < nx/2 of an rfft2 half-spectrum are free:
+    their conjugate partners live in the discarded half, so every entry
+    is an independent complex normal with per-component variance N/2
+    (N = ny*nx). The self-conjugate columns kx=0 and kx=nx/2 obey a 1-D
+    Hermitian symmetry along ky (rows 0 and ny/2 real with variance N),
+    restored here by symmetrizing those two columns: (z + conj(z∘rev))/√2
+    with rev the ky negation map. Sampling in k-space removes the
+    2J-deep stack of forward FFTs from the layered synthesis (the
+    heaviest FLOP block of the 3-D atmosphere) while leaving the field
+    distribution exactly unchanged.
+    """
+    if nx % 2:
+        raise ValueError("white_rfft2_spectrum requires even nx (good_fft_size sizes)")
+    nxr = nx // 2 + 1
+    scale = jnp.sqrt(jnp.float32(ny * nx) / 2.0)
+    g = scale * jax.random.normal(key, (*batch, ny, nxr, 2), dtype=jnp.float32)
+    z = jax.lax.complex(g[..., 0], g[..., 1])
+    # Hermitian-symmetrize the kx=0 and kx=nx/2 columns along ky
+    cols = z[..., :, (0, nxr - 1)]  # (*batch, ny, 2)
+    rev = jnp.roll(cols[..., ::-1, :], 1, axis=-2)  # ky -> (-ky) mod ny
+    sym = (cols + jnp.conj(rev)) * np.float32(1 / np.sqrt(2))
+    z = z.at[..., :, 0].set(sym[..., 0]).at[..., :, nxr - 1].set(sym[..., 1])
+    return z
 
 
 def good_fft_size(n: int) -> int:
@@ -173,13 +203,13 @@ def layered_field_spectral_weights(
 def synthesize_layered_matern_2d(key, W, M_cos, M_sin, beam, ny: int, nx: int):
     """Draw the (L, ny, nx) stack of vertically-correlated layer fields.
 
-    One batched rfft2 over 2J white fields, one complex (L, 2J) x
+    The 2J white half-spectra are drawn directly in k-space (see
+    white_rfft2_spectrum — no forward FFTs), then one complex (L, 2J) x
     (2J, ny*nxr) matmul (MXU), per-layer beam multiply, one batched
-    irfft2 over L layers.
+    irfft2 over L layers: total FFT work is L transforms, not 2J + L.
     """
     J = W.shape[0]
-    white = jax.random.normal(key, (2 * J, ny, nx), dtype=jnp.float32)
-    spec = jnp.fft.rfft2(white) * jnp.concatenate([W, W], axis=0)
+    spec = white_rfft2_spectrum(key, (2 * J,), ny, nx) * jnp.concatenate([W, W], axis=0)
     M = jnp.concatenate([M_cos, M_sin], axis=1)  # (L, 2J)
     mixed = jnp.einsum("lj,jyx->lyx", M.astype(spec.dtype), spec)
     if beam is not None:
@@ -191,8 +221,7 @@ def synthesize_layered_matern_2d(key, W, M_cos, M_sin, beam, ny: int, nx: int):
 def synthesize_matern_field_2d(key, W, ny: int, nx: int):
     """Draw the (ny, nx) real field with spectral weights W (host-built).
 
-    One white-noise draw + one rfft2 + one irfft2; everything fuses under
-    jit with downstream sampling.
+    One k-space white draw (white_rfft2_spectrum) + one irfft2 — no
+    forward FFT; everything fuses under jit with downstream sampling.
     """
-    white = jax.random.normal(key, (ny, nx), dtype=jnp.float32)
-    return jnp.fft.irfft2(jnp.fft.rfft2(white) * W, s=(ny, nx))
+    return jnp.fft.irfft2(white_rfft2_spectrum(key, (), ny, nx) * W, s=(ny, nx))

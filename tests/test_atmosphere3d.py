@@ -12,8 +12,42 @@ from maria_tpu import Simulation, get_plan
 from maria_tpu.atmosphere.fourier import (
     layered_field_spectral_weights,
     synthesize_layered_matern_2d,
+    white_rfft2_spectrum,
 )
 from maria_tpu.functions import approximate_normalized_matern
+
+
+def test_white_rfft2_spectrum_matches_rfft2_statistics():
+    """The k-space white draw must be distributed exactly as
+    rfft2(white): interior bins complex with per-component variance N/2,
+    the kx=0 / kx=nx/2 columns Hermitian along ky with real variance-N
+    self-conjugate bins — so irfft2 of it is unit-variance white noise."""
+    ny, nx = 16, 24
+    N = ny * nx
+    keys = jax.random.split(jax.random.key(0), 2000)
+    f = jax.jit(lambda k: white_rfft2_spectrum(k, (), ny, nx))
+    Z = np.stack([np.asarray(f(k)) for k in keys])
+
+    # exact Hermitian symmetry of the self-conjugate columns
+    for col in (0, -1):
+        np.testing.assert_array_equal(
+            Z[:, 1:, col], np.conj(Z[:, ::-1, col][:, :-1])
+        )
+        assert np.all(Z[:, 0, col].imag == 0)
+        assert np.all(Z[:, ny // 2, col].imag == 0)
+
+    # per-bin variances
+    vr, vi = Z.real.var(0), Z.imag.var(0)
+    assert abs(vr[:, 1:-1].mean() / N - 0.5) < 0.02
+    assert abs(vi[:, 1:-1].mean() / N - 0.5) < 0.02
+    assert abs(vr[0, 0] / N - 1.0) < 0.15
+    assert abs(vr[ny // 2, 0] / N - 1.0) < 0.15
+
+    # the implied real field is unit-variance white
+    x = np.fft.irfft2(Z, s=(ny, nx))
+    assert abs(x.var() - 1.0) < 0.02
+    assert abs((x[:, :, :-1] * x[:, :, 1:]).mean()) < 0.02
+    assert abs((x[:, :-1] * x[:, 1:]).mean()) < 0.02
 
 
 @pytest.mark.slow
@@ -32,7 +66,10 @@ def test_layered_synthesis_cross_covariance():
         f = synthesize_layered_matern_2d(key, Wd, Mcd, Msd, None, ny, nx)
         return f[:, ::16, ::16].reshape(len(heights), -1)
 
-    keys = jax.random.split(jax.random.key(0), 400)
+    # 800 realizations: the per-layer variance estimator scatters
+    # ~±0.04 at 400 (spatially correlated sample points), too close to
+    # the 0.1 tolerance
+    keys = jax.random.split(jax.random.key(0), 800)
     vals = np.concatenate([np.asarray(point_vals(k)) for k in keys], axis=1)
     var = (vals**2).mean(axis=1)
     np.testing.assert_allclose(var, 1.0, atol=0.1)

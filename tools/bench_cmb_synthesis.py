@@ -21,6 +21,10 @@ import json
 import os
 import sys
 import time
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:

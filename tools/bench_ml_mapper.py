@@ -30,6 +30,10 @@ import time
 # hosts the shared helper) would import jax first.
 import hashlib
 import platform
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 try:
     with open("/proc/cpuinfo") as _f:

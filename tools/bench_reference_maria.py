@@ -18,6 +18,10 @@ import argparse
 import json
 import sys
 import time
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:

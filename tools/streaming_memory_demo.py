@@ -24,6 +24,10 @@ import resource
 import subprocess
 import sys
 import time
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 if "--tpu" not in sys.argv:
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)

@@ -33,6 +33,10 @@ import sys
 import tempfile
 
 import numpy as np
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
