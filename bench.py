@@ -142,6 +142,45 @@ def _pixel_ids(program, obs, n_x: int = 128, n_y: int = 128):
     return iy * n_x + ix, n_x * n_y
 
 
+def _pixel_ids_device(program, obs, n_x: int = 128, n_y: int = 128):
+    """Device-side `_pixel_ids`: returns (iy, ix) int32 DEVICE arrays.
+
+    The host path materializes (n_det, n_t) float64 pointing and walks
+    it ~10 times on one core (tens of minutes at AtLAST scale, and a
+    multi-GB readback through the development tunnel). Here the
+    pointing -> offsets -> pixel-index chain runs jitted on device; the
+    host reads back one scalar (the field half-width)."""
+    import jax
+    import jax.numpy as jnp
+
+    from maria_tpu.coords.transforms import offsets_to_phi_theta, phi_theta_to_offsets
+
+    offsets = jnp.asarray(np.asarray(obs.offsets)[:, None, :], jnp.float32)
+    bs_az = jnp.asarray(np.asarray(obs.boresight.az), jnp.float32)
+    bs_el = jnp.asarray(np.asarray(obs.boresight.el), jnp.float32)
+    c_az = float(np.mean(np.asarray(obs.boresight.az)))
+    c_el = float(np.mean(np.asarray(obs.boresight.el)))
+
+    @jax.jit
+    def _offs(offsets, bs_az, bs_el):
+        pt = offsets_to_phi_theta(offsets, bs_az, bs_el)
+        offs = phi_theta_to_offsets(pt, c_az, c_el)
+        return offs, jnp.abs(offs).max()
+
+    offs, half_d = _offs(offsets, bs_az, bs_el)
+    half = float(half_d) * 1.02 + 1e-8
+    res = 2 * half / n_x
+
+    @jax.jit
+    def _ids(offs):
+        ix = jnp.clip(((offs[..., 0] + half) / res).astype(jnp.int32), 0, n_x - 1)
+        iy = jnp.clip(((offs[..., 1] + half) / res).astype(jnp.int32), 0, n_y - 1)
+        return iy, ix
+
+    iy, ix = _ids(offs)
+    return iy, ix, n_x * n_y
+
+
 def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> float:
     """Samples/s of the fused jitted program on the default jax device,
     including on-device map binning of every realization when `obs` is
@@ -167,14 +206,17 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
 
     pix = plan = plan_args = None
     if obs is not None:
-        from maria_tpu.ops.binning import make_blocked_bin_plan
+        from maria_tpu.ops.binning import make_blocked_bin_plan_on_device
 
-        pix_ids, n_pix = _pixel_ids(program, obs)
         # det-blocked MXU binning: handles narrow (MUSTANG-2) and wide
-        # (AtLAST) fields alike; scatter only as a last resort
-        plan = make_blocked_bin_plan(pix_ids // 128, pix_ids % 128, 128, 128)
+        # (AtLAST) fields alike; scatter only as a last resort. The plan
+        # is built ON DEVICE — the host path walks the (n_det, n_t)
+        # pointing ~10 times on one core and takes tens of minutes at
+        # AtLAST scale (it burned the whole BENCH_r02 subprocess budget)
+        iy, ix, n_pix = _pixel_ids_device(program, obs)
+        plan = make_blocked_bin_plan_on_device(iy, ix, 128, 128)
         if plan is None:
-            pix = jnp.asarray(pix_ids.ravel())
+            pix = (iy * 128 + ix).ravel()
         else:
             # index arrays ride as jit arguments (closure constants of
             # this size blow the remote-compile request limit)

@@ -33,6 +33,7 @@ __all__ = [
     "bin_scatter",
     "BlockedBinPlan",
     "make_blocked_bin_plan",
+    "make_blocked_bin_plan_on_device",
     "bin_blocked",
 ]
 
@@ -296,6 +297,110 @@ def make_blocked_bin_plan(
     off_dtype = np.int8 if max(wy, wx) < 127 else np.int32
     ly = np.where(valid, iy_b - oy[:, None, :, None], -1).astype(off_dtype)
     lx = np.where(valid, ix_b - ox[:, None, :, None], -1).astype(off_dtype)
+    return BlockedBinPlan(
+        n_y=n_y, n_x=n_x, wy=wy, wx=wx, chunk=chunk, n_chunks=n_chunks,
+        det_block=det_block, n_blocks=n_blocks, n_t=n_t,
+        order=order_p.astype(np.int32), ly=ly, lx=lx,
+        origins=np.stack([oy, ox], axis=-1).astype(np.int32),
+    )
+
+
+def make_blocked_bin_plan_on_device(
+    iy,
+    ix,
+    n_y: int,
+    n_x: int,
+    chunk: int = 64,
+    det_block: int = 512,
+    max_window_frac: float = 0.5,
+    order: np.ndarray = None,
+) -> BlockedBinPlan:
+    """Device-side twin of `make_blocked_bin_plan`.
+
+    `iy`/`ix` are DEVICE arrays (n_det, n_t). Every O(n_det * n_t) pass
+    (blockify, span reductions, local-offset subtraction) runs as a
+    jitted device program; the host only sees per-detector means (for
+    the Hilbert sort), the per-(block, chunk) span scalars, and the
+    static window decision. At AtLAST scale (5e4 det x 1.2e4 t) the
+    host path burns tens of minutes on one core — the device path is
+    milliseconds of reductions plus tiny readbacks. The returned plan's
+    ly/lx stay on device (device_args passes them through)."""
+    import jax
+
+    iy = jnp.asarray(iy, jnp.int32)
+    ix = jnp.asarray(ix, jnp.int32)
+    n_det, n_t = iy.shape
+    det_block = min(det_block, -(-n_det // 8) * 8)
+    n_blocks = -(-n_det // det_block)
+    pad_d = n_blocks * det_block - n_det
+    n_chunks = -(-n_t // chunk)
+    pad_t = n_chunks * chunk - n_t
+
+    if order is None:
+
+        @jax.jit
+        def _means(iy, ix):
+            valid = (iy >= 0) & (ix >= 0)
+            cnt = jnp.maximum(valid.sum(axis=1), 1)
+            my = jnp.where(valid, iy, 0).sum(axis=1) / cnt
+            mx = jnp.where(valid, ix, 0).sum(axis=1) / cnt
+            return my, mx
+
+        my, mx = _means(iy, ix)
+        order = _hilbert_order(
+            np.round(np.asarray(my)).astype(np.int64),
+            np.round(np.asarray(mx)).astype(np.int64),
+        )
+    order_p = (
+        np.concatenate([order, np.full(pad_d, order[-1], dtype=order.dtype)]) if pad_d else order
+    )
+    order_dev = jnp.asarray(order_p.astype(np.int32))
+
+    def _blockify(a, order_dev):
+        a = jnp.take(a, order_dev, axis=0)
+        if pad_t:
+            a = jnp.pad(a, ((0, 0), (0, pad_t)), constant_values=-1)
+        if pad_d:
+            row = jnp.arange(n_blocks * det_block, dtype=jnp.int32)[:, None]
+            a = jnp.where(row >= n_det, jnp.int32(-1), a)
+        return a.reshape(n_blocks, det_block, n_chunks, chunk)
+
+    @jax.jit
+    def _spans(iy, ix, order_dev):
+        iy_b = _blockify(iy, order_dev)
+        ix_b = _blockify(ix, order_dev)
+        valid = (iy_b >= 0) & (ix_b >= 0)
+        big = jnp.int32(1 << 30)
+
+        def span(a):
+            lo = jnp.where(valid, a, big).min(axis=(1, 3))
+            hi = jnp.where(valid, a, -1).max(axis=(1, 3))
+            return jnp.minimum(lo, hi), hi
+
+        (oy, hy) = span(iy_b)
+        (ox, hx) = span(ix_b)
+        return oy, hy, ox, hx
+
+    oy, hi_y, ox, hi_x = (np.asarray(v) for v in _spans(iy, ix, order_dev))
+    wy = int(-(-(hi_y - oy + 1).max() // 8) * 8)
+    wx = int(-(-(hi_x - ox + 1).max() // 8) * 8)
+    if wy * wx > max_window_frac * n_y * n_x or wy > n_y or wx > n_x:
+        return None
+    oy = np.clip(oy, 0, n_y - wy)
+    ox = np.clip(ox, 0, n_x - wx)
+
+    off_dtype = jnp.int8 if max(wy, wx) < 127 else jnp.int32
+
+    @jax.jit
+    def _locals(iy, ix, order_dev, oy_d, ox_d):
+        iy_b = _blockify(iy, order_dev)
+        ix_b = _blockify(ix, order_dev)
+        valid = (iy_b >= 0) & (ix_b >= 0)
+        ly = jnp.where(valid, iy_b - oy_d[:, None, :, None], -1).astype(off_dtype)
+        lx = jnp.where(valid, ix_b - ox_d[:, None, :, None], -1).astype(off_dtype)
+        return ly, lx
+
+    ly, lx = _locals(iy, ix, order_dev, jnp.asarray(oy), jnp.asarray(ox))
     return BlockedBinPlan(
         n_y=n_y, n_x=n_x, wy=wy, wx=wx, chunk=chunk, n_chunks=n_chunks,
         det_block=det_block, n_blocks=n_blocks, n_t=n_t,

@@ -115,6 +115,37 @@ def test_blocked_matches_scatter_widefield():
     np.testing.assert_allclose(m_b, m_s, atol=1e-4 * max(1.0, np.abs(m_s).max()))
 
 
+def test_device_plan_matches_host_plan():
+    """make_blocked_bin_plan_on_device must reproduce the host plan
+    exactly (same windows, origins, local offsets, order) and bin to
+    the same map — it is the path the AtLAST-scale bench uses."""
+    from maria_tpu.ops.binning import (
+        bin_blocked,
+        make_blocked_bin_plan,
+        make_blocked_bin_plan_on_device,
+    )
+
+    iy, ix, n_map = _widefield_pixels(rng_seed=23)
+    iy[::9, 4:9] = -1  # off-map samples
+    ix[::9, 4:9] = -1
+    host = make_blocked_bin_plan(iy, ix, n_map, n_map, chunk=32, det_block=64)
+    dev = make_blocked_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_map, n_map, chunk=32, det_block=64
+    )
+    assert (host is None) == (dev is None)
+    assert (dev.wy, dev.wx) == (host.wy, host.wx)
+    np.testing.assert_array_equal(dev.order, host.order)
+    np.testing.assert_array_equal(dev.origins, host.origins)
+    np.testing.assert_array_equal(np.asarray(dev.ly), host.ly)
+    np.testing.assert_array_equal(np.asarray(dev.lx), host.lx)
+
+    rng = np.random.default_rng(3)
+    data = jnp.asarray(rng.standard_normal(iy.shape).astype(np.float32))
+    m_h = np.asarray(bin_blocked(data, host))
+    m_d = np.asarray(bin_blocked(data, dev, *(), ly=dev.ly, lx=dev.lx))
+    np.testing.assert_array_equal(m_h, m_d)
+
+
 def test_blocked_channels_weights_and_offmap():
     from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan
 

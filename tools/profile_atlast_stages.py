@@ -65,12 +65,12 @@ def main() -> None:
     prog_args = program.example_args()
     tables = program.device_tables()
 
-    from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan
+    from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan_on_device
 
-    pix_ids, n_pix = bench._pixel_ids(program, obs)
-    plan = make_blocked_bin_plan(pix_ids // 128, pix_ids % 128, 128, 128)
+    iy, ix, n_pix = bench._pixel_ids_device(program, obs)
+    plan = make_blocked_bin_plan_on_device(iy, ix, 128, 128)
     plan_args = plan.device_args() if plan is not None else None
-    stamp("binning plan built")
+    stamp("binning plan built (on device)")
 
     def reduce_out(out):
         vals = out.values() if isinstance(out, dict) else [out]
