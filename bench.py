@@ -221,6 +221,9 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
             # index arrays ride as jit arguments (closure constants of
             # this size blow the remote-compile request limit)
             plan_args = plan.device_args()
+        # free the int32 id buffers (4.8 GB at AtLAST-240s scale) before
+        # the benched programs allocate their fine-rate fields
+        del iy, ix
 
     if k_chain is None:
         # bound the chain's device working set: each iteration synthesizes

@@ -169,6 +169,13 @@ class BaseProjectionMapper(BaseMapper):
             height = float(height.deg) if degrees else float(height.rad)
         if hasattr(resolution, "deg"):
             resolution = float(resolution.deg) if degrees else float(resolution.rad)
+        if center is not None:
+            # angle Quantities (e.g. center=tod.coords.center()) convert
+            # to the caller's angular convention instead of failing in jit
+            center = tuple(
+                (float(c.deg) if degrees else float(c.rad)) if hasattr(c, "deg") else c
+                for c in center
+            )
         super().__init__(
             tods,
             frame=frame,

@@ -71,19 +71,27 @@ def generate_noise_with_knee(
     # normal, ~45% fewer PRNG bits). Spectra are drawn directly in the
     # frequency domain (the rfft of white noise IS complex white noise).
     from ..atmosphere.fourier import good_fft_size
+    from ..ops.fft import irfft_matmul, use_matmul_fft
+
+    # XLA's TPU irfft runs ~40x off the HBM roofline at band scale
+    # (~250 ms for (5e4, 12288) on v5e); the MXU matmul DFT is ~3x
+    # faster there. CPU keeps pocketfft.
+    irfft = irfft_matmul if use_matmul_fft() else (
+        lambda z, n, axis=-1: jnp.fft.irfft(z, n=n, axis=axis)
+    )
 
     n_fft = good_fft_size(n)
     weights = _pink_weights(n_fft, sample_rate, knee, beta)
     cp = corr_prop if basis is not None else 0.0
     w_det = jnp.sqrt(sample_rate + (1.0 - cp) * weights**2)
-    noise = jnp.fft.irfft(
-        w_det * _spectral_white(key_pink, shape[:-1], n_fft), n=n_fft, axis=-1
+    noise = irfft(
+        w_det * _spectral_white(key_pink, shape[:-1], n_fft), n_fft, axis=-1
     )[..., :n]
     if cp > 0:
         basis = jnp.asarray(basis, dtype=jnp.float32)
         k = basis.shape[-1]
-        mode_noise = jnp.fft.irfft(
-            weights * _spectral_white(key_modes, (k,), n_fft), n=n_fft, axis=-1
+        mode_noise = irfft(
+            weights * _spectral_white(key_modes, (k,), n_fft), n_fft, axis=-1
         )[..., :n]
         noise = noise + jnp.sqrt(corr_prop) * basis @ mode_noise
     return noise

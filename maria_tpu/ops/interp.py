@@ -131,6 +131,23 @@ class RegularGridInterpolator:
         return out
 
 
+def _phase_stencil_matrix(ratio: int, kind: str) -> np.ndarray:
+    """Static (taps, ratio) phase-stencil weights shared by the full
+    upsample and the streaming executor's blockwise variants (they must
+    be bitwise-identical)."""
+    s = np.arange(ratio, dtype=np.float64) / ratio
+    if kind == "linear":
+        return np.stack([1 - s, s])
+    return 0.5 * np.stack(
+        [
+            -s + 2 * s**2 - s**3,
+            2 - 5 * s**2 + 3 * s**3,
+            s + 4 * s**2 - 3 * s**3,
+            -(s**2) + s**3,
+        ]
+    )
+
+
 def upsample_time_phases(values, ratio: int, n_fine: int, kind: str = "cubic"):
     """Gather-free upsample for an INTEGER coarse/fine ratio.
 
@@ -142,25 +159,26 @@ def upsample_time_phases(values, ratio: int, n_fine: int, kind: str = "cubic"):
     """
     values = jnp.asarray(values)
     n_c = values.shape[-1]
-    s = (jnp.arange(ratio, dtype=values.dtype) / ratio)[None, :]  # phases
 
+    # The stencil is a STATIC (taps, ratio) matrix, so the upsample is
+    # one contraction stencil @ taps instead of per-term broadcasts —
+    # XLA materializes a single (..., n_c-1, ratio) product (the output)
+    # rather than four fine-size temps plus a (..., n_c-1, taps, ratio)
+    # broadcast, which blew HBM at AtLAST scale (19.7 GB compile OOM).
     if kind == "linear" or n_c < 4:
-        p1 = values[..., :-1, None]
-        p2 = values[..., 1:, None]
-        out = p1 * (1 - s) + p2 * s  # (..., n_c-1, ratio)
+        taps = [values[..., :-1], values[..., 1:]]
+        C = _phase_stencil_matrix(ratio, "linear")
     else:
         # Catmull-Rom on interior cells; clamp the edge cells
         pad = jnp.concatenate([values[..., :1], values, values[..., -1:]], axis=-1)
-        p0 = pad[..., :-3, None]
-        p1 = pad[..., 1:-2, None]
-        p2 = pad[..., 2:-1, None]
-        p3 = pad[..., 3:, None]
-        out = 0.5 * (
-            2 * p1
-            + (-p0 + p2) * s
-            + (2 * p0 - 5 * p1 + 4 * p2 - p3) * s**2
-            + (-p0 + 3 * p1 - 3 * p2 + p3) * s**3
-        )
+        taps = [pad[..., :-3], pad[..., 1:-2], pad[..., 2:-1], pad[..., 3:]]
+        C = _phase_stencil_matrix(ratio, "cubic")
+    out = jnp.einsum(
+        "k...c,kr->...cr",
+        jnp.stack(taps),
+        jnp.asarray(C, dtype=values.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     out = out.reshape(*values.shape[:-1], (n_c - 1) * ratio)
     # extend with the last coarse value to n_fine
     deficit = n_fine - out.shape[-1]

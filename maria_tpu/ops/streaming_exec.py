@@ -75,24 +75,23 @@ def pad_coarse_for_blocks_ext(values, block_tc: int, n_blocks: int):
 
 def _stencil_cells(sl, n_cells: int, ratio: int, n_c: int, kind: str):
     """Catmull-Rom (or linear) phase stencil over `n_cells` coarse cells
-    given the slice [p0 of cell 0 ... p3 of cell n_cells-1] — the same
-    weights as ops/interp.upsample_time_phases, factored out so the two
-    blockwise variants cannot drift from each other."""
-    dtype = sl.dtype
-    s = (jnp.arange(ratio, dtype=dtype) / ratio)[None, :]
-    p0 = sl[..., 0:n_cells, None]
-    p1 = sl[..., 1 : n_cells + 1, None]
-    p2 = sl[..., 2 : n_cells + 2, None]
-    p3 = sl[..., 3 : n_cells + 3, None]
+    given the slice [p0 of cell 0 ... p3 of cell n_cells-1] — shared
+    with ops/interp.upsample_time_phases (bitwise-identical weights and
+    contraction) so the blockwise variants cannot drift from the full
+    upsample."""
+    from .interp import _phase_stencil_matrix
+
     if kind == "linear" or n_c < 4:
-        out = p1 * (1 - s) + p2 * s
+        taps = [sl[..., 1 : n_cells + 1], sl[..., 2 : n_cells + 2]]
     else:
-        out = 0.5 * (
-            2 * p1
-            + (-p0 + p2) * s
-            + (2 * p0 - 5 * p1 + 4 * p2 - p3) * s**2
-            + (-p0 + 3 * p1 - 3 * p2 + p3) * s**3
-        )
+        taps = [sl[..., k : n_cells + k] for k in range(4)]
+    C = _phase_stencil_matrix(ratio, "linear" if (kind == "linear" or n_c < 4) else "cubic")
+    out = jnp.einsum(
+        "k...c,kr->...cr",
+        jnp.stack(taps),
+        jnp.asarray(C, dtype=sl.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return out.reshape(*out.shape[:-2], n_cells * ratio)
 
 

@@ -70,6 +70,9 @@ def main() -> None:
     iy, ix, n_pix = bench._pixel_ids_device(program, obs)
     plan = make_blocked_bin_plan_on_device(iy, ix, 128, 128)
     plan_args = plan.device_args() if plan is not None else None
+    # free the int32 id buffers (4.8 GB at this scale) before the stage
+    # programs allocate — only the plan's int8 ly/lx are needed now
+    del iy, ix
     stamp("binning plan built (on device)")
 
     def reduce_out(out):
