@@ -104,14 +104,97 @@ def accumulate_pwv(
             group.ny,
             group.nx,
         )
-        for il, h in enumerate(group.heights):
-            sample = _sample_layer(
-                stack[il], float(h), group.angle, group.vx, group.vy,
-                group.res, group.res, group.tx_min, group.ty_min,
-                None if group.win_x is None else int(group.win_x[il]),
-                None if group.win_y is None else int(group.win_y[il]),
-                px, py, bs_px, bs_py, t_rel,
+        if group.win_x is not None and bs_px is not None:
+            pwv = pwv + _sample_group_windowed(
+                stack, group, px, py, bs_px, bs_py, t_rel
             )
-            pwv = pwv + float(group.pwv_rms[il]) * sample
+        else:
+            for il, h in enumerate(group.heights):
+                sample = _sample_layer(
+                    stack[il], float(h), group.angle, group.vx, group.vy,
+                    group.res, group.res, group.tx_min, group.ty_min,
+                    None if group.win_x is None else int(group.win_x[il]),
+                    None if group.win_y is None else int(group.win_y[il]),
+                    px, py, bs_px, bs_py, t_rel,
+                )
+                pwv = pwv + float(group.pwv_rms[il]) * sample
 
     return pwv
+
+
+def _sample_group_windowed(stack, group, px, py, bs_px, bs_py, t_rel, chunk: int = None):
+    """All-layer windowed sampling of a ScreenGroup in ONE scan over
+    time chunks, accumulating sum_l pwv_rms_l * sample_l in-loop.
+
+    The per-layer path materializes ~6 full (n_det, n_t) coordinate and
+    transpose buffers per layer (~100 GB of HBM traffic for 12 AtLAST
+    layers — measured 230 ms of the 270 ms pwv stage on v5e); here the
+    shared rotated projections (rx, ry) are built once and every
+    per-layer quantity lives on a chunk-local tile inside the scan
+    body, so the full-size traffic is one read of rx/ry and one write
+    of the accumulated output. Windows are padded to the group max
+    (the extra one-hot columns cost MXU flops, not HBM)."""
+    heights = np.asarray(group.heights, dtype=np.float64)
+    rms = np.asarray(group.pwv_rms, dtype=np.float64)
+    ny, nx = group.ny, group.nx
+    wx = int(min(np.max(group.win_x), nx))
+    wy = int(min(np.max(group.win_y), ny))
+    ca, sa = np.cos(group.angle), np.sin(group.angle)
+    n_det, n_t = px.shape
+
+    rx = ca * px + sa * py  # (n_det, n_t) rotated unit-height projections
+    ry = -sa * px + ca * py
+    brx = ca * bs_px + sa * bs_py  # (n_t,) boresight track
+    bry = -sa * bs_px + ca * bs_py
+    dx_t = (ca * group.vx + sa * group.vy) * t_rel  # (n_t,) wind drift
+    dy_t = (-sa * group.vx + ca * group.vy) * t_rel
+
+    if chunk is None:
+        # weight tiles: n_det * chunk * (wx + wy) f32 <= ~256 MB. The
+        # layer loop is unrolled SEQUENTIALLY inside the body, so only
+        # one layer's tiles are live at a time — no L factor
+        budget = (1 << 26) // max(n_det * (wx + wy), 1)
+        chunk = int(np.clip(budget, 1, n_t))
+    n_chunks = -(-n_t // chunk)
+    pad = n_chunks * chunk - n_t
+
+    def pad_t(a, fill):
+        cfg = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return jnp.pad(a, cfg, constant_values=fill) if pad else a
+
+    # padded samples get off-window coords -> zero hat weight
+    rx_p, ry_p = pad_t(rx, 1e30), pad_t(ry, 1e30)
+    brx_p, bry_p = pad_t(brx, 0.0), pad_t(bry, 0.0)
+    dxt_p, dyt_p = pad_t(dx_t, 0.0), pad_t(dy_t, 0.0)
+
+    kx = jnp.arange(wx, dtype=stack.dtype)
+    ky = jnp.arange(wy, dtype=stack.dtype)
+    inv_res = 1.0 / group.res
+
+    def body(_, i):
+        t0 = i * chunk
+        sl2 = lambda a: jax.lax.dynamic_slice_in_dim(a, t0, chunk, axis=-1)
+        rx_c, ry_c = sl2(rx_p), sl2(ry_p)  # (n_det, chunk)
+        brx_c, bry_c = sl2(brx_p), sl2(bry_p)  # (chunk,)
+        dx_c, dy_c = sl2(dxt_p), sl2(dyt_p)
+        out_c = jnp.zeros((n_det, chunk), dtype=stack.dtype)
+        for il in range(len(heights)):
+            h = np.float32(heights[il])
+            fx = (h * rx_c + dx_c - group.tx_min) * inv_res  # (n_det, chunk)
+            fy = (h * ry_c + dy_c - group.ty_min) * inv_res
+            cx = (h * brx_c + dx_c - group.tx_min) * inv_res  # (chunk,)
+            cy = (h * bry_c + dy_c - group.ty_min) * inv_res
+            ix0 = jnp.clip(jnp.round(cx).astype(jnp.int32) - wx // 2, 0, nx - wx)
+            iy0 = jnp.clip(jnp.round(cy).astype(jnp.int32) - wy // 2, 0, ny - wy)
+            wins = jax.vmap(
+                lambda i_, j_: jax.lax.dynamic_slice(stack[il], (i_, j_), (wy, wx))
+            )(iy0, ix0)  # (chunk, wy, wx)
+            w_x = jnp.clip(1.0 - jnp.abs(fx[..., None] - ix0[:, None] - kx), 0.0, 1.0)
+            w_y = jnp.clip(1.0 - jnp.abs(fy[..., None] - iy0[:, None] - ky), 0.0, 1.0)
+            tmp = jnp.einsum("tyx,dtx->dty", wins, w_x)
+            out_c = out_c + np.float32(rms[il]) * (tmp * w_y).sum(-1)
+        return None, out_c
+
+    _, chunks = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    out = jnp.moveaxis(chunks, 0, 1).reshape(n_det, n_chunks * chunk)
+    return out[:, :n_t]

@@ -273,8 +273,11 @@ def interp_bilinear_windowed(values, tx, ty, cx, cy, x0, dx, y0, dy, wx: int, wy
     fy = (ty - y0) / dy - iy0[None, :]
 
     if chunk is None:
-        # bound the weight intermediates to ~64 MB
-        chunk = max(1, min(n_t, (1 << 24) // max(n_det * (wx + wy), 1)))
+        # bound the weight intermediates to ~256 MB: the scan is
+        # step-overhead-dominated on TPU (~90 us/step measured at
+        # AtLAST scale), so fewer, fatter steps win; 256 MB of f32
+        # weights is comfortably within HBM headroom
+        chunk = max(1, min(n_t, (1 << 26) // max(n_det * (wx + wy), 1)))
     n_chunks = -(-n_t // chunk)
     pad = n_chunks * chunk - n_t
 

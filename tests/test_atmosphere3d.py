@@ -144,3 +144,63 @@ def test_2d_ar_method_uses_processes(stare_plan):
     assert all(s.process is not None for s in atm.screens)
     tod = sim.run()[0]
     assert np.isfinite(np.asarray(tod.data["atmosphere"])).all()
+
+
+def test_fused_group_sampler_equals_per_layer_path():
+    """_sample_group_windowed (one scan over time chunks, all layers
+    accumulated in-body) must reproduce the per-layer
+    interp_bilinear_windowed loop bit-for-bit in f32 tolerance, including
+    per-layer windows smaller than the group max."""
+    from maria_tpu.atmosphere.atmosphere import ScreenGroup
+    from maria_tpu.atmosphere.sampling import _sample_group_windowed, _sample_layer
+
+    rng = np.random.default_rng(7)
+    L, ny, nx = 3, 48, 64
+    n_det, n_t = 13, 57
+    res = 10.0
+    heights = np.array([300.0, 900.0, 2000.0])
+    group = ScreenGroup(
+        heights=heights,
+        zs=heights * 1.2,
+        pwv_rms=np.array([0.3, 0.2, 0.1]),
+        angle=0.4,
+        vx=1.5,
+        vy=-0.7,
+        res=res,
+        tx_min=-nx * res / 2,
+        ty_min=-ny * res / 2,
+        nx=nx,
+        ny=ny,
+        W=None,
+        M_cos=None,
+        M_sin=None,
+        win_x=np.array([8, 16, 24]),
+        win_y=np.array([8, 16, 24]),
+    )
+    stack = jnp.asarray(rng.standard_normal((L, ny, nx)).astype(np.float32))
+    # LOS unit-height projections small enough that every layer's span
+    # fits its own window
+    px = jnp.asarray(rng.uniform(-8e-3, 8e-3, (n_det, 1)).astype(np.float32))
+    px = px + jnp.zeros((1, n_t), jnp.float32)
+    py = jnp.asarray(rng.uniform(-8e-3, 8e-3, (n_det, 1)).astype(np.float32))
+    py = py + jnp.zeros((1, n_t), jnp.float32)
+    bs = jnp.zeros((n_t,), jnp.float32)
+    t_rel = jnp.asarray(np.linspace(0.0, 20.0, n_t).astype(np.float32))
+
+    fused = np.asarray(
+        jax.jit(
+            lambda s, px, py, b, t: _sample_group_windowed(
+                s, group, px, py, b, b, t, chunk=16
+            )
+        )(stack, px, py, bs, t_rel)
+    )
+    ref = np.zeros((n_det, n_t), np.float32)
+    for il, h in enumerate(heights):
+        s = _sample_layer(
+            stack[il], float(h), group.angle, group.vx, group.vy,
+            group.res, group.res, group.tx_min, group.ty_min,
+            int(group.win_x[il]), int(group.win_y[il]),
+            px, py, bs, bs, t_rel,
+        )
+        ref += float(group.pwv_rms[il]) * np.asarray(s)
+    np.testing.assert_allclose(fused, ref, rtol=2e-5, atol=2e-5)

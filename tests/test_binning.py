@@ -254,3 +254,28 @@ def test_pallas_kernel_covers_ragged_row_counts():
     ref = np.zeros(n_map * n_map)
     np.add.at(ref, (iy.astype(np.int64) * n_map + ix).ravel(), data.ravel())
     np.testing.assert_allclose(out.ravel(), ref, atol=1e-4 * max(1.0, np.abs(ref).max()))
+
+
+def test_blocked_hilo_precision_matches_f64():
+    """precision='hilo' (bf16 one-hot hats + hi/lo split data, two MXU
+    passes) must track the f64 scatter sum at least as tightly as the
+    default 3-pass HIGH path: the hats and both data halves are
+    bf16-exact, so the only rounding is the ~1e-7-relative split."""
+    from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan
+
+    iy, ix, n_map = _widefield_pixels()
+    plan = make_blocked_bin_plan(iy, ix, n_map, n_map, chunk=32, det_block=64)
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal(iy.shape).astype(np.float32) * 100.0
+
+    m64 = np.zeros((n_map, n_map))
+    np.add.at(m64, (iy.ravel(), ix.ravel()), data.ravel().astype(np.float64))
+
+    scale = np.abs(m64).max()
+    for prec in ("hilo", None):
+        m = np.asarray(
+            jax.jit(lambda d, p=prec: bin_blocked(d, plan, precision=p))(
+                jnp.asarray(data)
+            )
+        )
+        np.testing.assert_allclose(m, m64, atol=3e-5 * scale)

@@ -102,6 +102,38 @@ def main() -> None:
     )
     results["windowed_interp_1layer_ms"] = round(timed(f, values, tx, ty, cx, cy) * 1e3, 1)
 
+    # blocked binning variants at AtLAST-like scale (50k det x 3000 t)
+    import jax.lax
+
+    from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan_on_device
+
+    n_bt = 3000
+    det_y = rng.uniform(0.1, 0.9, n_det) * 128
+    det_x = rng.uniform(0.1, 0.9, n_det) * 128
+    t = np.arange(n_bt) / 50.0
+    by = jnp.asarray(
+        np.clip((det_y[:, None] + 6 * np.sin(2 * np.pi * t / 30)).astype(np.int32), 0, 127)
+    )
+    bx = jnp.asarray(
+        np.clip((det_x[:, None] + 6 * np.cos(2 * np.pi * t / 30)).astype(np.int32), 0, 127)
+    )
+    plan = make_blocked_bin_plan_on_device(by, bx, 128, 128)
+    results["bin_windows"] = [plan.wy, plan.wx] if plan else None
+    if plan is not None:
+        pa = plan.device_args()
+        data = jnp.asarray(rng.standard_normal((n_det, n_bt)).astype(np.float32))
+        for name, prec in (
+            ("high", jax.lax.Precision.HIGH),
+            ("hilo", "hilo"),
+            ("default", jax.lax.Precision.DEFAULT),
+        ):
+            f = jax.jit(
+                lambda d, ly, lx, org, order, p=prec: jnp.sum(
+                    bin_blocked(d, plan, ly=ly, lx=lx, origins=org, order=order, precision=p)
+                )
+            )
+            results[f"bin_blocked_{name}_ms"] = round(timed(f, data, *pa) * 1e3, 1)
+
     print(json.dumps(results))
 
 
