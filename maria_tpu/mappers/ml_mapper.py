@@ -84,6 +84,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         # per-epoch noise-model plots); each entry is a list of per-TOD
         # dicts {f, median_psd, mode_psd}
         self.noise_model_history = []
+        self._epoch_k0_jit = None  # built lazily on the first fused fit()
         self._prepare()
         self._compute_naive_map()
         # `.map` is inspectable before fit(): the binned (or random)
@@ -255,33 +256,64 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         return jnp.fft.irfft(x, n=n, axis=-1)
 
     # -- normal equations ----------------------------------------------------------
-    def _rhs(self):
+    def _rhs(self, blocks=None):
         rhs = jnp.zeros(self.n_m, dtype=jnp.float32)
-        for block in self.blocks:
+        for block in blocks if blocks is not None else self.blocks:
             rhs = rhs + self._project_T(self._apply_inverse_N(block, block["data"]), block)
         return rhs
 
     def _overflow_mask(self):
         return self._overflow_mask_cached
 
-    def _apply_PNP(self, m_flat):
+    def _apply_PNP(self, m_flat, blocks=None):
         out = jnp.zeros(self.n_m, dtype=jnp.float32)
-        for block in self.blocks:
+        for block in blocks if blocks is not None else self.blocks:
             Pm = self._project(m_flat, block)
             out = out + self._project_T(self._apply_inverse_N(block, Pm), block)
         # keep the overflow buckets decoupled (identity rows)
         mask = self._overflow_mask()
         return out * mask + m_flat * (1 - mask)
 
-    def _white_diag(self):
+    def _white_diag(self, blocks=None):
         """diag(P^T N^-1 P) with the white (frequency-mean) noise level
         and SQUARED Stokes weights — signed w_Q/w_U from mixed detector
         angles would cancel per pixel."""
         diag = jnp.zeros(self.n_m, dtype=jnp.float32)
-        for block in self.blocks:
+        for block in blocks if blocks is not None else self.blocks:
             white = block["A_inv"].mean(axis=-1, keepdims=True) * jnp.ones_like(block["data"])
             diag = diag + self._project_T(white, {**block, "sw": block["sw"] ** 2})
         return diag
+
+    # -- fused epoch (k = 0) -------------------------------------------------------
+    def _epoch_k0(self, m, blocks, n_steps):
+        """One full epoch — noise-model update, rhs, Jacobi preconditioner
+        and the whole CG solve — as a single traced program. Eagerly the
+        epoch is tens of dispatches with host syncs between them; through
+        a remote-device tunnel those round-trips dominate the solve (the
+        round-3 TPU session measured 14.9 ms per CG step but 12 s
+        time-to-solution). Fusing the epoch makes the per-epoch cost one
+        dispatch + one small readback. Same math as
+        _update_noise_model/_rhs/_white_diag/cg, pinned by
+        tests/test_ml_mapper.py::test_fused_epoch_matches_eager."""
+        new_blocks = []
+        medians = []
+        for b in blocks:
+            d = b["data"]
+            resid = d - self._project(m, b)
+            resid = resid - resid.mean(axis=-1, keepdims=True)
+            win = _tukey(resid.shape[-1])
+            spec = jnp.abs(jnp.fft.rfft(resid * win, axis=-1)) ** 2 / (win**2).sum()
+            spec = _smooth_spectrum(spec, int(self.spectrum_smoothing))
+            new_blocks.append({**b, "A_inv": 1.0 / jnp.clip(spec, 1e-30, None)})
+            medians.append(jnp.median(spec, axis=0))
+        rhs = self._rhs(new_blocks)
+        diag = self._white_diag(new_blocks)
+        inv_diag = jnp.where(diag > 0, 1.0 / jnp.clip(diag, 1e-30, None), 1.0)
+        m, _ = jax.scipy.sparse.linalg.cg(
+            lambda x: self._apply_PNP(x, new_blocks), rhs, x0=m,
+            maxiter=n_steps, tol=1e-8, M=lambda x: x * inv_diag,
+        )
+        return m, diag, [nb["A_inv"] for nb in new_blocks], medians
 
     # -- solvers ----------------------------------------------------------------
     def _solve_gd(self, rhs, m0, n_iters):
@@ -364,11 +396,16 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         max_steps_per_epoch: int = None,
         plot: bool = False,
         plot_kwargs: dict = {},
+        fused: bool = True,
     ):
         """Iterate noise-model update + normal-equation solve
         (reference ml_mapper.py:359). `epochs` / `steps_per_epoch` (alias
         `max_steps_per_epoch`) override the constructor's n_epochs /
-        n_cg_iters; `plot=True` plots the map after fitting."""
+        n_cg_iters; `plot=True` plots the map after fitting. With
+        `fused=True` (default) and k=0 the whole epoch runs as one jit
+        dispatch (`_epoch_k0`); `fused=False` forces the stage-by-stage
+        eager path (identical math, used for equality testing and as the
+        k>0 / gradient-descent path)."""
         n_epochs = epochs if epochs is not None else self.n_epochs
         n_steps = steps_per_epoch or max_steps_per_epoch or self.n_cg_iters
         hits = self.hits
@@ -379,24 +416,44 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         else:
             m = self.naive_map
 
+        use_fused = fused and self.k == 0 and method == "conjugate_gradient"
+        if use_fused and self._epoch_k0_jit is None:
+            self._epoch_k0_jit = jax.jit(self._epoch_k0, static_argnames=("n_steps",))
+
         diag = None
         for epoch in range(n_epochs):
-            self._update_noise_model(m)
-            rhs = self._rhs()
-            if method == "conjugate_gradient":
-                # Jacobi preconditioner: 1 / diag(P^T N^-1 P), estimated
-                # with the white (frequency-mean) noise level and squared
-                # Stokes weights; pixels without coverage get 1
-                diag = self._white_diag()
-                inv_diag = jnp.where(diag > 0, 1.0 / jnp.clip(diag, 1e-30, None), 1.0)
-                m, _ = jax.scipy.sparse.linalg.cg(
-                    self._apply_PNP, rhs, x0=m, maxiter=n_steps, tol=1e-8,
-                    M=lambda x: x * inv_diag,
-                )
-            elif method == "gradient_descent":
-                m = self._solve_gd(rhs, m, n_steps)
+            if use_fused:
+                light = [{key: b[key] for key in ("pix", "sw", "data")} for b in self.blocks]
+                m, diag, a_invs, medians = self._epoch_k0_jit(m, light, n_steps=n_steps)
+                # keep per-block state and diagnostics identical to the
+                # eager path (device-resident; no readback until asked)
+                for b, a_inv in zip(self.blocks, a_invs):
+                    b["A_inv"], b["U"] = a_inv, None
+                self.noise_model_history.append([
+                    {
+                        "f": np.fft.rfftfreq(b["data"].shape[-1], d=1 / b["fs"]),
+                        "median_psd": np.asarray(med),
+                        "mode_psd": None,
+                    }
+                    for b, med in zip(self.blocks, medians)
+                ])
             else:
-                raise ValueError(f"Unknown solver '{method}'.")
+                self._update_noise_model(m)
+                rhs = self._rhs()
+                if method == "conjugate_gradient":
+                    # Jacobi preconditioner: 1 / diag(P^T N^-1 P), estimated
+                    # with the white (frequency-mean) noise level and squared
+                    # Stokes weights; pixels without coverage get 1
+                    diag = self._white_diag()
+                    inv_diag = jnp.where(diag > 0, 1.0 / jnp.clip(diag, 1e-30, None), 1.0)
+                    m, _ = jax.scipy.sparse.linalg.cg(
+                        self._apply_PNP, rhs, x0=m, maxiter=n_steps, tol=1e-8,
+                        M=lambda x: x * inv_diag,
+                    )
+                elif method == "gradient_descent":
+                    m = self._solve_gd(rhs, m, n_steps)
+                else:
+                    raise ValueError(f"Unknown solver '{method}'.")
             logger.info(f"ML mapper epoch {epoch + 1}/{self.n_epochs} done.")
             if plot:  # per-epoch map plot (reference ml_mapper.py fit(plot=True))
                 self._grid_to_map(m, self._white_diag()).plot(**plot_kwargs)

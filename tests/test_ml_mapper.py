@@ -289,3 +289,34 @@ def test_ml_mapper_det_sharded_equals_single(noisy_tod_and_map):
     b = np.nan_to_num(np.asarray(sharded.data, dtype=np.float64))
     scale = np.abs(a).max() or 1.0
     np.testing.assert_allclose(b, a, atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_fused_epoch_matches_eager(noisy_tod_and_map):
+    """The single-dispatch fused epoch (fit(fused=True), the default for
+    k=0) must produce the same solution and diagnostics as the
+    stage-by-stage eager path — it is the same math, traced once."""
+    input_map, tod = noisy_tod_and_map
+    kwargs = dict(
+        center=(150.0, 10.0), width=np.degrees(input_map.width),
+        resolution=np.degrees(input_map.resolution),
+        frame="ra/dec", units="K_RJ", n_epochs=2, n_cg_iters=15,
+    )
+    eager = MaximumLikelihoodMapper([tod], **kwargs)
+    out_eager = eager.fit(fused=False)
+    fused = MaximumLikelihoodMapper([tod], **kwargs)
+    out_fused = fused.fit(fused=True)
+
+    a = np.nan_to_num(np.asarray(out_eager.data, dtype=np.float64))
+    b = np.nan_to_num(np.asarray(out_fused.data, dtype=np.float64))
+    scale = np.abs(a).max() or 1.0
+    np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_fused.weight), np.asarray(out_eager.weight), rtol=1e-4
+    )
+    # diagnostics carried identically (median PSD per epoch per TOD)
+    assert len(fused.noise_model_history) == len(eager.noise_model_history) == 2
+    np.testing.assert_allclose(
+        fused.noise_model_history[-1][0]["median_psd"],
+        eager.noise_model_history[-1][0]["median_psd"],
+        rtol=1e-4,
+    )
