@@ -796,8 +796,8 @@ class StreamingExecutor:
         — the lazy-TOD analogue of the reference's dask fields."""
         state = self.init_state(key if key is not None else jax.random.key(0))
         b = 0
-        for state, tods in self._iterate(state, group_size, with_tod=True, yield_tod=True):
-            for tod in tods:
+        for state, tods, n_real in self._iterate(state, group_size, with_tod=True, yield_tod=True):
+            for tod in np.asarray(tods)[:n_real]:  # drop phantom tail blocks
                 hi = min(self.B, self.n_t - b * self.B)
                 yield b, np.asarray(tod)[:, :hi]
                 b += 1
@@ -811,15 +811,31 @@ class StreamingExecutor:
         el = self.bs_el_f.reshape(self.n_blocks, self.B)
         need_tracks = self.sky is not None or self.frame == "ra/dec"
         sky_ext = self._sky_track_blocks() if need_tracks else None
-        for g0 in range(start_block, self.n_blocks, group_size):
-            g1 = min(g0 + group_size, self.n_blocks)
-            bs = jnp.arange(g0, g1)
-            xs = (bs, jnp.asarray(az[g0:g1]), jnp.asarray(el[g0:g1]))
+
+        # every dispatch scans exactly L blocks: the tail group is padded
+        # with phantom blocks (b >= n_blocks) whose samples the block fn
+        # fully masks (g < n_t) — so one executor compiles ONE scan shape
+        # per mode instead of re-specializing (a multi-minute compile
+        # through the TPU tunnel) on the leftover tail length. Phantom
+        # blocks only ever run after the last real block, so the carried
+        # state the real blocks see is untouched.
+        L = min(group_size, max(self.n_blocks - start_block, 1))
+
+        def take(a, g0, g1):
+            out = a[g0:g1]
+            if g1 - g0 < L:
+                out = np.concatenate([out, np.repeat(out[-1:], L - (g1 - g0), axis=0)])
+            return jnp.asarray(out)
+
+        for g0 in range(start_block, self.n_blocks, L):
+            g1 = min(g0 + L, self.n_blocks)
+            bs = jnp.arange(g0, g0 + L)
+            xs = (bs, take(az, g0, g1), take(el, g0, g1))
             if sky_ext is not None:
-                xs = (*xs, tuple(jnp.asarray(a[g0:g1]) for a in sky_ext))
+                xs = (*xs, tuple(take(a, g0, g1) for a in sky_ext))
             state, tods = run_group(state, xs)
             if yield_tod:
-                yield state, tods
+                yield state, tods, g1 - g0
             else:
                 yield g1, state
 

@@ -62,6 +62,12 @@ def child(duration: float) -> None:
     result = ex.run(group_size=16)
     t_run = time.time() - t0
 
+    # steady-state throughput: the first run pays the one-off scan
+    # compile (minutes through the TPU tunnel); a second run reuses it
+    t0 = time.time()
+    ex.run(group_size=16)
+    t_warm = time.time() - t0
+
     n_samples = result.n_samples
     peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     fine_gb_batch = 4 * n_samples * 4 / 1e9  # 4 f32 fields at the fine rate
@@ -75,6 +81,8 @@ def child(duration: float) -> None:
         "setup_s": round(t_setup, 1),
         "run_s": round(t_run, 1),
         "samples_per_s": round(n_samples / t_run, 1),
+        "warm_run_s": round(t_warm, 1),
+        "samples_per_s_warm": round(n_samples / t_warm, 1),
         "map_hits": float(result.map_wgt.sum()),
         "finite": bool(np.isfinite(result.map).any()),
     }), flush=True)
