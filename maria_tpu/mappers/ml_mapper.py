@@ -145,6 +145,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             # per-detector Stokes weights (n_det, n_s) from the Mueller rows
             sw = np.asarray(tod.dets.stokes_weight(), dtype=np.float32)[:, stokes_cols]
             data = jnp.asarray(tod.signal, dtype=jnp.float32)
+            n_real_rows = data.shape[0]  # rows past this are zero-weight padding
             pad = -data.shape[0] % self._det_shards
             if pad:
                 # zero-weight rows: pix -> an overflow bucket, sw -> 0,
@@ -158,6 +159,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
                     "sw": self._put_det(jnp.asarray(sw)),
                     "data": self._put_det(data),
                     "fs": tod.fs,
+                    "n_real": n_real_rows,
                 }
             )
 
@@ -234,9 +236,10 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             epoch_diag.append(
                 {
                     "f": np.fft.rfftfreq(n, d=1 / block["fs"]),
-                    # median on device: only the n_f-length result crosses
-                    # to the host, not the (n_det, n_f) PSD matrix
-                    "median_psd": np.asarray(jnp.median(spec, axis=0)),
+                    # median on device over REAL rows (zero-weight padding
+                    # rows have zero spectra): only the n_f-length result
+                    # crosses to the host, not the (n_det, n_f) PSD matrix
+                    "median_psd": np.asarray(jnp.median(spec[: block["n_real"]], axis=0)),
                     "mode_psd": np.asarray(lam) if lam is not None else None,
                 }
             )
@@ -297,7 +300,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         tests/test_ml_mapper.py::test_fused_epoch_matches_eager."""
         new_blocks = []
         medians = []
-        for b in blocks:
+        for i, b in enumerate(blocks):
             d = b["data"]
             resid = d - self._project(m, b)
             resid = resid - resid.mean(axis=-1, keepdims=True)
@@ -305,7 +308,9 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             spec = jnp.abs(jnp.fft.rfft(resid * win, axis=-1)) ** 2 / (win**2).sum()
             spec = _smooth_spectrum(spec, int(self.spectrum_smoothing))
             new_blocks.append({**b, "A_inv": 1.0 / jnp.clip(spec, 1e-30, None)})
-            medians.append(jnp.median(spec, axis=0))
+            # median over REAL rows only — zero-weight det-padding rows
+            # have identically-zero spectra and would drag it to 0
+            medians.append(jnp.median(spec[: self.blocks[i]["n_real"]], axis=0))
         rhs = self._rhs(new_blocks)
         diag = self._white_diag(new_blocks)
         inv_diag = jnp.where(diag > 0, 1.0 / jnp.clip(diag, 1e-30, None), 1.0)
@@ -418,13 +423,17 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
 
         use_fused = fused and self.k == 0 and method == "conjugate_gradient"
         if use_fused and self._epoch_k0_jit is None:
-            self._epoch_k0_jit = jax.jit(self._epoch_k0, static_argnames=("n_steps",))
+            # n_steps stays a traced scalar: cg's while_loop takes it in
+            # its condition, so one executable serves every iteration
+            # count (fit(10)/fit(50) would otherwise each pay a full
+            # remote compile)
+            self._epoch_k0_jit = jax.jit(self._epoch_k0)
 
         diag = None
         for epoch in range(n_epochs):
             if use_fused:
                 light = [{key: b[key] for key in ("pix", "sw", "data")} for b in self.blocks]
-                m, diag, a_invs, medians = self._epoch_k0_jit(m, light, n_steps=n_steps)
+                m, diag, a_invs, medians = self._epoch_k0_jit(m, light, jnp.int32(n_steps))
                 # keep per-block state and diagnostics identical to the
                 # eager path (device-resident; no readback until asked)
                 for b, a_inv in zip(self.blocks, a_invs):
@@ -454,7 +463,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
                     m = self._solve_gd(rhs, m, n_steps)
                 else:
                     raise ValueError(f"Unknown solver '{method}'.")
-            logger.info(f"ML mapper epoch {epoch + 1}/{self.n_epochs} done.")
+            logger.info(f"ML mapper epoch {epoch + 1}/{n_epochs} done.")
             if plot:  # per-epoch map plot (reference ml_mapper.py fit(plot=True))
                 self._grid_to_map(m, self._white_diag()).plot(**plot_kwargs)
 

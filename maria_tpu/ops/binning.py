@@ -460,11 +460,14 @@ def bin_blocked(
             # one-hot hats; out-of-window (padded / off-map, offset -1)
             # samples vanish
             if precision == "hilo":
-                # exact 2-pass split: one-hot entries and the hi/lo
-                # halves of the data are bf16-exact, so the only
-                # rounding is the split (~1e-7 relative) — both more
-                # accurate AND cheaper than HIGH (bf16 hats halve the
-                # hat traffic; 2 MXU passes instead of 3)
+                # 2-pass split: one-hot entries and each half of the
+                # data are bf16-exact, so per-sample rounding is only
+                # the residual the lo half can't carry — two bf16
+                # significands hold ~16 bits, ~2^-16 (~1e-5) relative,
+                # vs bf16's own 2^-8. Measured tighter than HIGH vs an
+                # f64 scatter at equal speed (tests/test_binning.py),
+                # and cheaper (bf16 hats halve the hat traffic; 2 MXU
+                # passes instead of 3)
                 wY = (ly[b, :, c][..., None] == ky).astype(jnp.bfloat16)
                 wX = (lx[b, :, c][..., None] == kx).astype(jnp.bfloat16)
                 dt = d[:, b, :, c]

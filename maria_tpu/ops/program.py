@@ -410,21 +410,27 @@ class TODProgram:
             return fields, pwv_fine
         return fields
 
+    def draw_gains(self, key):
+        """Multiplicative gain errors for one realization, (n_det, 1) —
+        or 1.0 when the program carries none. Derived from `key`'s THIRD
+        stream so it never collides with the atmosphere/noise streams
+        (split(key)[1] == split(key, 3)[1]). The single source for both
+        the batch path and the streaming executor's carried state."""
+        if self.gain_error is None:
+            return 1.0
+        key_gain = jax.random.split(key, 3)[2]
+        return jnp.exp(
+            jnp.asarray(self.gain_error, dtype=jnp.float32)
+            * jax.random.normal(key_gain, (len(self.offsets),))
+        )[:, None]
+
     def total_power_fn(self):
         """(key, offsets, bs_az_c, bs_el_c) -> (n_det, n_t) total pW,
         including multiplicative gain errors."""
 
         def fn(key, offsets, bs_az_c, bs_el_c, tables=None):
-            # same derivation as _loadings' third stream: gains must not
-            # share a key with the noise stream (split(key)[1] == split(key, 3)[1])
-            key_gain = jax.random.split(key, 3)[2]
             fields = self._loadings(key, offsets, bs_az_c, bs_el_c, tables=tables)
-            gains = 1.0
-            if self.gain_error is not None:
-                gains = jnp.exp(
-                    jnp.asarray(self.gain_error, dtype=jnp.float32)
-                    * jax.random.normal(key_gain, (len(self.offsets),))
-                )[:, None]
+            gains = self.draw_gains(key)
             total = 0.0
             for name, v in fields.items():
                 total = total + (v if name == "noise" else v * gains)

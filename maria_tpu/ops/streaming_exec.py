@@ -268,6 +268,7 @@ class StreamingExecutor:
         if cmb is not None or input_map is not None:
             self._build_sky(obs, cmb, input_map, map_kwargs or {}, pad_f)
         self._block_fn_cache = {}
+        self._coarse_jit = None
 
     def _build_sky(self, obs, cmb, input_map, map_kwargs, pad_f: int):
         """Host setup for per-block sky sampling: the SAME calibration
@@ -363,19 +364,18 @@ class StreamingExecutor:
         """(coarse fields, per-band noise states, gains) for one realization."""
         p = self.program
         tables = p.device_tables()
-        coarse = jax.jit(lambda k, o, a, e, tb: p._loadings(k, o, a, e, upto="coarse", tables=tb))(
-            *p.example_args(key), tables
-        )
+        if self._coarse_jit is None:
+            # cached: a fresh jit wrapper per call would re-trace and
+            # re-compile the heaviest stage (screens + AR + LOS) on every
+            # run()/tod_blocks() — minutes through the TPU tunnel
+            self._coarse_jit = jax.jit(
+                lambda k, o, a, e, tb: p._loadings(k, o, a, e, upto="coarse", tables=tb)
+            )
+        coarse = self._coarse_jit(*p.example_args(key), tables)
         # gains: same stream as the batch program (total_power_fn)
-        key_gain = jax.random.split(key, 3)[2]
-        gains = (
-            jnp.exp(
-                jnp.asarray(p.gain_error, dtype=jnp.float32)
-                * jax.random.normal(key_gain, (self.n_det,))
-            )[:, None]
-            if p.gain_error is not None
-            else jnp.ones((self.n_det, 1), dtype=jnp.float32)
-        )
+        gains = p.draw_gains(key)
+        if not hasattr(gains, "shape"):
+            gains = jnp.ones((self.n_det, 1), dtype=jnp.float32)
         key_noise = jax.random.split(key, 3)[1]
         noise_states, noise_keys = [], []
         for i, (band, model) in enumerate(zip(p.bands, self.noise_models)):
@@ -530,10 +530,24 @@ class StreamingExecutor:
                         for s in range(fields.shape[0]):
                             # axes stay host-side numpy: the interp
                             # classifies them statically (tiny constants)
-                            sample = sample + sw[:, s][:, None] * interp_bilinear_grid(
-                                fields[s], d[..., 0], d[..., 1],
-                                st_["x_side"], st_["y_side"],
-                            )
+                            dx, dy = d[..., 0], d[..., 1]
+                            if mp["bilinear"]:
+                                vals = interp_bilinear_grid(
+                                    fields[s], dx, dy, st_["x_side"], st_["y_side"]
+                                )
+                            else:
+                                # nearest-pixel, matching
+                                # ProjectionMap.sample(bilinear=False)
+                                xs, ys = st_["x_side"], st_["y_side"]
+                                xr, yr = float(xs[1] - xs[0]), float(ys[1] - ys[0])
+                                ix = jnp.clip(jnp.round((dx - xs[0]) / xr).astype(jnp.int32), 0, len(xs) - 1)
+                                iy = jnp.clip(jnp.round((dy - ys[0]) / yr).astype(jnp.int32), 0, len(ys) - 1)
+                                inside = (
+                                    (dx >= xs[0] - xr / 2) & (dx <= xs[-1] + xr / 2)
+                                    & (dy >= ys[0] - yr / 2) & (dy <= ys[-1] + yr / 2)
+                                )
+                                vals = jnp.where(inside, fields[s][iy, ix], 0.0)
+                            sample = sample + sw[:, s][:, None] * vals
                         cal = st_["cal_eval"](pwv_b, el_b)
                         piece_ext = piece_ext + cal.astype(jnp.float32) * sample
                     # continuous-integration kernel on the halo'd product,
@@ -699,7 +713,7 @@ class StreamingExecutor:
 
     def _fingerprint(self) -> str:
         return (
-            f"v1:{self.n_blocks}:{self.B}:{self.n_det}:{self.n_x}:{self.n_y}:"
+            f"v2:{self.n_t}:{self.n_blocks}:{self.B}:{self.n_det}:{self.n_x}:{self.n_y}:"
             f"{self.res:.9g}:{self.center[0]:.9g}:{self.center[1]:.9g}:{self.frame}"
         )
 

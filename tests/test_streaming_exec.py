@@ -236,6 +236,35 @@ def test_streaming_map_stage_matches_batch(radec_sim_ingredients):
     np.testing.assert_allclose(stream, batch, atol=2e-4 * scale, rtol=2e-4)
 
 
+def test_streaming_map_stage_nearest_matches_batch(radec_sim_ingredients):
+    """bilinear_sampling=False must reach the streamed sampler too (it
+    was once stored and silently ignored): streamed nearest-pixel sky ==
+    the batch program's nearest-pixel timelines, and != the bilinear
+    stream."""
+    input_map, obs = radec_sim_ingredients
+    key = jax.random.key(4)
+    mk = {"bilinear_sampling": False}
+
+    batch_prog = build_tod_program(obs, with_noise=False, input_map=input_map, map_kwargs=mk)
+    batch = np.asarray(
+        jax.jit(batch_prog.total_power_fn())(*batch_prog.example_args(key), batch_prog.device_tables())
+    )
+
+    stream_prog = build_tod_program(obs, with_noise=False)
+    ex = StreamingExecutor(stream_prog, obs, block_tc=32, input_map=input_map, map_kwargs=mk)
+    stream = np.concatenate([blk for _, blk in ex.tod_blocks(key)], axis=-1)
+
+    scale = np.abs(batch).max()
+    np.testing.assert_allclose(stream, batch, atol=2e-4 * scale, rtol=2e-4)
+
+    # the two samplers are distinct programs (the beam-smoothed map is
+    # smooth enough that they agree to ~1e-6, so exact inequality is the
+    # right discriminator)
+    ex_bl = StreamingExecutor(stream_prog, obs, block_tc=32, input_map=input_map)
+    stream_bl = np.concatenate([blk for _, blk in ex_bl.tod_blocks(key)], axis=-1)
+    assert (stream != stream_bl).any()
+
+
 def test_streaming_cmb_stage_matches_batch(radec_sim_ingredients):
     """cmb= streamed per block: same power tables, same HEALPix sampling
     math; boundary pixels may flip from f32 rotation round-off, so the
