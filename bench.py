@@ -483,7 +483,7 @@ def main():
     # Its compile alone is ~10 min over the axon tunnel, so it runs in a
     # subprocess under a hard timeout — a slow compile can never block
     # the headline JSON.
-    atlast_rate = None
+    atlast_rate = atlast_roofline = None
     budget = min(_remaining() - 120, 720)
     if fallback:
         _stamp("skipping AtLAST config (no TPU; 50k-det x 3d is infeasible on 1 CPU core)")
@@ -499,7 +499,9 @@ def main():
             )
             for line in proc.stdout.splitlines():
                 if line.startswith("{"):
-                    atlast_rate = json.loads(line).get("atlast_50k_samples_per_s")
+                    parsed_b = json.loads(line)
+                    atlast_rate = parsed_b.get("atlast_50k_samples_per_s")
+                    atlast_roofline = parsed_b.get("atlast_roofline")
             _stamp(f"AtLAST rate {atlast_rate:.3e} samples/s" if atlast_rate else
                    f"AtLAST subprocess rc={proc.returncode} without a result")
         except subprocess.TimeoutExpired:
@@ -536,6 +538,7 @@ def main():
         "baseline_threads": os.cpu_count(),
         "platform": platform_name,
         "atlast_50k_samples_per_s": round(atlast_rate, 1) if atlast_rate else None,
+        "atlast_roofline": atlast_roofline,
         "stage_breakdown": stages,
         "roofline": roofline,
     }
@@ -553,7 +556,13 @@ def config_b():
         atmosphere="3d",
     )
     rate = bench_tpu(program_b, obs_b, n_repeats=3)
-    print(json.dumps({"atlast_50k_samples_per_s": round(rate, 1)}))
+    n_samples = len(program_b.offsets) * len(program_b.t_fine)
+    print(json.dumps({
+        "atlast_50k_samples_per_s": round(rate, 1),
+        # same lower-bound traffic model as the headline: what a
+        # perfectly fused implementation must still move through HBM
+        "atlast_roofline": roofline_estimate(program_b, n_samples / rate),
+    }))
 
 
 if __name__ == "__main__":

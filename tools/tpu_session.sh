@@ -12,17 +12,16 @@ echo "rc=$?" >> /tmp/tpu_entry.log
 ( time timeout 1450 python bench.py )                              > /tmp/tpu_bench.log    2>&1
 echo "rc=$?" >> /tmp/tpu_bench.log
 
-( time timeout 1500 python tools/profile_atlast.py --duration 600 ) > /tmp/tpu_profile.log 2>&1
-echo "rc=$?" >> /tmp/tpu_profile.log
-
 ( time timeout 900  python tools/bench_ml_mapper.py )              > /tmp/tpu_mlmapper.log 2>&1
 echo "rc=$?" >> /tmp/tpu_mlmapper.log
+
+( time timeout 1500 python tools/streaming_atlast_demo.py --duration 600 --block-tc 128 --group 8 ) > /tmp/tpu_atlast_stream.log 2>&1
+echo "rc=$?" >> /tmp/tpu_atlast_stream.log
+
+( time timeout 1200 python tools/streaming_memory_demo.py --tpu 600 1800 ) > /tmp/tpu_streaming.log 2>&1
+echo "rc=$?" >> /tmp/tpu_streaming.log
 
 ( time timeout 900  python tools/bench_cmb_synthesis.py --scan )   > /tmp/tpu_cmb.log      2>&1
 echo "rc=$?" >> /tmp/tpu_cmb.log
 
-grep -h '^{' /tmp/tpu_bench.log /tmp/tpu_profile.log /tmp/tpu_mlmapper.log /tmp/tpu_cmb.log
-
-( time timeout 1200 python tools/streaming_memory_demo.py --tpu 600 1800 ) > /tmp/tpu_streaming.log 2>&1
-echo "rc=$?" >> /tmp/tpu_streaming.log
-grep -h '^{' /tmp/tpu_streaming.log
+grep -h '^{' /tmp/tpu_bench.log /tmp/tpu_mlmapper.log /tmp/tpu_atlast_stream.log /tmp/tpu_streaming.log /tmp/tpu_cmb.log
