@@ -269,6 +269,7 @@ class StreamingExecutor:
             self._build_sky(obs, cmb, input_map, map_kwargs or {}, pad_f)
         self._block_fn_cache = {}
         self._coarse_jit = None
+        self._bin_plan = self._setup_blocked_binning()
 
     def _build_sky(self, obs, cmb, input_map, map_kwargs, pad_f: int):
         """Host setup for per-block sky sampling: the SAME calibration
@@ -348,6 +349,122 @@ class StreamingExecutor:
             self._load_radec_tracks(obs, pad_f)
         self.sky = sky
 
+    def _setup_blocked_binning(self):
+        """Static geometry for in-scan MXU binning (ops/binning.py's hat
+        contractions instead of TPU scatters, ~40x cheaper per sample).
+
+        Detectors are Hilbert-ordered into focal-plane blocks once
+        (pointing-independent); window ORIGINS are computed in-program
+        per (det-block, time-chunk) from the actual pixel ids, but the
+        window SIZE must be static, so it is bounded here empirically:
+        per-block extreme detectors x a strided time subsample are run
+        through the exact binning rotation, and the largest
+        (block, chunk) span plus a stride/rounding margin fixes (wy, wx).
+        The in-scan `bin_lost` counter hard-verifies the bound — any
+        in-map sample falling outside its window makes run() raise
+        rather than silently bias the map. Returns None (scatter
+        fallback) when even the smallest det-block/chunk candidate would
+        need windows spanning most of the map."""
+        # wide focal planes / fast scans need smaller blocks or chunks
+        # to keep the window below half the map
+        for det_block, chunk in ((512, 64), (512, 32), (256, 32), (128, 16), (64, 16)):
+            plan = self._try_blocked_binning(det_block, chunk)
+            if plan is not None:
+                return plan
+        return None
+
+    def _try_blocked_binning(self, det_block: int, chunk: int):
+        from .binning import BlockedBinPlan, _hilbert_order
+
+        o = np.asarray(self.program.offsets, dtype=np.float64)
+        n_det = self.n_det
+        det_block = min(det_block, -(-n_det // 8) * 8)
+        n_db = -(-n_det // det_block)
+        pad_d = n_db * det_block - n_det
+        qy = np.round((o[:, 1] - o[:, 1].min()) / self.res).astype(np.int64)
+        qx = np.round((o[:, 0] - o[:, 0].min()) / self.res).astype(np.int64)
+        order = _hilbert_order(qy, qx)
+        order_p = (
+            np.concatenate([order, np.full(pad_d, order[-1], dtype=order.dtype)])
+            if pad_d else order
+        )
+
+        # <=8 extreme detectors per block bound the block's footprint
+        # under any rotation of the (x, y) axes
+        ob = o[order_p].reshape(n_db, det_block, 2)
+        ex_scores = np.stack(
+            [ob[..., 0], -ob[..., 0], ob[..., 1], -ob[..., 1],
+             ob[..., 0] + ob[..., 1], ob[..., 0] - ob[..., 1],
+             -ob[..., 0] + ob[..., 1], -ob[..., 0] - ob[..., 1]], axis=-1,
+        )
+        ex_idx = ex_scores.argmax(axis=1)  # (n_db, 8) indices into each block
+        ex_offs = np.take_along_axis(ob, ex_idx[:, :, None], axis=1)  # (n_db, 8, 2)
+
+        # exact binning rotation on a strided time subsample
+        from ..coords.transforms import offsets_to_phi_theta
+
+        stride = 4
+        n_chunks_b = -(-self.B // chunk)
+        n_pad_t = self.n_blocks * n_chunks_b * chunk
+        if self.frame == "ra/dec":
+            phi_f, theta_f, q_f = self.bs_ra_f, self.bs_dec_f, self.q_f
+        else:
+            phi_f, theta_f, q_f = self.bs_az_f, self.bs_el_f, None
+
+        def pad_time(a):
+            # chunks live inside padded blocks: replicate each block's
+            # last sample so padded chunk tails don't widen the span
+            blocks = a.reshape(self.n_blocks, self.B)
+            pad_t = n_chunks_b * chunk - self.B
+            if pad_t:
+                blocks = np.pad(blocks, ((0, 0), (0, pad_t)), mode="edge")
+            return blocks.reshape(-1)
+
+        sub = slice(0, n_pad_t, stride)
+        phi_s, theta_s = pad_time(phi_f)[sub], pad_time(theta_f)[sub]
+        eo = ex_offs.reshape(-1, 2)  # (n_db * 8, 2)
+        if q_f is not None:
+            q_s = pad_time(q_f)[sub]
+            cq, sq = np.cos(q_s), np.sin(q_s)
+            det = np.stack(
+                [eo[:, :1] * cq - eo[:, 1:] * sq, eo[:, :1] * sq + eo[:, 1:] * cq], axis=-1
+            )
+        else:
+            det = np.broadcast_to(eo[:, None, :], (eo.shape[0], len(phi_s), 2))
+        pt = np.asarray(offsets_to_phi_theta(jnp.asarray(det), jnp.asarray(phi_s), jnp.asarray(theta_s)))
+        offs = np.asarray(phi_theta_to_offsets_jit(jnp.asarray(pt), self.center[0], self.center[1]))
+        x0 = -(self.n_x - 1) / 2 * self.res
+        y0 = -(self.n_y - 1) / 2 * self.res
+        # clip to the map: samples outside never need window coverage
+        ix = np.clip(np.round((offs[..., 0] - x0) / self.res), 0, self.n_x - 1)
+        iy = np.clip(np.round((offs[..., 1] - y0) / self.res), 0, self.n_y - 1)
+
+        n_sub_chunk = chunk // stride
+        def span(a):
+            c = a.reshape(n_db, 8, -1, n_sub_chunk)
+            per = c.max(axis=(1, 3)) - c.min(axis=(1, 3))  # (n_db, n_chunks_total)
+            return per.max()
+
+        # margin: what the stride can miss (pointing moves at most
+        # step_max cells per sample; the slow q rotation's extra per-
+        # sample detector motion is orders of magnitude below it) plus
+        # rounding slack
+        offs_b = np.asarray(
+            phi_theta_to_offsets_jit(
+                jnp.asarray(np.stack([phi_f, theta_f], -1)), self.center[0], self.center[1]
+            )
+        ) / self.res
+        m = int(np.ceil(float(np.abs(np.diff(offs_b, axis=0)).max()) * stride)) + 4
+        wy = int(-(-(span(iy) + 1 + 2 * m) // 8) * 8)
+        wx = int(-(-(span(ix) + 1 + 2 * m) // 8) * 8)
+        if wy > self.n_y or wx > self.n_x or wy * wx > 0.5 * self.n_y * self.n_x:
+            return None
+        return BlockedBinPlan(
+            n_y=self.n_y, n_x=self.n_x, wy=wy, wx=wx, chunk=chunk,
+            n_chunks=n_chunks_b, det_block=det_block, n_blocks=n_db, n_t=self.B,
+            order=order_p.astype(np.int32), ly=None, lx=None, origins=None,
+        )
+
     def _load_radec_tracks(self, obs, pad_f: int):
         if self.bs_ra_f is not None:
             return
@@ -417,10 +534,13 @@ class StreamingExecutor:
                 jnp.zeros((self.B // 2 + 1,), dtype=jnp.float32) for _ in p.bands
             ],
             "psd_blocks": jnp.float32(0.0),
+            # valid samples dropped by the static MXU-binning window
+            # (must stay 0; run() raises otherwise)
+            "bin_lost": jnp.float32(0.0),
         }
 
     # ------------------------------------------------------------------
-    def _make_block_fn(self, with_tod: bool, with_psd: bool = False):
+    def _make_block_fn(self, with_tod: bool, with_psd: bool = False, use_blocked: bool = False):
         p = self.program
         r, B, block_tc = self.r, self.B, self.block_tc
         n_c, n_t, n_det = self.n_c, self.n_t, self.n_det
@@ -622,12 +742,63 @@ class StreamingExecutor:
                 (ix >= 0) & (ix < n_x) & (iy >= 0) & (iy < n_y)
                 & (g < n_t)[None, :] & jnp.asarray(real_row)
             )
-            pix = jnp.where(inside, iy * n_x + ix, n_y * n_x)  # overflow bucket
-            w = inside.astype(jnp.float32)
-            map_sum = state["map_sum"] + bin_scatter(tod * w, pix, n_y * n_x + 1)[:-1]
-            map_wgt = state["map_wgt"] + bin_scatter(w, pix, n_y * n_x + 1)[:-1]
+            if use_blocked:
+                # MXU windowed binning (no scatters): block the det axis
+                # by the static Hilbert order, compute window origins
+                # from this block's actual ids, and contract one-hot
+                # hats (bin_blocked). data channel-stacks (tod, ones) so
+                # sums and hit counts share the hats.
+                bp = self._bin_plan
+                order_dev = jnp.asarray(bp.order)
+                pad_t_b = bp.n_chunks * bp.chunk - B
+                n_det_pad = bp.n_blocks * bp.det_block
 
-            new_state = dict(state, noise=new_states, map_sum=map_sum, map_wgt=map_wgt)
+                def blockify(a):
+                    a = jnp.take(a, order_dev, axis=0)
+                    if pad_t_b:
+                        a = jnp.pad(a, ((0, 0), (0, pad_t_b)), constant_values=-1)
+                    if n_det_pad > n_det:
+                        rows = jnp.arange(n_det_pad, dtype=jnp.int32)[:, None]
+                        a = jnp.where(rows >= n_det, jnp.int32(-1), a)
+                    return a.reshape(bp.n_blocks, bp.det_block, bp.n_chunks, bp.chunk)
+
+                iy_b = blockify(jnp.where(inside, iy, -1))
+                ix_b = blockify(jnp.where(inside, ix, -1))
+                valid = (iy_b >= 0) & (ix_b >= 0)
+                big = jnp.int32(1 << 30)
+                oy = jnp.clip(jnp.where(valid, iy_b, big).min(axis=(1, 3)), 0, n_y - bp.wy)
+                ox = jnp.clip(jnp.where(valid, ix_b, big).min(axis=(1, 3)), 0, n_x - bp.wx)
+                ly = jnp.where(valid, iy_b - oy[:, None, :, None], -1)
+                lx = jnp.where(valid, ix_b - ox[:, None, :, None], -1)
+                # hard guarantee: a valid sample outside the static
+                # window would be silently dropped by the hats — count
+                # it (run() raises on a nonzero total) and mark it -1 so
+                # an int8 cast can never alias it back into the window
+                lost = ((ly >= bp.wy) | (lx >= bp.wx)) & valid
+                ly = jnp.where(lost, -1, ly)
+                lx = jnp.where(lost, -1, lx)
+                off_dtype = jnp.int8 if max(bp.wy, bp.wx) < 127 else jnp.int32
+                from .binning import bin_blocked
+
+                data2 = jnp.stack([tod, jnp.ones_like(tod)])
+                maps = bin_blocked(
+                    data2, bp,
+                    ly=ly.astype(off_dtype), lx=lx.astype(off_dtype),
+                    origins=jnp.stack([oy, ox], axis=-1), order=order_dev,
+                )
+                map_sum = state["map_sum"] + maps[0].reshape(-1)
+                map_wgt = state["map_wgt"] + maps[1].reshape(-1)
+                bin_lost = state["bin_lost"] + lost.sum().astype(jnp.float32)
+            else:
+                pix = jnp.where(inside, iy * n_x + ix, n_y * n_x)  # overflow bucket
+                w = inside.astype(jnp.float32)
+                map_sum = state["map_sum"] + bin_scatter(tod * w, pix, n_y * n_x + 1)[:-1]
+                map_wgt = state["map_wgt"] + bin_scatter(w, pix, n_y * n_x + 1)[:-1]
+                bin_lost = state["bin_lost"]
+
+            new_state = dict(
+                state, noise=new_states, map_sum=map_sum, map_wgt=map_wgt, bin_lost=bin_lost
+            )
 
             if with_psd:
                 # Welch: detrended + Hann-windowed per-band periodograms,
@@ -657,11 +828,11 @@ class StreamingExecutor:
 
         return block_fn
 
-    def _group_fn(self, with_tod: bool, with_psd: bool = False):
+    def _group_fn(self, with_tod: bool, with_psd: bool = False, use_blocked: bool = False):
         # ONE jit per mode; jit re-specializes per group length
-        key = (with_tod, with_psd)
+        key = (with_tod, with_psd, use_blocked)
         if key not in self._block_fn_cache:
-            block_fn = self._make_block_fn(with_tod, with_psd)
+            block_fn = self._make_block_fn(with_tod, with_psd, use_blocked)
 
             @jax.jit
             def run_group(state, xs):
@@ -692,6 +863,14 @@ class StreamingExecutor:
 
         return jax.tree.map(put, state)
 
+    def _auto_blocked(self, mesh) -> bool:
+        """Default binning mode: the hat contraction only beats scatters
+        where scatters are slow (TPU ~7 ns/sample); CPU segment-sums
+        win. Det-sharded runs keep the scatter path (XLA inserts its
+        psum)."""
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        return self._bin_plan is not None and mesh is None and on_tpu
+
     # -- checkpoint / resume -------------------------------------------
     #
     # Only the leaves a block MUTATES are persisted (noise cascade
@@ -702,7 +881,7 @@ class StreamingExecutor:
     # from disk. Blocks depend only on (carried state, block index), so
     # a resumed run is exactly the uninterrupted one.
 
-    _MUTABLE_KEYS = ("noise", "map_sum", "map_wgt", "psd_sum", "psd_blocks")
+    _MUTABLE_KEYS = ("noise", "map_sum", "map_wgt", "psd_sum", "psd_blocks", "bin_lost")
 
     @staticmethod
     def _key_bits(key):
@@ -757,7 +936,7 @@ class StreamingExecutor:
     # ------------------------------------------------------------------
     def run(
         self, key=None, group_size: int = 8, mesh=None, accumulate_psd: bool = False,
-        checkpoint_path=None, checkpoint_every: int = None,
+        checkpoint_path=None, checkpoint_every: int = None, mxu_binning: bool = None,
     ) -> StreamingResult:
         """Synthesize + bin the whole observation, `group_size` blocks
         per device dispatch, state carried between dispatches. Pass a
@@ -771,8 +950,25 @@ class StreamingExecutor:
         is written atomically every `checkpoint_every` blocks (default:
         every dispatch group), and if the file already exists for the
         SAME key and geometry the run continues where it left off — the
-        result is exactly the uninterrupted run's (tested)."""
+        result is exactly the uninterrupted run's (tested).
+
+        `mxu_binning` selects how blocks land in the map: None (default)
+        auto-picks the windowed MXU hat contraction when the geometry
+        allows it and no mesh is given (det-sharded runs keep the
+        scatter path, whose psum XLA inserts); True requires it; False
+        forces the scatter path (used by the equality tests)."""
         key = key if key is not None else jax.random.key(0)
+        if mxu_binning is None:
+            use_blocked = self._auto_blocked(mesh)
+        elif mxu_binning:
+            if self._bin_plan is None or mesh is not None:
+                raise ValueError(
+                    "mxu_binning=True needs a coverable window geometry and no mesh "
+                    "(det-sharded runs bin through the scatter path)."
+                )
+            use_blocked = True
+        else:
+            use_blocked = False
         state = self.init_state(key)
         start_block = 0
         if checkpoint_path is not None:
@@ -785,13 +981,20 @@ class StreamingExecutor:
         last_saved = start_block
         for g1, state in self._iterate(
             state, group_size, with_tod=False, with_psd=accumulate_psd,
-            start_block=start_block,
+            start_block=start_block, use_blocked=use_blocked,
         ):
             if checkpoint_path is not None and g1 < self.n_blocks and (
                 g1 - last_saved >= (checkpoint_every or group_size)
             ):
                 self._save_ckpt(checkpoint_path, state, g1, key)
                 last_saved = g1
+        lost = float(state["bin_lost"])
+        if lost:
+            raise RuntimeError(
+                f"MXU-binning window dropped {lost:.0f} in-map samples — the static "
+                "window bound was violated (unexpected; the setup sizes it from the "
+                "exact pointing). Re-run with mxu_binning=False and report the config."
+            )
         psd_freqs = psds = None
         if accumulate_psd:
             n_blocks = max(float(state["psd_blocks"]), 1.0)
@@ -810,7 +1013,10 @@ class StreamingExecutor:
         — the lazy-TOD analogue of the reference's dask fields."""
         state = self.init_state(key if key is not None else jax.random.key(0))
         b = 0
-        for state, tods, n_real in self._iterate(state, group_size, with_tod=True, yield_tod=True):
+        for state, tods, n_real in self._iterate(
+            state, group_size, with_tod=True, yield_tod=True,
+            use_blocked=self._auto_blocked(None),
+        ):
             for tod in np.asarray(tods)[:n_real]:  # drop phantom tail blocks
                 hi = min(self.B, self.n_t - b * self.B)
                 yield b, np.asarray(tod)[:, :hi]
@@ -818,9 +1024,9 @@ class StreamingExecutor:
 
     def _iterate(
         self, state, group_size: int, with_tod: bool, yield_tod: bool = False,
-        with_psd: bool = False, start_block: int = 0,
+        with_psd: bool = False, start_block: int = 0, use_blocked: bool = False,
     ):
-        run_group = self._group_fn(with_tod, with_psd)
+        run_group = self._group_fn(with_tod, with_psd, use_blocked)
         az = self.bs_az_f.reshape(self.n_blocks, self.B)
         el = self.bs_el_f.reshape(self.n_blocks, self.B)
         need_tracks = self.sky is not None or self.frame == "ra/dec"

@@ -345,10 +345,12 @@ def test_checkpoint_resume_equals_uninterrupted(mustang_program, tmp_path):
     full = ex.run(key, group_size=2, accumulate_psd=True)
 
     # simulate a crash: run only the first few groups, checkpointing each
+    # (same binning mode as run()'s default, else the accumulators fork)
     state = ex.init_state(key)
     n_groups_before_crash = 2
     for i, (g1, state) in enumerate(
-        ex._iterate(state, 2, with_tod=False, with_psd=True)
+        ex._iterate(state, 2, with_tod=False, with_psd=True,
+                    use_blocked=ex._auto_blocked(None))
     ):
         ex._save_ckpt(ckpt, state, g1, key)
         if i + 1 >= n_groups_before_crash:
@@ -367,3 +369,51 @@ def test_checkpoint_resume_equals_uninterrupted(mustang_program, tmp_path):
     ex2 = StreamingExecutor(program, obs, block_tc=8, n_x=64, n_y=64)
     with pytest.raises(ValueError, match="different run"):
         ex2.run(key, group_size=2, accumulate_psd=True, checkpoint_path=ckpt)
+
+
+def test_mxu_binning_equals_scatter(mustang_program):
+    """The in-scan windowed MXU binning (mxu_binning=True) must produce
+    the same map as the scatter path to binning-precision tolerance, in
+    both binning frames, with zero window-dropped samples."""
+    program, obs = mustang_program
+    key = jax.random.key(9)
+    for frame in ("az/el", "ra/dec"):
+        ex = StreamingExecutor(program, obs, block_tc=32, frame=frame)
+        assert ex._bin_plan is not None, "window geometry should be coverable here"
+        a = ex.run(key, group_size=4, mxu_binning=False)
+        b = ex.run(key, group_size=4, mxu_binning=True)
+        np.testing.assert_array_equal(a.map_wgt, b.map_wgt)
+        scale = np.abs(a.map_sum).max()
+        np.testing.assert_allclose(b.map_sum, a.map_sum, atol=2e-5 * scale)
+        # identical hit totals: nothing was window-dropped
+        assert b.map_wgt.sum() == program.offsets.shape[0] * len(program.t_fine)
+
+
+def test_mxu_binning_wide_field_blocks():
+    """Wide-field case (multi-det-block): a synthetic large array whose
+    focal plane spans many windows still bins exactly."""
+    import maria_tpu
+    from maria_tpu.ops.program import build_tod_program
+
+    plan = maria_tpu.get_plan(
+        "daisy_5arcmin_60s", start_time=1.75e9, scan_center=(150.0, 41.0),
+        frame="az/el", duration=20.0, sample_rate=20.0,
+        scan_options={"radius": 0.25, "speed": 0.1},
+    )
+    inst = maria_tpu.get_instrument(
+        array={"n": 1200, "field_of_view": 0.8, "primary_size": 9,
+               "bands": ["act/pa5/f090"]}
+    )
+    sim = maria_tpu.Simulation(
+        instrument=inst, plans=plan, site="ALMA", atmosphere="2d", noise=True, seed=0,
+    )
+    obs = sim.obs_list[0]
+    program = build_tod_program(obs, noise_kwargs=sim.noise_kwargs)
+    ex = StreamingExecutor(program, obs, block_tc=16)
+    assert ex._bin_plan is not None and ex._bin_plan.n_blocks > 1
+    key = jax.random.key(2)
+    a = ex.run(key, group_size=4, mxu_binning=False)
+    b = ex.run(key, group_size=4, mxu_binning=True)
+    np.testing.assert_array_equal(a.map_wgt, b.map_wgt)
+    scale = np.abs(a.map_sum).max()
+    np.testing.assert_allclose(b.map_sum, a.map_sum, atol=2e-5 * scale)
