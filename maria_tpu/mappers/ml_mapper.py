@@ -57,6 +57,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         bilinear: bool = False,
         prior: bool = False,
         mesh=None,
+        mxu_pointing: bool = None,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -85,6 +86,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         # dicts {f, median_psd, mode_psd}
         self.noise_model_history = []
         self._epoch_k0_jit = None  # built lazily on the first fused fit()
+        self._mxu_pointing = mxu_pointing
         self._prepare()
         self._compute_naive_map()
         # `.map` is inspectable before fit(): the binned (or random)
@@ -115,6 +117,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         band_channel = {b.name: i for i, b in enumerate(self.bands)}
 
         self.blocks = []
+        self._block_aux = []  # host-side per-block (chan, tbin) ids
         x0 = -(self.n_x - 1) / 2 * self.res
         y0 = -(self.n_y - 1) / 2 * self.res
         for tod in self.tods:
@@ -162,6 +165,11 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
                     "n_real": n_real_rows,
                 }
             )
+            self._block_aux.append(
+                {"chan": np.pad(chan, (0, pad), constant_values=-1) if pad else chan,
+                 "tbin": tbin}
+            )
+        self._setup_mxu_pointing()
 
     def _put_det(self, x):
         """Shard a det-major array over the mesh (no-op without one)."""
@@ -170,6 +178,76 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         return jax.device_put(x, NamedSharding(self.mesh, P("det", *[None] * (x.ndim - 1))))
+
+    def _setup_mxu_pointing(self):
+        """Static geometry for the MXU P^T: the pixel ids never change
+        across CG iterations, so ONE blocked plan per TOD (ops/binning
+        make_blocked_bin_plan_on_device) replaces the per-iteration
+        segment-sums (TPU scatters, ~7 ns/sample — they dominated the
+        13.8 ms on-chip CG step). Channel-stacked data shares the hats
+        across every (stokes, channel, time-bin) frame; the overflow
+        bucket is a dense masked sum. Auto-enabled on TPU with no mesh
+        and few frames (mxu_pointing= overrides; CPU segment-sums win,
+        det-sharded gathers would cross shards)."""
+        self._frame_ids = None
+        if self._mxu_pointing is None:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            enabled = (
+                on_tpu and self.mesh is None and self.n_s * self.n_nu * self.t_bins <= 8
+            )
+        else:
+            enabled = self._mxu_pointing
+            if enabled and self.mesh is not None:
+                raise ValueError("mxu_pointing=True is incompatible with mesh= (det-sharded runs use segment-sums).")
+        if not enabled:
+            return
+        from ..ops.binning import make_blocked_bin_plan_on_device
+
+        for block, aux in zip(self.blocks, self._block_aux):
+            within = block["pix"] % self.n_pix1
+            ovf = within == self.n_pix
+            iy = jnp.where(ovf, -1, within // self.n_x)
+            ix = jnp.where(ovf, -1, within % self.n_x)
+            plan = make_blocked_bin_plan_on_device(iy, ix, self.n_y, self.n_x)
+            if plan is None:  # windows would span most of the map
+                self._mxu_pointing = False
+                return
+            block["bly"], block["blx"] = plan.ly, plan.lx
+            block["borig"] = jnp.asarray(plan.origins)
+            block["border"] = jnp.asarray(plan.order)
+            block["ovf"] = ovf.astype(jnp.float32)
+            block["bmeta"] = plan  # static shapes only (arrays passed explicitly)
+            # frame masks: detector -> channel (static), sample -> t bin
+            block["cmask"] = (
+                jnp.asarray((aux["chan"][None, :] == np.arange(self.n_nu)[:, None]),
+                            dtype=jnp.float32) if self.n_nu > 1 else None
+            )
+            block["tmask"] = (
+                jnp.asarray((aux["tbin"][None, :] == np.arange(self.t_bins)[:, None]),
+                            dtype=jnp.float32) if self.t_bins > 1 else None
+            )
+        self._mxu_pointing = True
+
+    def _project_T_mxu(self, v, block):
+        """P^T v via one channel-stacked MXU hat contraction (exact same
+        segments as the scatter path; f32 accumulation order differs)."""
+        from ..ops.binning import bin_blocked
+
+        chans = []
+        for s in range(self.n_s):
+            vs = block["sw"][:, s, None] * v
+            for c in range(self.n_nu):
+                vc = vs * block["cmask"][c][:, None] if block["cmask"] is not None else vs
+                for t in range(self.t_bins):
+                    chans.append(vc * block["tmask"][t] if block["tmask"] is not None else vc)
+        data = jnp.stack(chans)  # (n_s * n_nu * t_bins, n_det, n_t)
+        maps = bin_blocked(
+            data, block["bmeta"], ly=block["bly"], lx=block["blx"],
+            origins=block["borig"], order=block["border"],
+        ).reshape(len(chans), self.n_pix)
+        ovf = jnp.einsum("fdt,dt->f", data, block["ovf"])  # overflow bucket sums
+        out = jnp.concatenate([maps, ovf[:, None]], axis=-1)  # (n_frames, n_pix1)
+        return out.reshape(-1)
 
     # -- pointing ------------------------------------------------------------------
     def _project(self, m_flat, block):
@@ -181,7 +259,10 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         return out
 
     def _project_T(self, v, block):
-        """P^T v: Stokes-weighted segment-sum over channel-offset pixels."""
+        """P^T v: Stokes-weighted segment-sum over channel-offset pixels
+        (or the MXU hat contraction when the static plan exists)."""
+        if self._mxu_pointing and "bly" in block:
+            return self._project_T_mxu(v, block)
         parts = []
         for s in range(self.n_s):
             parts.append(
@@ -307,7 +388,12 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             win = _tukey(resid.shape[-1])
             spec = jnp.abs(jnp.fft.rfft(resid * win, axis=-1)) ** 2 / (win**2).sum()
             spec = _smooth_spectrum(spec, int(self.spectrum_smoothing))
-            new_blocks.append({**b, "A_inv": 1.0 / jnp.clip(spec, 1e-30, None)})
+            new_blocks.append({
+                **b, "A_inv": 1.0 / jnp.clip(spec, 1e-30, None),
+                # static plan metadata rides as a closure constant (the
+                # index arrays are traced args in `b`)
+                "bmeta": self.blocks[i].get("bmeta"),
+            })
             # median over REAL rows only — zero-weight det-padding rows
             # have identically-zero spectra and would drag it to 0
             medians.append(jnp.median(spec[: self.blocks[i]["n_real"]], axis=0))
@@ -432,7 +518,11 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         diag = None
         for epoch in range(n_epochs):
             if use_fused:
-                light = [{key: b[key] for key in ("pix", "sw", "data")} for b in self.blocks]
+                keys = ("pix", "sw", "data") + (
+                    ("bly", "blx", "borig", "border", "ovf", "cmask", "tmask")
+                    if self._mxu_pointing else ()
+                )
+                light = [{key: b[key] for key in keys if key in b} for b in self.blocks]
                 m, diag, a_invs, medians = self._epoch_k0_jit(m, light, jnp.int32(n_steps))
                 # keep per-block state and diagnostics identical to the
                 # eager path (device-resident; no readback until asked)

@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -320,3 +321,39 @@ def test_fused_epoch_matches_eager(noisy_tod_and_map):
         eager.noise_model_history[-1][0]["median_psd"],
         rtol=1e-4,
     )
+
+
+def test_mxu_pointing_matches_segment_sum(noisy_tod_and_map):
+    """P^T via the channel-stacked MXU hat contraction must equal the
+    segment-sum path: same solution, same weights — including with
+    multiple time-bin frames sharing the hats."""
+    input_map, tod = noisy_tod_and_map
+    for t_bins in (1, 2):
+        kwargs = dict(
+            center=(150.0, 10.0), width=np.degrees(input_map.width),
+            resolution=np.degrees(input_map.resolution),
+            frame="ra/dec", units="K_RJ", n_epochs=1, n_cg_iters=15, t_bins=t_bins,
+        )
+        seg = MaximumLikelihoodMapper([tod], mxu_pointing=False, **kwargs)
+        mxu = MaximumLikelihoodMapper([tod], mxu_pointing=True, **kwargs)
+        assert mxu._mxu_pointing is True
+
+        # raw operator equality on a fixed vector (tighter than the
+        # post-CG comparison): same segments, f32 order differences only
+        v = jnp.asarray(
+            np.random.default_rng(0).normal(size=tod.shape).astype(np.float32)
+        )
+        a = np.asarray(seg._project_T(v, seg.blocks[0]))
+        b = np.asarray(mxu._project_T(v, mxu.blocks[0]))
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(b, a, atol=3e-5 * scale)
+
+        out_seg = seg.fit()
+        out_mxu = mxu.fit()
+        aa = np.nan_to_num(np.asarray(out_seg.data, dtype=np.float64))
+        bb = np.nan_to_num(np.asarray(out_mxu.data, dtype=np.float64))
+        s = np.abs(aa).max() or 1.0
+        np.testing.assert_allclose(bb, aa, atol=2e-3 * s, rtol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(out_mxu.weight), np.asarray(out_seg.weight), rtol=1e-3
+        )
