@@ -189,17 +189,18 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         bucket is a dense masked sum. Auto-enabled on TPU with no mesh
         and few frames (mxu_pointing= overrides; CPU segment-sums win,
         det-sharded gathers would cross shards)."""
-        self._frame_ids = None
-        if self._mxu_pointing is None:
+        forced = self._mxu_pointing
+        if forced is None:
             on_tpu = jax.devices()[0].platform in ("tpu", "axon")
             enabled = (
                 on_tpu and self.mesh is None and self.n_s * self.n_nu * self.t_bins <= 8
             )
         else:
-            enabled = self._mxu_pointing
+            enabled = forced
             if enabled and self.mesh is not None:
                 raise ValueError("mxu_pointing=True is incompatible with mesh= (det-sharded runs use segment-sums).")
         if not enabled:
+            self._mxu_pointing = False
             return
         from ..ops.binning import make_blocked_bin_plan_on_device
 
@@ -210,12 +211,19 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             ix = jnp.where(ovf, -1, within % self.n_x)
             plan = make_blocked_bin_plan_on_device(iy, ix, self.n_y, self.n_x)
             if plan is None:  # windows would span most of the map
+                if forced:
+                    raise ValueError(
+                        "mxu_pointing=True but blocked windows would span most of the "
+                        "map for this scan/map geometry — use mxu_pointing=False."
+                    )
                 self._mxu_pointing = False
                 return
             block["bly"], block["blx"] = plan.ly, plan.lx
             block["borig"] = jnp.asarray(plan.origins)
             block["border"] = jnp.asarray(plan.order)
-            block["ovf"] = ovf.astype(jnp.float32)
+            # overflow-bucket mask — None when nothing ever overflows,
+            # so the per-iteration dense reduction is skipped entirely
+            block["ovf"] = ovf.astype(jnp.float32) if bool(ovf.any()) else None
             block["bmeta"] = plan  # static shapes only (arrays passed explicitly)
             # frame masks: detector -> channel (static), sample -> t bin
             block["cmask"] = (
@@ -245,8 +253,11 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             data, block["bmeta"], ly=block["bly"], lx=block["blx"],
             origins=block["borig"], order=block["border"],
         ).reshape(len(chans), self.n_pix)
-        ovf = jnp.einsum("fdt,dt->f", data, block["ovf"])  # overflow bucket sums
-        out = jnp.concatenate([maps, ovf[:, None]], axis=-1)  # (n_frames, n_pix1)
+        if block.get("ovf") is not None:  # overflow bucket sums
+            ovf = jnp.einsum("fdt,dt->f", data, block["ovf"])[:, None]
+        else:
+            ovf = jnp.zeros((len(chans), 1), dtype=maps.dtype)
+        out = jnp.concatenate([maps, ovf], axis=-1)  # (n_frames, n_pix1)
         return out.reshape(-1)
 
     # -- pointing ------------------------------------------------------------------

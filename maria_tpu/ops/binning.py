@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "blockify_ids",
+    "blocked_local_ids",
     "WindowedBinPlan",
     "make_windowed_bin_plan",
     "bin_windowed",
@@ -305,6 +307,46 @@ def make_blocked_bin_plan(
     )
 
 
+def blockify_ids(a, order_dev, n_det: int, det_block: int, n_blocks: int,
+                 n_chunks: int, chunk: int):
+    """Traceable blockify of a (n_det, n_t) id array: reorder detectors,
+    pad time with -1, mask padded det rows with -1, reshape to
+    (n_blocks, det_block, n_chunks, chunk). The single source of the
+    -1/padding conventions for the device plan builder AND the
+    streaming executor's in-scan binning."""
+    a = jnp.take(a, order_dev, axis=0)
+    pad_t = n_chunks * chunk - a.shape[1]
+    if pad_t:
+        a = jnp.pad(a, ((0, 0), (0, pad_t)), constant_values=-1)
+    if n_blocks * det_block > n_det:
+        row = jnp.arange(n_blocks * det_block, dtype=jnp.int32)[:, None]
+        a = jnp.where(row >= n_det, jnp.int32(-1), a)
+    return a.reshape(n_blocks, det_block, n_chunks, chunk)
+
+
+def blocked_local_ids(iy, ix, order_dev, n_det: int, det_block: int,
+                      n_blocks: int, n_chunks: int, chunk: int,
+                      wy: int, wx: int, n_y: int, n_x: int):
+    """Traceable per-(det-block, time-chunk) window origins + local
+    offsets for a STATIC (wy, wx) window: origins are each pair's
+    clamped minimum valid pixel; `lost` flags valid samples the window
+    cannot cover (marked -1 so an int8 cast can never alias them back
+    in). Used inside the streaming executor's scan, where the ids are
+    traced values and only the window size is static."""
+    iy_b = blockify_ids(iy, order_dev, n_det, det_block, n_blocks, n_chunks, chunk)
+    ix_b = blockify_ids(ix, order_dev, n_det, det_block, n_blocks, n_chunks, chunk)
+    valid = (iy_b >= 0) & (ix_b >= 0)
+    big = jnp.int32(1 << 30)
+    oy = jnp.clip(jnp.where(valid, iy_b, big).min(axis=(1, 3)), 0, n_y - wy)
+    ox = jnp.clip(jnp.where(valid, ix_b, big).min(axis=(1, 3)), 0, n_x - wx)
+    ly = jnp.where(valid, iy_b - oy[:, None, :, None], -1)
+    lx = jnp.where(valid, ix_b - ox[:, None, :, None], -1)
+    lost = ((ly >= wy) | (lx >= wx)) & valid
+    ly = jnp.where(lost, -1, ly)
+    lx = jnp.where(lost, -1, lx)
+    return ly, lx, jnp.stack([oy, ox], axis=-1), lost
+
+
 def make_blocked_bin_plan_on_device(
     iy,
     ix,
@@ -357,13 +399,7 @@ def make_blocked_bin_plan_on_device(
     order_dev = jnp.asarray(order_p.astype(np.int32))
 
     def _blockify(a, order_dev):
-        a = jnp.take(a, order_dev, axis=0)
-        if pad_t:
-            a = jnp.pad(a, ((0, 0), (0, pad_t)), constant_values=-1)
-        if pad_d:
-            row = jnp.arange(n_blocks * det_block, dtype=jnp.int32)[:, None]
-            a = jnp.where(row >= n_det, jnp.int32(-1), a)
-        return a.reshape(n_blocks, det_block, n_chunks, chunk)
+        return blockify_ids(a, order_dev, n_det, det_block, n_blocks, n_chunks, chunk)
 
     @jax.jit
     def _spans(iy, ix, order_dev):

@@ -269,7 +269,7 @@ class StreamingExecutor:
             self._build_sky(obs, cmb, input_map, map_kwargs or {}, pad_f)
         self._block_fn_cache = {}
         self._coarse_jit = None
-        self._bin_plan = self._setup_blocked_binning()
+        self._bin_plan_cache = "unset"  # lazy: see the _bin_plan property
 
     def _build_sky(self, obs, cmb, input_map, map_kwargs, pad_f: int):
         """Host setup for per-block sky sampling: the SAME calibration
@@ -359,38 +359,63 @@ class StreamingExecutor:
         window SIZE must be static, so it is bounded here empirically:
         per-block extreme detectors x a strided time subsample are run
         through the exact binning rotation, and the largest
-        (block, chunk) span plus a stride/rounding margin fixes (wy, wx).
-        The in-scan `bin_lost` counter hard-verifies the bound — any
-        in-map sample falling outside its window makes run() raise
-        rather than silently bias the map. Returns None (scatter
-        fallback) when even the smallest det-block/chunk candidate would
-        need windows spanning most of the map."""
+        (block, chunk) span plus stride/rounding/rotation margins fixes
+        (wy, wx). The in-scan `bin_lost` counter hard-verifies the
+        bound — any in-map sample falling outside its window makes
+        run() raise rather than silently bias the map. Returns None
+        (scatter fallback) when even the smallest det-block/chunk
+        candidate would need windows spanning most of the map.
+
+        Computed LAZILY (via the `_bin_plan` property) so runs that
+        never pick the blocked path — CPU autos, det-sharded runs —
+        never pay the setup sweep."""
+        from .binning import _hilbert_order
+        from ..coords.transforms import offsets_to_phi_theta
+
+        # candidate-invariant setup (hoisted out of the loop)
+        o = np.asarray(self.program.offsets, dtype=np.float64)
+        n_det = self.n_det
+        qy = np.round((o[:, 1] - o[:, 1].min()) / self.res).astype(np.int64)
+        qx = np.round((o[:, 0] - o[:, 0].min()) / self.res).astype(np.int64)
+        order = _hilbert_order(qy, qx)
+        if self.frame == "ra/dec":
+            phi_f, theta_f, q_f = self.bs_ra_f, self.bs_dec_f, self.q_f
+        else:
+            phi_f, theta_f, q_f = self.bs_az_f, self.bs_el_f, None
+        # max boresight pixel step per sample, for the stride margin
+        offs_b = np.asarray(
+            phi_theta_to_offsets_jit(
+                jnp.asarray(np.stack([phi_f, theta_f], -1)), self.center[0], self.center[1]
+            )
+        ) / self.res
+        step_cells = float(np.abs(np.diff(offs_b, axis=0)).max())
+        inv = (o, order, phi_f, theta_f, q_f, step_cells)
+
         # wide focal planes / fast scans need smaller blocks or chunks
         # to keep the window below half the map
         for det_block, chunk in ((512, 64), (512, 32), (256, 32), (128, 16), (64, 16)):
-            plan = self._try_blocked_binning(det_block, chunk)
+            plan = self._try_blocked_binning(inv, det_block, chunk)
             if plan is not None:
                 return plan
         return None
 
-    def _try_blocked_binning(self, det_block: int, chunk: int):
-        from .binning import BlockedBinPlan, _hilbert_order
+    def _try_blocked_binning(self, inv, det_block: int, chunk: int):
+        from .binning import BlockedBinPlan
+        from ..coords.transforms import offsets_to_phi_theta
 
-        o = np.asarray(self.program.offsets, dtype=np.float64)
+        o, order, phi_f, theta_f, q_f, step_cells = inv
         n_det = self.n_det
         det_block = min(det_block, -(-n_det // 8) * 8)
         n_db = -(-n_det // det_block)
         pad_d = n_db * det_block - n_det
-        qy = np.round((o[:, 1] - o[:, 1].min()) / self.res).astype(np.int64)
-        qx = np.round((o[:, 0] - o[:, 0].min()) / self.res).astype(np.int64)
-        order = _hilbert_order(qy, qx)
         order_p = (
             np.concatenate([order, np.full(pad_d, order[-1], dtype=order.dtype)])
             if pad_d else order
         )
 
         # <=8 extreme detectors per block bound the block's footprint
-        # under any rotation of the (x, y) axes
+        # at the 8 sampled rotation directions; the worst case BETWEEN
+        # directions is covered by the rotation margin below
         ob = o[order_p].reshape(n_db, det_block, 2)
         ex_scores = np.stack(
             [ob[..., 0], -ob[..., 0], ob[..., 1], -ob[..., 1],
@@ -401,15 +426,9 @@ class StreamingExecutor:
         ex_offs = np.take_along_axis(ob, ex_idx[:, :, None], axis=1)  # (n_db, 8, 2)
 
         # exact binning rotation on a strided time subsample
-        from ..coords.transforms import offsets_to_phi_theta
-
         stride = 4
         n_chunks_b = -(-self.B // chunk)
         n_pad_t = self.n_blocks * n_chunks_b * chunk
-        if self.frame == "ra/dec":
-            phi_f, theta_f, q_f = self.bs_ra_f, self.bs_dec_f, self.q_f
-        else:
-            phi_f, theta_f, q_f = self.bs_az_f, self.bs_el_f, None
 
         def pad_time(a):
             # chunks live inside padded blocks: replicate each block's
@@ -445,16 +464,17 @@ class StreamingExecutor:
             per = c.max(axis=(1, 3)) - c.min(axis=(1, 3))  # (n_db, n_chunks_total)
             return per.max()
 
-        # margin: what the stride can miss (pointing moves at most
-        # step_max cells per sample; the slow q rotation's extra per-
-        # sample detector motion is orders of magnitude below it) plus
-        # rounding slack
-        offs_b = np.asarray(
-            phi_theta_to_offsets_jit(
-                jnp.asarray(np.stack([phi_f, theta_f], -1)), self.center[0], self.center[1]
-            )
-        ) / self.res
-        m = int(np.ceil(float(np.abs(np.diff(offs_b, axis=0)).max()) * stride)) + 4
+        # margins: (a) what the time stride can miss — pointing moves at
+        # most step_cells per sample; (b) under field rotation, the 8
+        # extremes sampled at 45-degree directions under-read a circular
+        # block's span by up to (1 - cos(22.5 deg)) ~ 7.6% of its radius
+        # per side; (c) rounding slack
+        m = int(np.ceil(step_cells * stride)) + 4
+        if q_f is not None:
+            rad_cells = float(
+                np.sqrt(((ob - ob.mean(axis=1, keepdims=True)) ** 2).sum(-1)).max()
+            ) / self.res
+            m += int(np.ceil(0.08 * rad_cells)) + 1
         wy = int(-(-(span(iy) + 1 + 2 * m) // 8) * 8)
         wx = int(-(-(span(ix) + 1 + 2 * m) // 8) * 8)
         if wy > self.n_y or wx > self.n_x or wy * wx > 0.5 * self.n_y * self.n_x:
@@ -684,6 +704,11 @@ class StreamingExecutor:
             return total
 
         need_tracks = sky is not None or self.frame == "ra/dec"
+        if use_blocked:
+            # resolve the lazy plan EAGERLY: first-touching it inside the
+            # traced scan body would run the setup sweep under tracing
+            bin_plan = self._bin_plan
+            bin_order_dev = jnp.asarray(bin_plan.order)
 
         def block_fn(state, xs):
             if need_tracks:
@@ -747,44 +772,24 @@ class StreamingExecutor:
                 # by the static Hilbert order, compute window origins
                 # from this block's actual ids, and contract one-hot
                 # hats (bin_blocked). data channel-stacks (tod, ones) so
-                # sums and hit counts share the hats.
-                bp = self._bin_plan
-                order_dev = jnp.asarray(bp.order)
-                pad_t_b = bp.n_chunks * bp.chunk - B
-                n_det_pad = bp.n_blocks * bp.det_block
+                # sums and hit counts share the hats. `lost` counts any
+                # valid sample the static window would silently drop —
+                # run() raises on a nonzero total.
+                from .binning import bin_blocked, blocked_local_ids
 
-                def blockify(a):
-                    a = jnp.take(a, order_dev, axis=0)
-                    if pad_t_b:
-                        a = jnp.pad(a, ((0, 0), (0, pad_t_b)), constant_values=-1)
-                    if n_det_pad > n_det:
-                        rows = jnp.arange(n_det_pad, dtype=jnp.int32)[:, None]
-                        a = jnp.where(rows >= n_det, jnp.int32(-1), a)
-                    return a.reshape(bp.n_blocks, bp.det_block, bp.n_chunks, bp.chunk)
-
-                iy_b = blockify(jnp.where(inside, iy, -1))
-                ix_b = blockify(jnp.where(inside, ix, -1))
-                valid = (iy_b >= 0) & (ix_b >= 0)
-                big = jnp.int32(1 << 30)
-                oy = jnp.clip(jnp.where(valid, iy_b, big).min(axis=(1, 3)), 0, n_y - bp.wy)
-                ox = jnp.clip(jnp.where(valid, ix_b, big).min(axis=(1, 3)), 0, n_x - bp.wx)
-                ly = jnp.where(valid, iy_b - oy[:, None, :, None], -1)
-                lx = jnp.where(valid, ix_b - ox[:, None, :, None], -1)
-                # hard guarantee: a valid sample outside the static
-                # window would be silently dropped by the hats — count
-                # it (run() raises on a nonzero total) and mark it -1 so
-                # an int8 cast can never alias it back into the window
-                lost = ((ly >= bp.wy) | (lx >= bp.wx)) & valid
-                ly = jnp.where(lost, -1, ly)
-                lx = jnp.where(lost, -1, lx)
+                bp, order_dev = bin_plan, bin_order_dev
+                ly, lx, origins, lost = blocked_local_ids(
+                    jnp.where(inside, iy, -1), jnp.where(inside, ix, -1),
+                    order_dev, n_det, bp.det_block, bp.n_blocks,
+                    bp.n_chunks, bp.chunk, bp.wy, bp.wx, n_y, n_x,
+                )
                 off_dtype = jnp.int8 if max(bp.wy, bp.wx) < 127 else jnp.int32
-                from .binning import bin_blocked
 
                 data2 = jnp.stack([tod, jnp.ones_like(tod)])
                 maps = bin_blocked(
                     data2, bp,
                     ly=ly.astype(off_dtype), lx=lx.astype(off_dtype),
-                    origins=jnp.stack([oy, ox], axis=-1), order=order_dev,
+                    origins=origins, order=order_dev,
                 )
                 map_sum = state["map_sum"] + maps[0].reshape(-1)
                 map_wgt = state["map_wgt"] + maps[1].reshape(-1)
@@ -863,13 +868,23 @@ class StreamingExecutor:
 
         return jax.tree.map(put, state)
 
+    @property
+    def _bin_plan(self):
+        """Lazy blocked-binning geometry: computed on first use so runs
+        that never pick the blocked path (CPU autos, det-sharded runs)
+        never pay the setup sweep."""
+        if self._bin_plan_cache == "unset":
+            self._bin_plan_cache = self._setup_blocked_binning()
+        return self._bin_plan_cache
+
     def _auto_blocked(self, mesh) -> bool:
         """Default binning mode: the hat contraction only beats scatters
         where scatters are slow (TPU ~7 ns/sample); CPU segment-sums
         win. Det-sharded runs keep the scatter path (XLA inserts its
-        psum)."""
+        psum). Ordered so the lazy plan is only built when the other
+        gates pass."""
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        return self._bin_plan is not None and mesh is None and on_tpu
+        return mesh is None and on_tpu and self._bin_plan is not None
 
     # -- checkpoint / resume -------------------------------------------
     #
@@ -890,13 +905,17 @@ class StreamingExecutor:
         except TypeError:  # old-style uint32 key array
             return np.asarray(key)
 
-    def _fingerprint(self) -> str:
+    def _fingerprint(self, use_blocked: bool = False) -> str:
+        # v3: bin_lost joined the mutable leaves; the binning mode is
+        # part of the identity (a blocked-mode checkpoint resumed in
+        # scatter mode would blend accumulators from two float paths)
+        mode = "mxu" if use_blocked else "scatter"
         return (
-            f"v2:{self.n_t}:{self.n_blocks}:{self.B}:{self.n_det}:{self.n_x}:{self.n_y}:"
+            f"v3:{mode}:{self.n_t}:{self.n_blocks}:{self.B}:{self.n_det}:{self.n_x}:{self.n_y}:"
             f"{self.res:.9g}:{self.center[0]:.9g}:{self.center[1]:.9g}:{self.frame}"
         )
 
-    def _save_ckpt(self, path, state, next_block: int, key):
+    def _save_ckpt(self, path, state, next_block: int, key, use_blocked: bool = False):
         import os
 
         mut = {k: state[k] for k in self._MUTABLE_KEYS}
@@ -906,20 +925,20 @@ class StreamingExecutor:
         np.savez(
             tmp,
             next_block=np.int64(next_block),
-            fingerprint=np.str_(self._fingerprint()),
+            fingerprint=np.str_(self._fingerprint(use_blocked)),
             key_data=self._key_bits(key),
             **payload,
         )
         os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
 
-    def _load_ckpt(self, path, state, key):
+    def _load_ckpt(self, path, state, key, use_blocked: bool = False):
         """Overwrite `state`'s mutable subtree from `path`; returns
         (state, next_block). Raises ValueError on any mismatch."""
         with np.load(path, allow_pickle=False) as z:
-            if str(z["fingerprint"]) != self._fingerprint():
+            if str(z["fingerprint"]) != self._fingerprint(use_blocked):
                 raise ValueError(
                     f"checkpoint {path} was written for a different run "
-                    f"({z['fingerprint']} != {self._fingerprint()})"
+                    f"({z['fingerprint']} != {self._fingerprint(use_blocked)})"
                 )
             if not np.array_equal(z["key_data"], self._key_bits(key)):
                 raise ValueError(f"checkpoint {path} was written with a different PRNG key")
@@ -975,7 +994,7 @@ class StreamingExecutor:
             import os
 
             if os.path.exists(checkpoint_path):
-                state, start_block = self._load_ckpt(checkpoint_path, state, key)
+                state, start_block = self._load_ckpt(checkpoint_path, state, key, use_blocked)
         if mesh is not None:
             state = self._shard_state(state, mesh)
         last_saved = start_block
@@ -986,15 +1005,14 @@ class StreamingExecutor:
             if checkpoint_path is not None and g1 < self.n_blocks and (
                 g1 - last_saved >= (checkpoint_every or group_size)
             ):
-                self._save_ckpt(checkpoint_path, state, g1, key)
+                # the save already syncs the host, so the window-bound
+                # check is free here — fail NOW rather than after the
+                # remaining (possibly hours of) stream, and never write
+                # a checkpoint holding poisoned accumulators
+                self._check_lost(state)
+                self._save_ckpt(checkpoint_path, state, g1, key, use_blocked)
                 last_saved = g1
-        lost = float(state["bin_lost"])
-        if lost:
-            raise RuntimeError(
-                f"MXU-binning window dropped {lost:.0f} in-map samples — the static "
-                "window bound was violated (unexpected; the setup sizes it from the "
-                "exact pointing). Re-run with mxu_binning=False and report the config."
-            )
+        self._check_lost(state)
         psd_freqs = psds = None
         if accumulate_psd:
             n_blocks = max(float(state["psd_blocks"]), 1.0)
@@ -1007,6 +1025,18 @@ class StreamingExecutor:
             n_x=self.n_x, n_y=self.n_y, center=self.center, res=self.res,
             psd_freqs=psd_freqs, psds=psds,
         )
+
+    @staticmethod
+    def _check_lost(state):
+        lost = float(state["bin_lost"])
+        if lost:
+            raise RuntimeError(
+                f"MXU-binning window dropped {lost:.0f} in-map samples — the static "
+                "window bound was violated (unexpected; the setup bounds it from the "
+                "exact pointing plus stride/rotation margins). Re-run with "
+                "mxu_binning=False (and a fresh checkpoint_path, if any) and report "
+                "the configuration."
+            )
 
     def tod_blocks(self, key=None, group_size: int = 1):
         """Yield (block_index, tod_block (n_det, <=B) pW) in stream order

@@ -352,7 +352,7 @@ def test_checkpoint_resume_equals_uninterrupted(mustang_program, tmp_path):
         ex._iterate(state, 2, with_tod=False, with_psd=True,
                     use_blocked=ex._auto_blocked(None))
     ):
-        ex._save_ckpt(ckpt, state, g1, key)
+        ex._save_ckpt(ckpt, state, g1, key, ex._auto_blocked(None))
         if i + 1 >= n_groups_before_crash:
             break
     assert g1 < ex.n_blocks, "test needs a mid-stream crash point"
