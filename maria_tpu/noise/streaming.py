@@ -30,6 +30,8 @@ knee); the reference synthesizes eagerly over the full observation.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,11 +134,69 @@ class PinkCascade:
         z = jax.random.normal(key, (*shape, self.K), dtype=jnp.float32)
         return z @ self._chol0.T
 
+    # sub-chunk length for the Toeplitz formulation: caps the (c, c)
+    # kernel at 4 MB while keeping the matmuls MXU-sized
+    _CHUNK = 1024
+
+    @lru_cache(maxsize=8)
+    def _toeplitz_tables(self, c: int):
+        """Static f64-built tables for one sub-chunk of length c:
+        LGT[j, t] = G(t - j) (t >= j) with G(d) = sum_k a_k p_k^d — the
+        SINGLE causal kernel of the summed shared-innovation cascade;
+        decay[k, t] = a_k p_k^(t+1) (the carried states' contribution);
+        QT[j, k] = p_k^(c-1-j) (state update); pc[k] = p_k^c."""
+        import scipy.linalg
+
+        d = np.arange(c)
+        p64 = np.asarray(self.p, np.float64)
+        a64 = np.asarray(self.a, np.float64)
+        pw = p64[:, None] ** d[None, :]  # (K, c)
+        G = (a64[:, None] * pw).sum(0)  # (c,)
+        LGT = scipy.linalg.toeplitz(G, np.zeros(c)).T  # (j, t) upper-tri
+        decay = a64[:, None] * p64[:, None] * pw  # (K, c): a_k p_k^(t+1)
+        QT = (p64[:, None] ** (c - 1 - d)[None, :]).T  # (j, k)
+        # HOST arrays: caching device arrays here would cache tracers
+        # when first built under a jit trace; jnp.asarray at the use
+        # site turns them into (deduped) trace constants
+        return (
+            LGT.astype(np.float32),
+            decay.astype(np.float32),
+            QT.astype(np.float32),
+            (p64**c).astype(np.float32),
+        )
+
     def block(self, state, key, n: int):
-        """(state, key, n) -> (new_state, pink (..., n)). The AR(1)
-        recursions x_k,t = p_k x_k,t-1 + w_t (one SHARED innovation w)
-        run as one parallel prefix (associative_scan over the affine
-        maps x -> A x + B)."""
+        """(state, key, n) -> (new_state, pink (..., n)).
+
+        The K AR(1) recursions x_k,t = p_k x_k,t-1 + w_t share ONE
+        innovation, so their signed sum is an exact causal convolution
+        with G(d) = sum_k a_k p_k^d plus the carried states' decay:
+
+            pink_t = sum_k a_k p_k^(t+1) x_k,-1 + sum_{j<=t} G(t-j) w_j
+
+        — two MXU matmuls per sub-chunk instead of an associative_scan
+        (whose (.., K, n) affine-pair temporaries over log2(n) combine
+        levels made the noise stage traffic-bound: 3.4 of the 6.1 s
+        streamed AtLAST-50k x 600 s run on v5e). Exact same process;
+        pinned against the scan path in tests."""
+        shape = state.shape[:-1]
+        w = jax.random.normal(key, (*shape, n), dtype=jnp.float32)
+        parts = []
+        for i in range(0, n, self._CHUNK):
+            wc = w[..., i : i + self._CHUNK]
+            LGT, decay, QT, pc = (
+                jnp.asarray(t) for t in self._toeplitz_tables(wc.shape[-1])
+            )
+            y = jnp.matmul(wc, LGT, precision=jax.lax.Precision.HIGHEST)
+            y = y + jnp.matmul(state, decay, precision=jax.lax.Precision.HIGHEST)
+            state = state * pc + jnp.matmul(wc, QT, precision=jax.lax.Precision.HIGHEST)
+            parts.append(y)
+        pink = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        return state, pink
+
+    def block_scan(self, state, key, n: int):
+        """Reference associative_scan implementation (kept for the
+        equality test pinning `block`'s Toeplitz formulation)."""
         shape = state.shape[:-1]
         w = jax.random.normal(key, (*shape, n), dtype=jnp.float32)
         B = jnp.broadcast_to(w[..., None, :], (*shape, self.K, n))

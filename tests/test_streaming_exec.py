@@ -417,3 +417,26 @@ def test_mxu_binning_wide_field_blocks():
     np.testing.assert_array_equal(a.map_wgt, b.map_wgt)
     scale = np.abs(a.map_sum).max()
     np.testing.assert_allclose(b.map_sum, a.map_sum, atol=2e-5 * scale)
+
+
+def test_cascade_toeplitz_equals_scan():
+    """The Toeplitz-matmul cascade block must reproduce the
+    associative_scan reference exactly (same process, different f32
+    order), including the carried state across multiple blocks and the
+    sub-chunk boundary at _CHUNK."""
+    from maria_tpu.noise.streaming import PinkCascade
+
+    c = PinkCascade(50.0, 0.5, T_ref=4096.0)
+    key = jax.random.key(0)
+    for shape, n in (((13,), 257), ((5,), 2 * c._CHUNK + 100), ((3,), 64)):
+        s_mm = s_sc = c.init_state(jax.random.key(1), shape)
+        for b in range(3):
+            kb = jax.random.fold_in(key, b)
+            s_mm, y_mm = c.block(s_mm, kb, n)
+            s_sc, y_sc = c.block_scan(s_sc, kb, n)
+            scale = float(np.abs(np.asarray(y_sc)).max())
+            np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_sc),
+                                       atol=2e-5 * scale, rtol=2e-4)
+            np.testing.assert_allclose(np.asarray(s_mm), np.asarray(s_sc),
+                                       atol=2e-5 * max(1.0, float(np.abs(np.asarray(s_sc)).max())),
+                                       rtol=2e-4)
