@@ -181,7 +181,49 @@ def _pixel_ids_device(program, obs, n_x: int = 128, n_y: int = 128):
     return iy, ix, n_x * n_y
 
 
-def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> float:
+def _executable_cost(compiled) -> dict | None:
+    """XLA's own post-fusion cost model for ONE realization: flops and
+    HBM bytes accessed of the chain(1) executable.
+
+    Caveat (measured, see repo history): HLO cost analysis counts a
+    `scan`/`while` BODY ONCE regardless of trip count, so any stage
+    implemented as an internal scan is undercounted — flops/bytes here
+    are a LOWER bound, and the derived speed-of-light fraction is
+    therefore conservative (true utilization >= reported)."""
+    try:
+        ca = compiled.cost_analysis()
+        d = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(d.get("flops", 0.0))
+        hbm_bytes = float(d.get("bytes accessed", 0.0))
+        if flops <= 0 and hbm_bytes <= 0:
+            return None
+        return {"flops": flops, "bytes": hbm_bytes}
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort (plugin-dependent)
+        return None
+
+
+def speed_of_light(cost: dict | None, measured_s: float) -> dict | None:
+    """Time a perfect v5e implementation of this executable's own
+    (post-fusion) work would need: max(flops/peak, bytes/bandwidth).
+    `sol_frac` = that floor over the measured time — the honest
+    utilization number (1.0 = at the hardware roofline)."""
+    if not cost or measured_s <= 0:
+        return None
+    t_flops = cost["flops"] / (V5E_PEAK_BF16_TFLOPS * 1e12)
+    t_hbm = cost["bytes"] / (V5E_HBM_GBPS * 1e9)
+    sol_s = max(t_flops, t_hbm)
+    return {
+        "xla_flops_per_tod": cost["flops"],
+        "xla_hbm_gb_per_tod": round(cost["bytes"] / 1e9, 4),
+        "sol_s_per_tod": round(sol_s, 6),
+        "sol_frac": round(sol_s / measured_s, 4),
+        "bound_by": "hbm" if t_hbm >= t_flops else "flops",
+        "note": "XLA cost analysis of the compiled (post-fusion) HLO; inner scan bodies counted once, so sol_frac is a lower bound on true utilization",
+    }
+
+
+def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
+              return_cost: bool = False) -> float:
     """Samples/s of the fused jitted program on the default jax device,
     including on-device map binning of every realization when `obs` is
     given (the full atmosphere -> TOD -> binned-map pipeline of
@@ -254,8 +296,13 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
             return total
         return run
 
+    def compiled_chain(k_count):
+        # AOT compile so the SAME executable is timed and cost-analyzed
+        # (a separate .lower().compile() would pay a second remote compile)
+        return make_chain(k_count).lower(*args, pix, plan_args, tables).compile()
+
     def timed(f):
-        float(np.asarray(f(*args, pix, plan_args, tables)))  # compile + warm up
+        float(np.asarray(f(*args, pix, plan_args, tables)))  # warm up
         times = []
         for i in range(n_repeats):
             fresh = (jax.random.key(i + 1), *args[1:])
@@ -264,11 +311,15 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None) -> flo
             times.append(time.perf_counter() - start)
         return min(times)
 
-    t_1 = timed(make_chain(1))
-    t_k = timed(make_chain(k_chain))
+    chain_1 = compiled_chain(1)
+    t_1 = timed(chain_1)
+    t_k = timed(compiled_chain(k_chain))
     per_tod = (t_k - t_1) / (k_chain - 1)
     n_samples = len(program.offsets) * len(program.t_fine)
-    return n_samples / per_tod
+    rate = n_samples / per_tod
+    if return_cost:
+        return rate, _executable_cost(chain_1)
+    return rate
 
 
 def bench_stages(program, n_repeats: int = 3, k_chain: int = 17) -> dict:
@@ -303,7 +354,7 @@ def bench_stages(program, n_repeats: int = 3, k_chain: int = 17) -> dict:
 
     def marginal(stage_fn):
         def timed(f):
-            float(np.asarray(f(*args, tables)))  # compile + warm
+            float(np.asarray(f(*args, tables)))  # warm
             times = []
             for i in range(n_repeats):
                 fresh = (jax.random.key(i + 1), *args[1:])
@@ -312,19 +363,34 @@ def bench_stages(program, n_repeats: int = 3, k_chain: int = 17) -> dict:
                 times.append(time.perf_counter() - start)
             return min(times)
 
-        t1 = timed(chain(stage_fn, 1))
-        tk = timed(chain(stage_fn, k_chain))
-        return (tk - t1) / (k_chain - 1)
+        c1 = chain(stage_fn, 1).lower(*args, tables).compile()
+        t1 = timed(c1)
+        tk = timed(chain(stage_fn, k_chain).lower(*args, tables).compile())
+        return (tk - t1) / (k_chain - 1), _executable_cost(c1)
 
-    t_pwv = marginal(lambda k, o, a, e, tb: program._loadings(k, o, a, e, upto="pwv", tables=tb))
-    t_atm = marginal(lambda k, o, a, e, tb: program._loadings(k, o, a, e, upto="atmosphere", tables=tb))
-    t_all = marginal(lambda k, o, a, e, tb: program.total_power_fn()(k, o, a, e, tables=tb))
-    return {
+    t_pwv, c_pwv = marginal(lambda k, o, a, e, tb: program._loadings(k, o, a, e, upto="pwv", tables=tb))
+    t_atm, c_atm = marginal(lambda k, o, a, e, tb: program._loadings(k, o, a, e, upto="atmosphere", tables=tb))
+    t_all, c_all = marginal(lambda k, o, a, e, tb: program.total_power_fn()(k, o, a, e, tables=tb))
+    out = {
         "screens_ar_pwv_ms": round(1e3 * max(t_pwv, 0.0), 3),
         "bandpass_upsample_ms": round(1e3 * max(t_atm - t_pwv, 0.0), 3),
         "noise_gains_ms": round(1e3 * max(t_all - t_atm, 0.0), 3),
         "fields_total_ms": round(1e3 * t_all, 3),
     }
+    # XLA-cost speed-of-light per stage (prefix deltas; see _executable_cost)
+    if c_pwv and c_atm and c_all:
+        stage_costs = {
+            "screens_ar_pwv": (c_pwv, t_pwv),
+            "bandpass_upsample": ({k: c_atm[k] - c_pwv[k] for k in c_atm}, t_atm - t_pwv),
+            "noise_gains": ({k: c_all[k] - c_atm[k] for k in c_all}, t_all - t_atm),
+        }
+        out["stage_sol"] = {
+            name: {k: v for k, v in (speed_of_light(c, t) or {}).items()
+                   if k in ("xla_hbm_gb_per_tod", "sol_s_per_tod", "sol_frac", "bound_by")}
+            # below ~100 us the marginal-time delta is timing noise
+            for name, (c, t) in stage_costs.items() if t > 1e-4
+        }
+    return out
 
 
 # v5e peak specs for the roofline context (public: 197 bf16 TFLOP/s,
@@ -473,7 +539,7 @@ def main():
     _stamp(f"backend: {platform_name}; build MUSTANG-2 program")
     program, obs = build_program()
     _stamp("headline: compile + time (2 chained programs)")
-    tpu_rate = bench_tpu(program, obs)
+    tpu_rate, tpu_cost = bench_tpu(program, obs, return_cost=True)
     _stamp(f"headline rate {tpu_rate:.3e} samples/s; cpu baseline")
     cpu_rate = bench_cpu_baseline(program, obs)
     _stamp(f"cpu baseline {cpu_rate:.3e} samples/s")
@@ -541,6 +607,11 @@ def main():
         "atlast_roofline": atlast_roofline,
         "stage_breakdown": stages,
         "roofline": roofline,
+        # utilization vs the executable's own post-fusion XLA cost model
+        # (full pipeline incl. binning; lower bound, see speed_of_light)
+        "speed_of_light": speed_of_light(
+            tpu_cost, len(program.offsets) * len(program.t_fine) / tpu_rate
+        ),
     }
     if fallback:
         result["error"] = "tpu-backend-unavailable"
@@ -555,13 +626,16 @@ def config_b():
         instrument="AtLAST-50k", site="ALMA", duration=60.0, radius=0.5, speed=0.25,
         atmosphere="3d",
     )
-    rate = bench_tpu(program_b, obs_b, n_repeats=3)
+    rate, cost = bench_tpu(program_b, obs_b, n_repeats=3, return_cost=True)
     n_samples = len(program_b.offsets) * len(program_b.t_fine)
+    atlast_roofline = roofline_estimate(program_b, n_samples / rate)
+    sol = speed_of_light(cost, n_samples / rate)
+    if sol:
+        atlast_roofline.update(sol)
     print(json.dumps({
         "atlast_50k_samples_per_s": round(rate, 1),
-        # same lower-bound traffic model as the headline: what a
-        # perfectly fused implementation must still move through HBM
-        "atlast_roofline": roofline_estimate(program_b, n_samples / rate),
+        # lower-bound traffic model + the executable's own XLA cost model
+        "atlast_roofline": atlast_roofline,
     }))
 
 

@@ -65,11 +65,14 @@ def main() -> None:
     prog_args = program.example_args()
     tables = program.device_tables()
 
-    from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan_on_device
+    from maria_tpu.ops.binning import bin_blocked, bin_scatter, make_blocked_bin_plan_on_device
 
     iy, ix, n_pix = bench._pixel_ids_device(program, obs)
     plan = make_blocked_bin_plan_on_device(iy, ix, 128, 128)
-    plan_args = plan.device_args() if plan is not None else None
+    if plan is not None:
+        plan_args = plan.device_args()
+    else:  # narrow/tiny scenes: fall back to the scatter path
+        plan_args = (iy * 128 + ix).ravel()
     # free the int32 id buffers (4.8 GB at this scale) before the stage
     # programs allocate — only the plan's int8 ly/lx are needed now
     del iy, ix
@@ -85,8 +88,11 @@ def main() -> None:
 
             def fn(key, offsets, bs_az, bs_el, bin_args, tables):
                 tod = total_fn(key, offsets, bs_az, bs_el, tables=tables)
-                ly, lx, origins, order = bin_args
-                binned = bin_blocked(tod, plan, ly=ly, lx=lx, origins=origins, order=order)
+                if plan is not None:
+                    ly, lx, origins, order = bin_args
+                    binned = bin_blocked(tod, plan, ly=ly, lx=lx, origins=origins, order=order)
+                else:
+                    binned = bin_scatter(tod, bin_args, n_pix)
                 return jnp.sum(tod) + jnp.sum(binned)
 
             return jax.jit(fn)
@@ -107,9 +113,14 @@ def main() -> None:
         return jax.jit(fn)
 
     results = {}
+    costs = {}
     for name in ("pwv", "atmosphere", "total", "binning"):
-        f = stage_fn(name)
         tc = time.time()
+        # AOT-compile so the timed executable also yields XLA's own
+        # post-fusion cost model (flops / HBM bytes; scan bodies counted
+        # once, so these are lower bounds — see bench.speed_of_light)
+        f = stage_fn(name).lower(*prog_args, plan_args, tables).compile()
+        costs[name] = bench._executable_cost(f)
         float(np.asarray(f(*prog_args, plan_args, tables)))
         stamp(f"{name}: compiled+warm in {time.time()-tc:.0f}s")
         times = []
@@ -137,12 +148,31 @@ def main() -> None:
         "total_ms": round(per_tod * 1e3, 1),
     }
     roofline = bench.roofline_estimate(program, per_tod)
+    # XLA-cost speed-of-light: prefix-delta flops/bytes per stage over the
+    # measured marginal time (lower bounds; see bench.speed_of_light)
+    prefix = ["pwv", "atmosphere", "total", "binning"]
+    stage_sol = {}
+    if all(costs.get(n) for n in prefix):
+        deltas = {"pwv": (costs["pwv"], results["pwv"])}
+        for prev, name in zip(prefix, prefix[1:]):
+            deltas[name] = (
+                {k: costs[name][k] - costs[prev][k] for k in costs[name]},
+                results[name] - results[prev],
+            )
+        for name, (c, t) in deltas.items():
+            sol = bench.speed_of_light(c, t) if t > 1e-4 else None
+            if sol:
+                stage_sol[name] = {k: sol[k] for k in
+                                   ("xla_hbm_gb_per_tod", "sol_s_per_tod", "sol_frac", "bound_by")}
+    sol_total = bench.speed_of_light(costs.get("binning"), per_tod)
     print(json.dumps({
         "metric": f"{args.instrument} {args.atmosphere} {args.duration:.0f}s per-stage profile (naive timing incl. ~28ms RTT per dispatch)",
         "n_det": n_det, "n_t": n_t, "n_coarse": len(program.t_coarse),
         "samples_per_s": round(rate, 1),
         "stage_breakdown_ms": marg,
         "roofline": roofline,
+        "stage_sol": stage_sol or None,
+        "speed_of_light": sol_total,
         "platform": jax.default_backend(),
     }))
 
