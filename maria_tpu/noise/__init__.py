@@ -20,11 +20,25 @@ DEFAULT_NOISE_SIM_KWARGS = {
 }
 
 
-def _pink_weights(n: int, sample_rate: float, knee: float, beta: float):
+def _pink_weights_np(n: int, sample_rate: float, knee: float, beta: float):
     f = np.fft.rfftfreq(n, d=1 / sample_rate)
     with np.errstate(divide="ignore"):
         ps = np.where(f != 0, (knee / 2) / np.abs(f) ** beta, 0.0)
-    return jnp.asarray(np.sqrt(2 * sample_rate * ps), dtype=jnp.float32)
+    return np.sqrt(2 * sample_rate * ps)
+
+
+def _pink_weights(n: int, sample_rate: float, knee: float, beta: float):
+    return jnp.asarray(_pink_weights_np(n, sample_rate, knee, beta), dtype=jnp.float32)
+
+
+def _spectral_white_scale_np(n_fft: int):
+    """Per-bin amplitude of the spectral-white draw (see _spectral_white)."""
+    n_f = n_fft // 2 + 1
+    scale = np.full(n_f, np.sqrt(n_fft / 2))
+    scale[0] = np.sqrt(n_fft)
+    if n_fft % 2 == 0:
+        scale[-1] = np.sqrt(n_fft)
+    return scale
 
 
 def _spectral_white(key, shape, n_fft: int):
@@ -83,10 +97,24 @@ def generate_noise_with_knee(
     n_fft = good_fft_size(n)
     weights = _pink_weights(n_fft, sample_rate, knee, beta)
     cp = corr_prop if basis is not None else 0.0
-    w_det = jnp.sqrt(sample_rate + (1.0 - cp) * weights**2)
-    noise = irfft(
-        w_det * _spectral_white(key_pink, shape[:-1], n_fft), n_fft, axis=-1
-    )[..., :n]
+
+    from ..ops.pallas_noise import use_pallas_noise
+
+    if len(shape) == 2 and use_pallas_noise():
+        # Pallas kernel: the whole spectrum -> time chain runs in VMEM
+        # per detector tile (one draw write + one output write instead
+        # of ~35 HBM passes; see ops/pallas_noise.py). Same process,
+        # different realization for the same key (reordered draws).
+        from ..ops.pallas_noise import pink_noise_pallas
+
+        w_np = _pink_weights_np(n_fft, sample_rate, knee, beta)
+        c = np.sqrt(sample_rate + (1.0 - cp) * w_np**2) * _spectral_white_scale_np(n_fft)
+        noise = pink_noise_pallas(key_pink, shape[0], n, c, n_fft=n_fft)
+    else:
+        w_det = jnp.sqrt(sample_rate + (1.0 - cp) * weights**2)
+        noise = irfft(
+            w_det * _spectral_white(key_pink, shape[:-1], n_fft), n_fft, axis=-1
+        )[..., :n]
     if cp > 0:
         basis = jnp.asarray(basis, dtype=jnp.float32)
         k = basis.shape[-1]
