@@ -516,6 +516,30 @@ def bin_blocked(
                     )
                     for part in (d_hi, d_lo)
                 )
+            elif precision == "shifted":
+                # ONE bf16 pass: subtract each channel's per-(block,
+                # chunk) valid-sample mean so bf16 rounds the RESIDUAL
+                # (~2^-9 of the in-chunk fluctuation, far below any
+                # instrument noise), bin [residuals; ones] with shared
+                # bf16 hats, and restore the mean exactly through the
+                # valid-hit-count window: sum(d h) = sum((d-mu) h) +
+                # mu sum(h). A ones channel has zero residual and gets
+                # exact counts. 1 MXU pass + half the hat traffic of
+                # HIGH's 3 f32-hat passes.
+                wY = (ly[b, :, c][..., None] == ky).astype(jnp.bfloat16)
+                wX = (lx[b, :, c][..., None] == kx).astype(jnp.bfloat16)
+                dt = d[:, b, :, c]  # (n_ch, det_block, chunk)
+                vmask = (ly[b, :, c] >= 0).astype(dt.dtype)
+                cnt = jnp.maximum(vmask.sum(), 1.0)
+                mu = (dt * vmask).sum(axis=(1, 2)) / cnt  # (n_ch,)
+                parts = jnp.concatenate(
+                    [dt - mu[:, None, None], jnp.ones_like(dt[:1])], axis=0
+                ).astype(jnp.bfloat16)
+                win = jnp.einsum(
+                    "dcy,dcx,mdc->myx", wY, wX, parts,
+                    preferred_element_type=jnp.float32,
+                )
+                win = win[:-1] + mu[:, None, None] * win[-1]
             else:
                 wY = (ly[b, :, c][..., None] == ky).astype(jnp.float32)
                 wX = (lx[b, :, c][..., None] == kx).astype(jnp.float32)

@@ -279,3 +279,33 @@ def test_blocked_hilo_precision_matches_f64():
             )
         )
         np.testing.assert_allclose(m, m64, atol=3e-5 * scale)
+
+
+def test_blocked_shifted_precision():
+    """precision='shifted' (ONE bf16 pass of [mean-shifted data; ones]
+    with the mean restored through the valid-hit-count window) tracks
+    the f64 scatter to the in-chunk-fluctuation bf16 bound, including a
+    large common-mode offset that plain bf16 would destroy; a ones
+    channel comes back as EXACT hit counts."""
+    from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan
+
+    iy, ix, n_map = _widefield_pixels()
+    plan = make_blocked_bin_plan(iy, ix, n_map, n_map, chunk=32, det_block=64)
+    rng = np.random.default_rng(12)
+    # big offset + small fluctuations: the regime the shift exists for
+    data = (1000.0 + rng.standard_normal(iy.shape)).astype(np.float32)
+    channels = jnp.stack([jnp.asarray(data), jnp.ones_like(jnp.asarray(data))])
+
+    m64 = np.zeros((n_map, n_map))
+    np.add.at(m64, (iy.ravel(), ix.ravel()), data.ravel().astype(np.float64))
+    cnt = np.zeros((n_map, n_map))
+    np.add.at(cnt, (iy.ravel(), ix.ravel()), 1.0)
+
+    m = np.asarray(
+        jax.jit(lambda d: bin_blocked(d, plan, precision="shifted"))(channels)
+    )
+    # sums: error ~ 2^-9 of the per-sample fluctuation, not of the offset
+    hits = np.maximum(cnt, 1.0)
+    np.testing.assert_allclose(m[0] / hits, m64 / hits, atol=2e-2)
+    # hit counts are exact (ones have zero residual after the shift)
+    np.testing.assert_array_equal(m[1], cnt)
