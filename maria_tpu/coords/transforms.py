@@ -35,7 +35,13 @@ def _sinc(x, xp):
 
 def _offsets_to_phi_theta(dX, cphi, ctheta, xp):
     dx, dy = dX[..., 0], dX[..., 1]
-    r = xp.sqrt(dx**2 + dy**2)
+    # grad-safe norm: sqrt'(0) is NaN and jnp.where passes the untaken
+    # branch's NaN through the VJP, so a detector at the exact array
+    # center poisons jax.grad through the pointing chain (the sim is
+    # end-to-end differentiable; tests/test_autodiff.py)
+    r2 = dx**2 + dy**2
+    nonzero = r2 > 0
+    r = xp.where(nonzero, xp.sqrt(xp.where(nonzero, r2, 1.0)), 0.0)
     sin_r_over_r = _sinc(r, xp)  # safe at r=0
     cos_r = xp.cos(r)
 
@@ -60,7 +66,9 @@ def _phi_theta_to_offsets(pt, cphi, ctheta, xp):
     v = xp.cos(dphi) * cos_t * sin_c - xp.sin(theta) * cos_c     # toward -dy
     w = xp.cos(dphi) * cos_t * cos_c + xp.sin(theta) * sin_c     # toward center
 
-    sin_r = xp.sqrt(u**2 + v**2)
+    s2 = u**2 + v**2  # grad-safe norm (see _offsets_to_phi_theta)
+    nonzero = s2 > 0
+    sin_r = xp.where(nonzero, xp.sqrt(xp.where(nonzero, s2, 1.0)), 0.0)
     r = xp.arctan2(sin_r, w)
     scale = xp.where(sin_r > 0, r / xp.where(sin_r > 0, sin_r, 1.0), 1.0)
     return xp.stack([-u * scale, -v * scale], axis=-1)
