@@ -246,17 +246,24 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
     args = program.example_args()
     tables = program.device_tables()
 
-    pix = plan = plan_args = None
+    pix = plan = plan_args = rplan = None
     if obs is not None:
         from maria_tpu.ops.binning import make_blocked_bin_plan_on_device
+        from maria_tpu.ops.binning_runs import make_runchunk_bin_plan_on_device
 
-        # det-blocked MXU binning: handles narrow (MUSTANG-2) and wide
-        # (AtLAST) fields alike; scatter only as a last resort. The plan
-        # is built ON DEVICE — the host path walks the (n_det, n_t)
-        # pointing ~10 times on one core and takes tens of minutes at
-        # AtLAST scale (it burned the whole BENCH_r02 subprocess budget)
+        # MXU binning, fastest plan first: run-compressed (3-4x fewer
+        # one-hot rows, measured 23.7 ms vs 46.3 ms blocked for
+        # AtLAST-50k x 60 s on v5e) -> det-blocked -> scatter as a last
+        # resort. Plans are built ON DEVICE — the host path walks the
+        # (n_det, n_t) pointing ~10 times on one core and takes tens of
+        # minutes at AtLAST scale (it burned the whole BENCH_r02
+        # subprocess budget)
         iy, ix, n_pix = _pixel_ids_device(program, obs)
-        plan = make_blocked_bin_plan_on_device(iy, ix, 128, 128)
+        rplan = make_runchunk_bin_plan_on_device(iy, ix, 128, 128)
+        if rplan is not None:
+            plan = rplan
+        else:
+            plan = make_blocked_bin_plan_on_device(iy, ix, 128, 128)
         if plan is None:
             pix = (iy * 128 + ix).ravel()
         else:
@@ -280,10 +287,16 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
         def run(key, offsets, bs_az, bs_el, pix_arg, bin_args, tables):
             def body(carry, k):
                 from maria_tpu.ops.binning import bin_blocked, bin_scatter
+                from maria_tpu.ops.binning_runs import bin_runchunk
 
                 tod = fn(k, offsets, bs_az, bs_el, tables=tables)
                 out = tod.mean()
-                if plan is not None:
+                if rplan is not None:
+                    e, rly, rlx, origins, order, wcnt = bin_args
+                    binned = bin_runchunk(tod, rplan, e_idx=e, run_ly=rly, run_lx=rlx,
+                                          origins=origins, order=order, wcnt=wcnt)
+                    out = out + binned.max() / max(len(program.t_fine), 1)
+                elif plan is not None:
                     ly, lx, origins, order = bin_args
                     binned = bin_blocked(tod, plan, ly=ly, lx=lx, origins=origins, order=order)
                     out = out + binned.max() / max(len(program.t_fine), 1)

@@ -1,0 +1,409 @@
+"""Run-compressed MXU map binning.
+
+A scanning detector dwells several consecutive samples in each map
+pixel (measured on the AtLAST-50k daisy bench scene: <=35 pixel runs
+per 128-sample chunk, <=63 per 256), so the blocked one-hot binning of
+`ops.binning.bin_blocked` wastes MXU K-depth: every *sample* is a row
+of the hat matrices even though runs of them land in the same pixel.
+One one-hot contraction pass costs ~0.17 ns/row on v5e independent of
+window size (output-tile under-utilization cancels the FLOP saving —
+see ops/pallas_binning.py's negative result), so rows are the currency.
+
+This module compresses rows 3-4x by binning *runs* instead of samples:
+
+  1. Plan time (static pointing): per (det-block, time-chunk) tile,
+     detect pixel-run boundaries and record, for a static number of
+     run slots R, each run's END index inside its extraction SEGMENT
+     (int8), its window-local pixel offsets (int8, -1 = off-map/empty),
+     and — because hit counts don't depend on the data — the
+     fully-binned per-(block, chunk) COUNT windows and the global hits
+     map.
+  2. Run time: runsum_r = cs[end_r] - cs[end_{r-1}] where cs is the
+     in-segment cumulative sum of the (mean-shifted) data — run starts
+     never need extracting since start_r - 1 = end_{r-1}. The cumsum
+     values at the static end indices are pulled out with a one-hot
+     multiply-reduce (fuses; no gathers — TPU gathers cost ~14 ns/elem
+     and would erase the win). The windowed one-hot contraction then
+     runs over det_block * S * R rows instead of det_block * chunk.
+
+The extraction multiply-reduce costs O(samples * R) VPU work, so the
+plan splits each chunk into S = chunk/seg extraction SEGMENTS: runs
+never cross a segment boundary (slightly more MXU rows) but R shrinks
+to the per-segment run count (measured on chip: chunk=256 extraction
+at seg=chunk cost as much VPU time as the compression saved on the
+MXU; seg=64 cuts it ~2.7x). The scan/window granularity stays `chunk`
+(fewer scan iterations win — measured).
+
+Precision: the data is shifted by its per-(block, chunk) mean before
+the cumsum, so the bf16 MXU pass rounds only the in-chunk RESIDUAL
+run sums (~2^-9 of the fluctuation), and the shift is restored exactly
+through the static count windows: sum(h*runsum) = sum(h*(runsum -
+mu*cnt)) + mu*sum(h*cnt). This is the `precision="shifted"` scheme of
+`bin_blocked` with the count contraction moved to plan time — one MXU
+pass per channel per realization. The cumsum-difference itself adds
+~ulp(chunk-sum)/runsum ~ 5e-6 relative, the same class as the f32
+accumulation-order noise of every other path (tested vs an f64
+scatter in tests/test_binning_runs.py).
+
+Contract: `data` must be FINITE everywhere (off-map samples are
+excluded through the hats, but a NaN would poison the cumsum for the
+rest of its chunk). The fused synthesis program satisfies this.
+
+Reference behavior: maria/mappers/bin_mapper.py:100-112 (sparse CSR
+matvec on the host).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .binning import _hilbert_order, blockify_ids
+
+__all__ = ["RunChunkBinPlan", "make_runchunk_bin_plan_on_device", "bin_runchunk"]
+
+
+@dataclass
+class RunChunkBinPlan:
+    """Device-built static geometry for `bin_runchunk`."""
+
+    n_y: int
+    n_x: int
+    wy: int
+    wx: int
+    chunk: int
+    n_chunks: int
+    det_block: int
+    n_blocks: int
+    n_t: int
+    seg: int  # extraction segment length (divides chunk)
+    r_max: int  # run slots per (det, segment), padded to a multiple of 8
+    order: np.ndarray  # (n_blocks * det_block,) int32 padded detector order
+    e_idx: jnp.ndarray  # (nb, db, nc, S, R) int8/int32 run END index in-segment
+    run_ly: jnp.ndarray  # (nb, db, nc, S, R) int8/int32 local y, -1 = skip
+    run_lx: jnp.ndarray
+    origins: np.ndarray  # (nb, nc, 2) int32 window corners
+    wcnt: jnp.ndarray  # (nb, nc, wy, wx) f32 static valid-hit-count windows
+    hits: np.ndarray  # (n_y, n_x) f32 static unweighted hit map
+
+    def device_args(self):
+        """Index arrays as jit ARGUMENTS (closure constants of this size
+        blow the remote-compile request limit)."""
+        return (
+            jnp.asarray(self.e_idx),
+            jnp.asarray(self.run_ly),
+            jnp.asarray(self.run_lx),
+            jnp.asarray(self.origins),
+            jnp.asarray(self.order),
+            jnp.asarray(self.wcnt),
+        )
+
+
+def make_runchunk_bin_plan_on_device(
+    iy,
+    ix,
+    n_y: int,
+    n_x: int,
+    chunk: int = 256,
+    det_block: int = 1024,
+    seg: int = 64,
+    max_window_frac: float = 0.5,
+    max_r_frac: float = 0.75,
+    order: np.ndarray = None,
+) -> RunChunkBinPlan:
+    """Build the run plan from DEVICE pixel ids (n_det, n_t), -1 = off-map.
+
+    Geometry (Hilbert order, windows, origins) matches
+    `make_blocked_bin_plan_on_device`; on top of it, every (det, seg)
+    row is compressed to its pixel runs (`seg` divides `chunk`; see the
+    module docstring for why the two granularities differ). Returns
+    None when the windows would span most of the map or when the scan
+    moves so fast that runs exceed `max_r_frac * seg` slots (no
+    compression to be had) — callers fall back to
+    `bin_blocked`/`bin_scatter`.
+
+    All O(n_det * n_t) passes run on device; the host sees per-detector
+    means (Hilbert sort), span/run-count scalars, and the static count
+    windows. The run-slot extraction scans over (chunk x block) pairs so
+    its one-hot intermediates stay small.
+    """
+    iy = jnp.asarray(iy, jnp.int32)
+    ix = jnp.asarray(ix, jnp.int32)
+    n_det, n_t = iy.shape
+    det_block = min(det_block, -(-n_det // 8) * 8)
+    n_blocks = -(-n_det // det_block)
+    pad_d = n_blocks * det_block - n_det
+    n_chunks = -(-n_t // chunk)
+    seg = min(seg, chunk)
+    if chunk % seg:
+        raise ValueError(f"seg ({seg}) must divide chunk ({chunk})")
+    n_seg = chunk // seg
+
+    if order is None:
+
+        @jax.jit
+        def _means(iy, ix):
+            valid = (iy >= 0) & (ix >= 0)
+            cnt = jnp.maximum(valid.sum(axis=1), 1)
+            my = jnp.where(valid, iy, 0).sum(axis=1) / cnt
+            mx = jnp.where(valid, ix, 0).sum(axis=1) / cnt
+            return my, mx
+
+        my, mx = _means(iy, ix)
+        order = _hilbert_order(
+            np.round(np.asarray(my)).astype(np.int64),
+            np.round(np.asarray(mx)).astype(np.int64),
+        )
+    order_p = (
+        np.concatenate([order, np.full(pad_d, order[-1], dtype=order.dtype)]) if pad_d else order
+    )
+    order_dev = jnp.asarray(order_p.astype(np.int32))
+
+    def _blockify(a):
+        return blockify_ids(a, order_dev, n_det, det_block, n_blocks, n_chunks, chunk)
+
+    @jax.jit
+    def _spans_runs(iy, ix):
+        iy_b = _blockify(iy)
+        ix_b = _blockify(ix)
+        valid = (iy_b >= 0) & (ix_b >= 0)
+        big = jnp.int32(1 << 30)
+        oy = jnp.minimum(jnp.where(valid, iy_b, big).min(axis=(1, 3)),
+                         jnp.where(valid, iy_b, -1).max(axis=(1, 3)))
+        hy = jnp.where(valid, iy_b, -1).max(axis=(1, 3))
+        ox = jnp.minimum(jnp.where(valid, ix_b, big).min(axis=(1, 3)),
+                         jnp.where(valid, ix_b, -1).max(axis=(1, 3)))
+        hx = jnp.where(valid, ix_b, -1).max(axis=(1, 3))
+        # runs: a new run starts at every segment boundary or wherever
+        # the (packed) pixel changes; off-map samples carry pix=-1 and
+        # coalesce into runs of their own (their slot gets ly=-1 and
+        # vanishes in the hats)
+        pix = jnp.where(valid, iy_b * jnp.int32(n_x) + ix_b, -1)
+        pix_s = pix.reshape(pix.shape[:-1] + (n_seg, seg))
+        change = jnp.concatenate(
+            [jnp.ones(pix_s.shape[:-1] + (1,), bool), pix_s[..., 1:] != pix_s[..., :-1]],
+            axis=-1,
+        )
+        n_runs = change.sum(axis=-1).max()
+        return oy, hy, ox, hx, n_runs
+
+    oy, hi_y, ox, hi_x, n_runs = (np.asarray(v) for v in _spans_runs(iy, ix))
+    wy = int(-(-(hi_y - oy + 1).max() // 8) * 8)
+    wx = int(-(-(hi_x - ox + 1).max() // 8) * 8)
+    if wy * wx > max_window_frac * n_y * n_x or wy > n_y or wx > n_x:
+        return None
+    r_max = int(-(-int(n_runs) // 8) * 8)
+    if r_max > max_r_frac * seg:
+        return None  # scan too fast for run compression to pay
+    oy = np.clip(oy, 0, n_y - wy)
+    ox = np.clip(ox, 0, n_x - wx)
+    oy_d, ox_d = jnp.asarray(oy), jnp.asarray(ox)
+
+    idx_dtype = jnp.int8 if seg <= 128 and max(wy, wx) < 127 else jnp.int32
+
+    @jax.jit
+    def _runs(iy, ix, oy_d, ox_d):
+        """Per (chunk, block) scan extracting run slots; intermediates
+        are (det_block, chunk, R) — small enough to fuse."""
+        iy_b = _blockify(iy)
+        ix_b = _blockify(ix)
+        valid = (iy_b >= 0) & (ix_b >= 0)
+        ly = jnp.where(valid, iy_b - oy_d[:, None, :, None], -1)
+        lx = jnp.where(valid, ix_b - ox_d[:, None, :, None], -1)
+        # pack (ly, lx) so one change test covers both; -1 stays -1
+        pix = jnp.where(valid, ly * jnp.int32(wx) + lx, -1)
+        # scan over flattened (chunk, block) pairs
+        pix_cb = jnp.moveaxis(pix, 2, 0).reshape(n_chunks * n_blocks, det_block, chunk)
+        ly_cb = jnp.moveaxis(ly, 2, 0).reshape(n_chunks * n_blocks, det_block, chunk)
+        lx_cb = jnp.moveaxis(lx, 2, 0).reshape(n_chunks * n_blocks, det_block, chunk)
+
+        t_iota = jnp.arange(seg, dtype=jnp.int32)
+        r_iota = jnp.arange(r_max, dtype=jnp.int32)
+
+        def body(_, args):
+            p, l_y, l_x = args  # (det_block, chunk)
+            p = p.reshape(det_block, n_seg, seg)
+            l_y = l_y.reshape(det_block, n_seg, seg)
+            l_x = l_x.reshape(det_block, n_seg, seg)
+            change = jnp.concatenate(
+                [jnp.ones((det_block, n_seg, 1), bool), p[..., 1:] != p[..., :-1]], axis=-1
+            )
+            slot = jnp.cumsum(change.astype(jnp.int32), axis=-1) - 1  # (db, S, seg)
+            is_end = jnp.concatenate(
+                [change[..., 1:], jnp.ones((det_block, n_seg, 1), bool)], axis=-1
+            )
+            onehot = (slot[..., None] == r_iota).astype(jnp.float32)  # (db, S, seg, R)
+            feats = jnp.stack(
+                [
+                    jnp.where(is_end, t_iota, 0).astype(jnp.float32),
+                    jnp.where(change, l_y, 0).astype(jnp.float32),
+                    jnp.where(change, l_x, 0).astype(jnp.float32),
+                    jnp.ones((det_block, n_seg, seg), jnp.float32),
+                ],
+                axis=0,
+            )  # (4, db, S, seg): end index, start ly, start lx, run length
+            out = jnp.einsum("dscr,mdsc->mdsr", onehot, feats)
+            e = out[0].astype(jnp.int32)
+            r_ly = out[1].astype(jnp.int32)
+            r_lx = out[2].astype(jnp.int32)
+            cnt = out[3]
+            empty = cnt <= 0
+            # empty tail slots: end pinned to seg-1 keeps the cumsum
+            # extraction monotone (their runsum diffs to zero), hats skip
+            e = jnp.where(empty, seg - 1, e)
+            r_ly = jnp.where(empty, -1, r_ly)
+            r_lx = jnp.where(empty, -1, r_lx)
+            # static count window: only valid runs (ly >= 0) count
+            hy = (r_ly[..., None] == jnp.arange(wy)).astype(jnp.float32)
+            hx = (r_lx[..., None] == jnp.arange(wx)).astype(jnp.float32)
+            w = jnp.einsum("dsry,dsrx,dsr->yx", hy, hx, cnt)
+            return 0, (e.astype(idx_dtype), r_ly.astype(idx_dtype),
+                       r_lx.astype(idx_dtype), w)
+
+        _, (e, r_ly, r_lx, w) = jax.lax.scan(body, 0, (pix_cb, ly_cb, lx_cb))
+        # (nc*nb, db, S, R) -> (nb, db, nc, S, R); (nc*nb, wy, wx) -> (nb, nc, wy, wx)
+        def _unflat(a):
+            return jnp.moveaxis(
+                a.reshape(n_chunks, n_blocks, det_block, n_seg, r_max), 0, 2
+            )
+
+        e, r_ly, r_lx = _unflat(e), _unflat(r_ly), _unflat(r_lx)
+        w = jnp.moveaxis(w.reshape(n_chunks, n_blocks, wy, wx), 0, 1)
+        return e, r_ly, r_lx, w
+
+    e_idx, run_ly, run_lx, wcnt = _runs(iy, ix, oy_d, ox_d)
+
+    # static hits map: count windows placed at their origins
+    hits = np.zeros((n_y, n_x), np.float64)
+    wcnt_h = np.asarray(wcnt, np.float64)
+    for b in range(n_blocks):
+        for c in range(n_chunks):
+            hits[oy[b, c]:oy[b, c] + wy, ox[b, c]:ox[b, c] + wx] += wcnt_h[b, c]
+
+    return RunChunkBinPlan(
+        n_y=n_y, n_x=n_x, wy=wy, wx=wx, chunk=chunk, n_chunks=n_chunks,
+        det_block=det_block, n_blocks=n_blocks, n_t=n_t, seg=seg, r_max=r_max,
+        order=order_p.astype(np.int32), e_idx=e_idx, run_ly=run_ly,
+        run_lx=run_lx, origins=np.stack([oy, ox], axis=-1).astype(np.int32),
+        wcnt=wcnt, hits=hits.astype(np.float32),
+    )
+
+
+def bin_runchunk(
+    data,
+    plan: RunChunkBinPlan,
+    weights=None,
+    e_idx=None,
+    run_ly=None,
+    run_lx=None,
+    origins=None,
+    order=None,
+    wcnt=None,
+    precision: str = "shifted",
+    pvary_axes=None,
+):
+    """Bin (n_det, n_t) or channel-stacked (n_ch, n_det, n_t) data into
+    (n_y, n_x) maps through the run-compressed one-hot contraction.
+
+    `precision="shifted"` (default) matches `bin_blocked("shifted")`:
+    per-(block, chunk) mean-shifted ONE-pass bf16 MXU contraction with
+    the shift restored exactly through the plan's static count windows
+    — rounding ~2^-9 of the in-chunk fluctuation, which is tiny for the
+    smooth pipeline fields but grows with strongly-varying per-sample
+    weights. `precision="hilo"` splits the shifted run sums into two
+    bf16-exact halves (two MXU passes, ~2^-16 relative) for
+    high-variance channels. `data` must be finite everywhere (see
+    module docstring). Pass `plan.device_args()` through the keyword
+    arguments under jit (closure constants of that size blow the remote
+    compile request). Pure jnp; call under jit.
+    """
+    e_idx = jnp.asarray(plan.e_idx) if e_idx is None else e_idx
+    run_ly = jnp.asarray(plan.run_ly) if run_ly is None else run_ly
+    run_lx = jnp.asarray(plan.run_lx) if run_lx is None else run_lx
+    origins = jnp.asarray(plan.origins) if origins is None else origins
+    order = jnp.asarray(plan.order) if order is None else order
+    wcnt = jnp.asarray(plan.wcnt) if wcnt is None else wcnt
+
+    squeeze = data.ndim == 2
+    if squeeze:
+        data = data[None]
+        if weights is not None:
+            weights = weights[None]
+    if weights is not None:
+        data = data * weights
+    n_ch, n_det, n_t = data.shape
+    nb, db, nc, C, R = plan.n_blocks, plan.det_block, plan.n_chunks, plan.chunk, plan.r_max
+    seg = plan.seg
+    n_seg = C // seg
+    pad_t = nc * C - n_t
+
+    d = jnp.take(data, order, axis=1)
+    if pad_t:
+        # edge padding (NOT zeros): padded samples are already excluded
+        # through the plan's -1 ids, but they enter the per-(block,
+        # chunk) mean — zeros would drag the shift off its data and
+        # blow the bf16 residual rounding up to the full signal scale
+        d = jnp.pad(d, ((0, 0), (0, 0), (0, pad_t)), mode="edge")
+    d = d.reshape(n_ch, nb, db, nc, C)
+
+    ky = jnp.arange(plan.wy, dtype=jnp.int32)
+    kx = jnp.arange(plan.wx, dtype=jnp.int32)
+    t_iota = jnp.arange(seg, dtype=jnp.int32)
+
+    def chunk_body(m, args):
+        d_c, e_c, ly_c, lx_c, org_c, wcnt_c = args
+        # d_c (n_ch, nb, db, C); e_c/ly_c/lx_c (nb, db, S, R); org_c (nb, 2)
+        mu = d_c.mean(axis=(2, 3))  # (n_ch, nb) — any shift is exact
+        cs = jnp.cumsum(
+            (d_c - mu[:, :, None, None]).reshape(n_ch, nb, db, n_seg, seg), axis=-1
+        )
+        # cumsum at each run's static in-segment end index: one-hot
+        # multiply-reduce (fuses into the reduction — no gather, no
+        # materialized one-hot); cost ~ samples * R, which is why runs
+        # are extracted per SEGMENT, not per chunk
+        end_hat = (e_c.astype(jnp.int32)[..., None, :] == t_iota[:, None]).astype(cs.dtype)
+        cse = (cs[..., None] * end_hat[None]).sum(axis=4)  # (n_ch, nb, db, S, R)
+        runsum = cse - jnp.concatenate(
+            [jnp.zeros(cse.shape[:-1] + (1,), cse.dtype), cse[..., :-1]], axis=-1
+        )
+        wY = (ly_c.astype(jnp.int32)[..., None] == ky).astype(jnp.bfloat16)
+        wX = (lx_c.astype(jnp.int32)[..., None] == kx).astype(jnp.bfloat16)
+        if precision == "hilo":
+            hi = runsum.astype(jnp.bfloat16)
+            lo = (runsum - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts = jnp.concatenate([hi, lo], axis=0)  # hats shared
+            win2 = jnp.einsum(
+                "bdsry,bdsrx,mbdsr->mbyx", wY, wX, parts,
+                preferred_element_type=jnp.float32,
+            )
+            win = win2[:n_ch] + win2[n_ch:]
+        else:
+            win = jnp.einsum(
+                "bdsry,bdsrx,mbdsr->mbyx", wY, wX, runsum.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        win = win + mu[:, :, None, None] * wcnt_c[None]
+
+        def place(b, m):
+            o = org_c[b]
+            blk = jax.lax.dynamic_slice(m, (0, o[0], o[1]), (n_ch, plan.wy, plan.wx))
+            return jax.lax.dynamic_update_slice(m, blk + win[:, b], (0, o[0], o[1]))
+
+        return jax.lax.fori_loop(0, nb, place, m), ()
+
+    m0 = jnp.zeros((n_ch, plan.n_y, plan.n_x), dtype=jnp.float32)
+    if pvary_axes:
+        m0 = jax.lax.pcast(m0, tuple(pvary_axes), to="varying")
+    xs = (
+        jnp.moveaxis(d, 3, 0),
+        jnp.moveaxis(e_idx, 2, 0),
+        jnp.moveaxis(run_ly, 2, 0),
+        jnp.moveaxis(run_lx, 2, 0),
+        jnp.moveaxis(origins, 1, 0),
+        jnp.moveaxis(wcnt, 1, 0),
+    )
+    m, _ = jax.lax.scan(chunk_body, m0, xs)
+    return m[0] if squeeze else m

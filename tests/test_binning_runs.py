@@ -1,0 +1,161 @@
+"""Run-compressed MXU binning == f64 scatter oracle.
+
+The plan builder and `bin_runchunk` must reproduce the reference
+binning semantics (maria/mappers/bin_mapper.py:100-112: every valid
+sample's value lands in its pixel, off-map samples dropped) through
+run compression + cumsum differences + the shifted bf16 contraction.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maria_tpu.ops.binning import bin_blocked, make_blocked_bin_plan_on_device
+from maria_tpu.ops.binning_runs import bin_runchunk, make_runchunk_bin_plan_on_device
+
+
+def _scene(n_det=96, n_t=1000, n_y=64, n_x=64, dwell=7, off_map_frac=0.02, seed=0):
+    """Random-walk pointing with realistic per-pixel dwell."""
+    rng = np.random.default_rng(seed)
+    n_moves = -(-n_t // dwell)
+    # per-detector random walk over pixels, repeated `dwell` samples each
+    start_y = rng.integers(4, n_y - 4, n_det)
+    start_x = rng.integers(4, n_x - 4, n_det)
+    step = rng.integers(-1, 2, (n_det, n_moves, 2))
+    pos = np.stack([start_y, start_x], -1)[:, None, :] + np.cumsum(step, axis=1)
+    pos = np.repeat(pos, dwell, axis=1)[:, :n_t]
+    iy = np.clip(pos[..., 0], 0, n_y - 1).astype(np.int32)
+    ix = np.clip(pos[..., 1], 0, n_x - 1).astype(np.int32)
+    off = rng.random((n_det, n_t)) < off_map_frac
+    iy[off] = -1
+    ix[off] = -1
+    data = (100.0 + rng.standard_normal((n_det, n_t))).astype(np.float32)
+    return iy, ix, data
+
+
+def _oracle(data, iy, ix, n_y, n_x):
+    m = np.zeros((n_y, n_x), np.float64)
+    valid = (iy >= 0) & (ix >= 0)
+    np.add.at(m, (iy[valid], ix[valid]), data.astype(np.float64)[valid])
+    return m
+
+
+def _hits_oracle(iy, ix, n_y, n_x):
+    m = np.zeros((n_y, n_x), np.float64)
+    valid = (iy >= 0) & (ix >= 0)
+    np.add.at(m, (iy[valid], ix[valid]), 1.0)
+    return m
+
+
+@pytest.mark.parametrize(
+    "chunk,det_block,seg", [(64, 32, 64), (128, 96, 32), (256, 64, 64), (256, 48, 256)]
+)
+def test_runchunk_matches_scatter(chunk, det_block, seg):
+    n_y = n_x = 64
+    iy, ix, data = _scene(n_t=1000 if chunk < 256 else 1100)
+    plan = make_runchunk_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_y, n_x, chunk=chunk, det_block=det_block,
+        seg=seg, max_window_frac=1.01,
+    )
+    assert plan is not None
+    assert plan.r_max < plan.seg  # compression actually happened
+    ref = _oracle(data, iy, ix, n_y, n_x)
+    got = np.asarray(jax.jit(
+        lambda d, e, ly, lx, o, od, w: bin_runchunk(
+            d, plan, e_idx=e, run_ly=ly, run_lx=lx, origins=o, order=od, wcnt=w)
+    )(jnp.asarray(data), *plan.device_args()))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale)
+    # static hits map matches the oracle exactly
+    np.testing.assert_array_equal(plan.hits, _hits_oracle(iy, ix, n_y, n_x))
+
+
+def test_runchunk_matches_bin_blocked():
+    """Same plan geometry class: run compression must not change the map
+    beyond f32 accumulation noise."""
+    n_y = n_x = 64
+    iy, ix, data = _scene(seed=3)
+    bplan = make_blocked_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_y, n_x, chunk=64, det_block=32,
+        max_window_frac=1.01,
+    )
+    rplan = make_runchunk_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_y, n_x, chunk=64, det_block=32,
+        max_window_frac=1.01,
+    )
+    a = np.asarray(bin_blocked(jnp.asarray(data), bplan, precision="shifted"))
+    b = np.asarray(bin_runchunk(jnp.asarray(data), rplan))
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a, b, atol=2e-5 * scale)
+
+
+def test_runchunk_channels_and_weights():
+    """Channel-stacked (W*D, W) binning — the BinMapper pattern."""
+    n_y = n_x = 48
+    iy, ix, data = _scene(n_det=40, n_t=500, n_y=48, n_x=48, seed=1)
+    rng = np.random.default_rng(2)
+    w = rng.random((40, 500)).astype(np.float32) + 0.5
+    plan = make_runchunk_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_y, n_x, chunk=64, det_block=16,
+        max_window_frac=1.01,
+    )
+    assert plan is not None
+    stacked = jnp.stack([jnp.asarray(data * w), jnp.asarray(w)])
+    # random per-sample weights are the worst case for the one-pass
+    # shifted scheme (the in-chunk fluctuation IS the signal scale);
+    # the hilo 2-pass split holds the tight tolerance
+    got = np.asarray(bin_runchunk(stacked, plan, precision="hilo"))
+    np.testing.assert_allclose(
+        got[0], _oracle(data * w, iy, ix, n_y, n_x), atol=2e-5 * float(np.abs(data * w).max())
+    )
+    np.testing.assert_allclose(got[1], _oracle(w, iy, ix, n_y, n_x), atol=2e-4)
+    # one-pass shifted stays within its documented ~2^-9-of-fluctuation bound
+    got_s = np.asarray(bin_runchunk(stacked, plan))
+    ref0 = _oracle(data * w, iy, ix, n_y, n_x)
+    np.testing.assert_allclose(got_s[0], ref0, atol=4e-3 * float(np.abs(ref0).max()))
+
+
+def test_runchunk_tail_and_padding():
+    """n_t not divisible by chunk; n_det not divisible by det_block."""
+    n_y = n_x = 32
+    iy, ix, data = _scene(n_det=37, n_t=331, n_y=32, n_x=32, seed=4)
+    plan = make_runchunk_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_y, n_x, chunk=64, det_block=16,
+        max_window_frac=1.01,
+    )
+    assert plan is not None
+    got = np.asarray(bin_runchunk(jnp.asarray(data), plan))
+    ref = _oracle(data, iy, ix, n_y, n_x)
+    np.testing.assert_allclose(got, ref, atol=2e-5 * float(np.abs(ref).max()))
+    np.testing.assert_array_equal(plan.hits, _hits_oracle(iy, ix, n_y, n_x))
+
+
+def test_runchunk_rejects_fast_scans():
+    """Every sample a new pixel -> no compression -> plan refuses."""
+    rng = np.random.default_rng(5)
+    iy = rng.integers(0, 32, (16, 256)).astype(np.int32)
+    ix = rng.integers(0, 32, (16, 256)).astype(np.int32)
+    plan = make_runchunk_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), 32, 32, chunk=64, det_block=16,
+        max_window_frac=1.01,
+    )
+    assert plan is None
+
+
+def test_runchunk_all_offmap_chunk():
+    """A chunk where one detector is entirely off-map."""
+    n_y = n_x = 32
+    iy, ix, data = _scene(n_det=16, n_t=256, n_y=32, n_x=32, off_map_frac=0.0, seed=6)
+    iy[3, 64:128] = -1
+    ix[3, 64:128] = -1
+    iy[5, :] = -1
+    ix[5, :] = -1
+    plan = make_runchunk_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_y, n_x, chunk=64, det_block=8,
+        max_window_frac=1.01,
+    )
+    assert plan is not None
+    got = np.asarray(bin_runchunk(jnp.asarray(data), plan))
+    ref = _oracle(data, iy, ix, n_y, n_x)
+    np.testing.assert_allclose(got, ref, atol=2e-5 * float(np.abs(ref).max()))

@@ -66,9 +66,11 @@ def main() -> None:
     tables = program.device_tables()
 
     from maria_tpu.ops.binning import bin_blocked, bin_scatter, make_blocked_bin_plan_on_device
+    from maria_tpu.ops.binning_runs import bin_runchunk, make_runchunk_bin_plan_on_device
 
     iy, ix, n_pix = bench._pixel_ids_device(program, obs)
-    plan = make_blocked_bin_plan_on_device(iy, ix, 128, 128)
+    rplan = make_runchunk_bin_plan_on_device(iy, ix, 128, 128)
+    plan = rplan if rplan is not None else make_blocked_bin_plan_on_device(iy, ix, 128, 128)
     if plan is not None:
         plan_args = plan.device_args()
     else:  # narrow/tiny scenes: fall back to the scatter path
@@ -88,7 +90,11 @@ def main() -> None:
 
             def fn(key, offsets, bs_az, bs_el, bin_args, tables):
                 tod = total_fn(key, offsets, bs_az, bs_el, tables=tables)
-                if plan is not None:
+                if rplan is not None:
+                    e, rly, rlx, origins, order, wcnt = bin_args
+                    binned = bin_runchunk(tod, rplan, e_idx=e, run_ly=rly, run_lx=rlx,
+                                          origins=origins, order=order, wcnt=wcnt)
+                elif plan is not None:
                     ly, lx, origins, order = bin_args
                     binned = bin_blocked(tod, plan, ly=ly, lx=lx, origins=origins, order=order)
                 else:
