@@ -17,6 +17,7 @@ import numpy as np
 
 from ..coords.transforms import phi_theta_to_offsets_jit
 from ..ops.binning import bin_blocked, hilbert_detector_order, make_blocked_bin_plan
+from ..ops.binning_runs import bin_runchunk, make_runchunk_bin_plan_on_device
 from .base import BaseProjectionMapper
 
 logger = logging.getLogger("maria_tpu")
@@ -106,6 +107,7 @@ class BinMapper(BaseProjectionMapper):
                 ix_all = np.where(inside, ix_all, -1)
                 iy_all = np.where(inside, iy_all, -1)
                 try_windowed = True
+                try_runs = True
                 # the Hilbert detector sort depends only on the (shared)
                 # pointing — compute once per band, reuse for every t bin
                 det_order = hilbert_detector_order(iy_all, ix_all)
@@ -119,18 +121,32 @@ class BinMapper(BaseProjectionMapper):
                         continue
                     sl = slice(cols[0], cols[-1] + 1)
 
-                    # hot path: det-blocked MXU binning on the static
-                    # pointing (ops/binning.py) — handles narrow and
-                    # wide fields; scatter fallback for pathological ones
-                    plan = (
-                        make_blocked_bin_plan(
-                            iy_all[:, sl], ix_all[:, sl], self.n_y, self.n_x, order=det_order
+                    # hot path: run-compressed MXU binning on the static
+                    # pointing (ops/binning_runs.py, 2x the blocked path
+                    # at AtLAST scale) -> det-blocked -> scatter for
+                    # pathological scan/map geometries
+                    rplan = (
+                        make_runchunk_bin_plan_on_device(
+                            iy_all[:, sl], ix_all[:, sl], self.n_y, self.n_x,
+                            order=det_order,
                         )
-                        if try_windowed
+                        if try_runs
                         else None
                     )
+                    if rplan is None:
+                        try_runs = False  # pathological: stop re-trying per bin
+                    plan = rplan
                     if plan is None:
-                        try_windowed = False  # pathological: stop re-trying per bin
+                        plan = (
+                            make_blocked_bin_plan(
+                                iy_all[:, sl], ix_all[:, sl], self.n_y, self.n_x,
+                                order=det_order,
+                            )
+                            if try_windowed
+                            else None
+                        )
+                        if plan is None:
+                            try_windowed = False  # stop re-trying per bin
                     if plan is not None:
                         # one channel-stacked call: [w_s*W*D per Stokes,
                         # |w_s|*W per Stokes] share the one-hot hats
@@ -149,7 +165,13 @@ class BinMapper(BaseProjectionMapper):
                         else:
                             binned = None
                         if binned is None:
-                            binned = bin_blocked(channels, plan)
+                            if rplan is not None:
+                                # hilo: the weight channels fluctuate at
+                                # the signal scale (processing windows),
+                                # outside the one-pass shifted bound
+                                binned = bin_runchunk(channels, rplan, precision="hilo")
+                            else:
+                                binned = bin_blocked(channels, plan)
                         sums = sums.at[:, i_nu, i_t].add(binned[:n_sk])
                         wgts = wgts.at[:, i_nu, i_t].add(binned[n_sk:])
                         continue

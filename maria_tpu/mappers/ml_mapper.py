@@ -203,13 +203,32 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             self._mxu_pointing = False
             return
         from ..ops.binning import make_blocked_bin_plan_on_device
+        from ..ops.binning_runs import make_runchunk_bin_plan_on_device
 
         for block, aux in zip(self.blocks, self._block_aux):
             within = block["pix"] % self.n_pix1
             ovf = within == self.n_pix
             iy = jnp.where(ovf, -1, within // self.n_x)
             ix = jnp.where(ovf, -1, within % self.n_x)
-            plan = make_blocked_bin_plan_on_device(iy, ix, self.n_y, self.n_x)
+            # run-compressed plan first (3-4x fewer one-hot rows per CG
+            # step); blocked fallback for fast scans
+            import os
+
+            rplan = (
+                make_runchunk_bin_plan_on_device(iy, ix, self.n_y, self.n_x)
+                if os.environ.get("MARIA_TPU_ML_RUNBIN", "1") != "0"
+                else None
+            )
+            if rplan is not None:
+                block["rmeta"] = rplan
+                block["re"] = rplan.e_idx
+                block["rly"], block["rlx"] = rplan.run_ly, rplan.run_lx
+                block["rorig"] = jnp.asarray(rplan.origins)
+                block["rorder"] = jnp.asarray(rplan.order)
+                block["rwcnt"] = jnp.asarray(rplan.wcnt)
+                plan = rplan
+            else:
+                plan = make_blocked_bin_plan_on_device(iy, ix, self.n_y, self.n_x)
             if plan is None:  # windows would span most of the map
                 if forced:
                     raise ValueError(
@@ -218,13 +237,15 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
                     )
                 self._mxu_pointing = False
                 return
-            block["bly"], block["blx"] = plan.ly, plan.lx
-            block["borig"] = jnp.asarray(plan.origins)
-            block["border"] = jnp.asarray(plan.order)
+            if rplan is None:
+                block["bly"], block["blx"] = plan.ly, plan.lx
+                block["borig"] = jnp.asarray(plan.origins)
+                block["border"] = jnp.asarray(plan.order)
             # overflow-bucket mask — None when nothing ever overflows,
             # so the per-iteration dense reduction is skipped entirely
             block["ovf"] = ovf.astype(jnp.float32) if bool(ovf.any()) else None
-            block["bmeta"] = plan  # static shapes only (arrays passed explicitly)
+            if rplan is None:
+                block["bmeta"] = plan  # static shapes only (arrays passed explicitly)
             # frame masks: detector -> channel (static), sample -> t bin
             block["cmask"] = (
                 jnp.asarray((aux["chan"][None, :] == np.arange(self.n_nu)[:, None]),
@@ -249,10 +270,21 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
                 for t in range(self.t_bins):
                     chans.append(vc * block["tmask"][t] if block["tmask"] is not None else vc)
         data = jnp.stack(chans)  # (n_s * n_nu * t_bins, n_det, n_t)
-        maps = bin_blocked(
-            data, block["bmeta"], ly=block["bly"], lx=block["blx"],
-            origins=block["borig"], order=block["border"],
-        ).reshape(len(chans), self.n_pix)
+        if "rmeta" in block:
+            from ..ops.binning_runs import bin_runchunk
+
+            # hilo: the CG operand is noise-filtered and fluctuates at
+            # the signal scale, outside the one-pass shifted bound
+            maps = bin_runchunk(
+                data, block["rmeta"], e_idx=block["re"], run_ly=block["rly"],
+                run_lx=block["rlx"], origins=block["rorig"], order=block["rorder"],
+                wcnt=block["rwcnt"], precision="hilo",
+            ).reshape(len(chans), self.n_pix)
+        else:
+            maps = bin_blocked(
+                data, block["bmeta"], ly=block["bly"], lx=block["blx"],
+                origins=block["borig"], order=block["border"],
+            ).reshape(len(chans), self.n_pix)
         if block.get("ovf") is not None:  # overflow bucket sums
             ovf = jnp.einsum("fdt,dt->f", data, block["ovf"])[:, None]
         else:
@@ -272,7 +304,7 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
     def _project_T(self, v, block):
         """P^T v: Stokes-weighted segment-sum over channel-offset pixels
         (or the MXU hat contraction when the static plan exists)."""
-        if self._mxu_pointing and "bly" in block:
+        if self._mxu_pointing and ("bly" in block or "rmeta" in block):
             return self._project_T_mxu(v, block)
         parts = []
         for s in range(self.n_s):
@@ -399,12 +431,15 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
             win = _tukey(resid.shape[-1])
             spec = jnp.abs(jnp.fft.rfft(resid * win, axis=-1)) ** 2 / (win**2).sum()
             spec = _smooth_spectrum(spec, int(self.spectrum_smoothing))
-            new_blocks.append({
+            nb = {
                 **b, "A_inv": 1.0 / jnp.clip(spec, 1e-30, None),
                 # static plan metadata rides as a closure constant (the
                 # index arrays are traced args in `b`)
                 "bmeta": self.blocks[i].get("bmeta"),
-            })
+            }
+            if "rmeta" in self.blocks[i]:
+                nb["rmeta"] = self.blocks[i]["rmeta"]
+            new_blocks.append(nb)
             # median over REAL rows only — zero-weight det-padding rows
             # have identically-zero spectra and would drag it to 0
             medians.append(jnp.median(spec[: self.blocks[i]["n_real"]], axis=0))
@@ -530,7 +565,8 @@ class MaximumLikelihoodMapper(BaseProjectionMapper):
         for epoch in range(n_epochs):
             if use_fused:
                 keys = ("pix", "sw", "data") + (
-                    ("bly", "blx", "borig", "border", "ovf", "cmask", "tmask")
+                    ("bly", "blx", "borig", "border", "re", "rly", "rlx",
+                     "rorig", "rorder", "rwcnt", "ovf", "cmask", "tmask")
                     if self._mxu_pointing else ()
                 )
                 light = [{key: b[key] for key in keys if key in b} for b in self.blocks]

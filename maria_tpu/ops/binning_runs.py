@@ -65,6 +65,17 @@ from .binning import _hilbert_order, blockify_ids
 
 __all__ = ["RunChunkBinPlan", "make_runchunk_bin_plan_on_device", "bin_runchunk"]
 
+# One one-hot contraction pass costs ~0.17 ns/row on v5e INDEPENDENT of
+# window size up to the point where the pass becomes genuinely
+# FLOP-bound: 0.17 ns x 197 bf16-TFLOP/s / 2 FLOP-per-MAC ~ 1.7e4
+# window cells. Below this area rows are the currency (larger chunks
+# win: fewer scan steps at the same total rows — measured at AtLAST
+# scale, 23.7 ms at chunk=256 vs 49.6 at 128); above it the pass pays
+# per-cell and SHRINKING the chunk shrinks the per-chunk pixel window
+# (measured on the ML mapper's 512x512 scene: chunk=64 0.609 ms/TOD vs
+# chunk=256 0.806, windows 184x168 vs 296x280).
+_ROW_BOUND_AREA = 16384
+
 
 @dataclass
 class RunChunkBinPlan:
@@ -107,7 +118,7 @@ def make_runchunk_bin_plan_on_device(
     ix,
     n_y: int,
     n_x: int,
-    chunk: int = 256,
+    chunk="auto",
     det_block: int = 1024,
     seg: int = 64,
     max_window_frac: float = 0.5,
@@ -125,6 +136,14 @@ def make_runchunk_bin_plan_on_device(
     compression to be had) — callers fall back to
     `bin_blocked`/`bin_scatter`.
 
+    `chunk="auto"` (default) picks the scan/window granularity from the
+    measured MXU cost model: the largest candidate whose windows stay
+    row-bound (wy*wx <= `_ROW_BOUND_AREA`, where pass time is rows-only
+    and fewer scan steps win), else the candidate minimizing total
+    row-equivalents n_chunks * S * r_max * max(_ROW_BOUND_AREA, wy*wx)
+    — big maps under slow scans want SMALLER chunks because the
+    per-chunk pixel window shrinks with chunk duration.
+
     All O(n_det * n_t) passes run on device; the host sees per-detector
     means (Hilbert sort), span/run-count scalars, and the static count
     windows. The run-slot extraction scans over (chunk x block) pairs so
@@ -136,11 +155,6 @@ def make_runchunk_bin_plan_on_device(
     det_block = min(det_block, -(-n_det // 8) * 8)
     n_blocks = -(-n_det // det_block)
     pad_d = n_blocks * det_block - n_det
-    n_chunks = -(-n_t // chunk)
-    seg = min(seg, chunk)
-    if chunk % seg:
-        raise ValueError(f"seg ({seg}) must divide chunk ({chunk})")
-    n_seg = chunk // seg
 
     if order is None:
 
@@ -162,45 +176,85 @@ def make_runchunk_bin_plan_on_device(
     )
     order_dev = jnp.asarray(order_p.astype(np.int32))
 
+    def _stats(chunk_c):
+        """Span/run stats for one chunk candidate — ONE O(n_det * n_t)
+        device pass; the host sees only (nb, nc) spans + a run-count
+        scalar."""
+        n_chunks_c = -(-n_t // chunk_c)
+        seg_c = min(seg, chunk_c)
+        n_seg_c = chunk_c // seg_c
+
+        @jax.jit
+        def _spans_runs(iy, ix):
+            iy_b = blockify_ids(iy, order_dev, n_det, det_block, n_blocks,
+                                n_chunks_c, chunk_c)
+            ix_b = blockify_ids(ix, order_dev, n_det, det_block, n_blocks,
+                                n_chunks_c, chunk_c)
+            valid = (iy_b >= 0) & (ix_b >= 0)
+            big = jnp.int32(1 << 30)
+            oy = jnp.minimum(jnp.where(valid, iy_b, big).min(axis=(1, 3)),
+                             jnp.where(valid, iy_b, -1).max(axis=(1, 3)))
+            hy = jnp.where(valid, iy_b, -1).max(axis=(1, 3))
+            ox = jnp.minimum(jnp.where(valid, ix_b, big).min(axis=(1, 3)),
+                             jnp.where(valid, ix_b, -1).max(axis=(1, 3)))
+            hx = jnp.where(valid, ix_b, -1).max(axis=(1, 3))
+            # runs: a new run starts at every segment boundary or wherever
+            # the (packed) pixel changes; off-map samples carry pix=-1 and
+            # coalesce into runs of their own (their slot gets ly=-1 and
+            # vanishes in the hats)
+            pix = jnp.where(valid, iy_b * jnp.int32(n_x) + ix_b, -1)
+            pix_s = pix.reshape(pix.shape[:-1] + (n_seg_c, seg_c))
+            change = jnp.concatenate(
+                [jnp.ones(pix_s.shape[:-1] + (1,), bool), pix_s[..., 1:] != pix_s[..., :-1]],
+                axis=-1,
+            )
+            n_runs = change.sum(axis=-1).max()
+            return oy, hy, ox, hx, n_runs
+
+        oy, hi_y, ox, hi_x, n_runs = (np.asarray(v) for v in _spans_runs(iy, ix))
+        wy = int(-(-(hi_y - oy + 1).max() // 8) * 8)
+        wx = int(-(-(hi_x - ox + 1).max() // 8) * 8)
+        r_max = int(-(-int(n_runs) // 8) * 8)
+        ok = (
+            wy * wx <= max_window_frac * n_y * n_x
+            and wy <= n_y
+            and wx <= n_x
+            and r_max <= max_r_frac * seg_c
+        )
+        return dict(chunk=chunk_c, n_chunks=n_chunks_c, seg=seg_c, n_seg=n_seg_c,
+                    oy=oy, ox=ox, wy=wy, wx=wx, r_max=r_max, ok=ok)
+
+    if chunk == "auto":
+        candidates = (256, 128, 64)
+    else:
+        chunk = int(chunk)
+        if chunk % min(seg, chunk):
+            raise ValueError(f"seg ({seg}) must divide chunk ({chunk})")
+        candidates = (chunk,)
+    chosen = None
+    for c in candidates:  # descending: ties and row-bound prefer LARGER chunks
+        st = _stats(c)
+        if not st["ok"]:
+            continue
+        if st["wy"] * st["wx"] <= _ROW_BOUND_AREA:
+            # row-bound at the largest qualifying chunk: smaller chunks
+            # keep the same total rows but pay more scan steps — stop
+            chosen = st
+            break
+        st["cost"] = (st["n_chunks"] * st["n_seg"] * st["r_max"]
+                      * max(_ROW_BOUND_AREA, st["wy"] * st["wx"]))
+        if chosen is None or st["cost"] < chosen["cost"]:
+            chosen = st
+    if chosen is None:
+        return None
+    chunk, n_chunks, seg, n_seg = (chosen[k] for k in ("chunk", "n_chunks", "seg", "n_seg"))
+    wy, wx, r_max = chosen["wy"], chosen["wx"], chosen["r_max"]
+    oy = np.clip(chosen["oy"], 0, n_y - wy)
+    ox = np.clip(chosen["ox"], 0, n_x - wx)
+    oy_d, ox_d = jnp.asarray(oy), jnp.asarray(ox)
+
     def _blockify(a):
         return blockify_ids(a, order_dev, n_det, det_block, n_blocks, n_chunks, chunk)
-
-    @jax.jit
-    def _spans_runs(iy, ix):
-        iy_b = _blockify(iy)
-        ix_b = _blockify(ix)
-        valid = (iy_b >= 0) & (ix_b >= 0)
-        big = jnp.int32(1 << 30)
-        oy = jnp.minimum(jnp.where(valid, iy_b, big).min(axis=(1, 3)),
-                         jnp.where(valid, iy_b, -1).max(axis=(1, 3)))
-        hy = jnp.where(valid, iy_b, -1).max(axis=(1, 3))
-        ox = jnp.minimum(jnp.where(valid, ix_b, big).min(axis=(1, 3)),
-                         jnp.where(valid, ix_b, -1).max(axis=(1, 3)))
-        hx = jnp.where(valid, ix_b, -1).max(axis=(1, 3))
-        # runs: a new run starts at every segment boundary or wherever
-        # the (packed) pixel changes; off-map samples carry pix=-1 and
-        # coalesce into runs of their own (their slot gets ly=-1 and
-        # vanishes in the hats)
-        pix = jnp.where(valid, iy_b * jnp.int32(n_x) + ix_b, -1)
-        pix_s = pix.reshape(pix.shape[:-1] + (n_seg, seg))
-        change = jnp.concatenate(
-            [jnp.ones(pix_s.shape[:-1] + (1,), bool), pix_s[..., 1:] != pix_s[..., :-1]],
-            axis=-1,
-        )
-        n_runs = change.sum(axis=-1).max()
-        return oy, hy, ox, hx, n_runs
-
-    oy, hi_y, ox, hi_x, n_runs = (np.asarray(v) for v in _spans_runs(iy, ix))
-    wy = int(-(-(hi_y - oy + 1).max() // 8) * 8)
-    wx = int(-(-(hi_x - ox + 1).max() // 8) * 8)
-    if wy * wx > max_window_frac * n_y * n_x or wy > n_y or wx > n_x:
-        return None
-    r_max = int(-(-int(n_runs) // 8) * 8)
-    if r_max > max_r_frac * seg:
-        return None  # scan too fast for run compression to pay
-    oy = np.clip(oy, 0, n_y - wy)
-    ox = np.clip(ox, 0, n_x - wx)
-    oy_d, ox_d = jnp.asarray(oy), jnp.asarray(ox)
 
     idx_dtype = jnp.int8 if seg <= 128 and max(wy, wx) < 127 else jnp.int32
 
@@ -313,9 +367,15 @@ def bin_runchunk(
     the shift restored exactly through the plan's static count windows
     — rounding ~2^-9 of the in-chunk fluctuation, which is tiny for the
     smooth pipeline fields but grows with strongly-varying per-sample
-    weights. `precision="hilo"` splits the shifted run sums into two
-    bf16-exact halves (two MXU passes, ~2^-16 relative) for
-    high-variance channels. `data` must be finite everywhere (see
+    weights. NOTE: the restore turns pixels whose channel data is
+    uniformly ZERO (e.g. time-bin-masked frames) into ~1e-7-scale
+    cancellation residue instead of exact zeros. `precision="hilo"`
+    splits the UNSHIFTED run sums into two bf16-exact halves (two MXU
+    passes, ~2^-16 of the run-sum scale) — use it for high-variance
+    channels and whenever exact zeros matter (a naive-map division or a
+    Jacobi preconditioner would otherwise amplify the residue —
+    measured to break the ML mapper's CG). `data` must be finite
+    everywhere (see
     module docstring). Pass `plan.device_args()` through the keyword
     arguments under jit (closure constants of that size blow the remote
     compile request). Pure jnp; call under jit.
@@ -356,7 +416,11 @@ def bin_runchunk(
     def chunk_body(m, args):
         d_c, e_c, ly_c, lx_c, org_c, wcnt_c = args
         # d_c (n_ch, nb, db, C); e_c/ly_c/lx_c (nb, db, S, R); org_c (nb, 2)
-        mu = d_c.mean(axis=(2, 3))  # (n_ch, nb) — any shift is exact
+        if precision == "hilo":
+            # unshifted: zero data stays EXACTLY zero (no restore term)
+            mu = jnp.zeros((n_ch, nb), d_c.dtype)
+        else:
+            mu = d_c.mean(axis=(2, 3))  # (n_ch, nb) — any shift is exact
         cs = jnp.cumsum(
             (d_c - mu[:, :, None, None]).reshape(n_ch, nb, db, n_seg, seg), axis=-1
         )

@@ -104,12 +104,12 @@ def test_runchunk_channels_and_weights():
     stacked = jnp.stack([jnp.asarray(data * w), jnp.asarray(w)])
     # random per-sample weights are the worst case for the one-pass
     # shifted scheme (the in-chunk fluctuation IS the signal scale);
-    # the hilo 2-pass split holds the tight tolerance
+    # the unshifted hilo 2-pass split holds ~2^-16 of the run-sum scale
     got = np.asarray(bin_runchunk(stacked, plan, precision="hilo"))
     np.testing.assert_allclose(
-        got[0], _oracle(data * w, iy, ix, n_y, n_x), atol=2e-5 * float(np.abs(data * w).max())
+        got[0], _oracle(data * w, iy, ix, n_y, n_x), atol=2e-4 * float(np.abs(data * w).max())
     )
-    np.testing.assert_allclose(got[1], _oracle(w, iy, ix, n_y, n_x), atol=2e-4)
+    np.testing.assert_allclose(got[1], _oracle(w, iy, ix, n_y, n_x), atol=2e-3)
     # one-pass shifted stays within its documented ~2^-9-of-fluctuation bound
     got_s = np.asarray(bin_runchunk(stacked, plan))
     ref0 = _oracle(data * w, iy, ix, n_y, n_x)
@@ -129,6 +129,32 @@ def test_runchunk_tail_and_padding():
     ref = _oracle(data, iy, ix, n_y, n_x)
     np.testing.assert_allclose(got, ref, atol=2e-5 * float(np.abs(ref).max()))
     np.testing.assert_array_equal(plan.hits, _hits_oracle(iy, ix, n_y, n_x))
+
+
+def test_runchunk_hilo_exact_zeros():
+    """Pixels whose channel data is uniformly zero (time-bin-masked
+    frames) must come out EXACTLY zero under hilo — the shifted mode's
+    mean restore leaves ~1e-7 cancellation residue there, which a naive
+    map division or a Jacobi preconditioner then amplifies (measured to
+    break the ML mapper's CG)."""
+    n_y = n_x = 48
+    iy, ix, data = _scene(n_det=32, n_t=512, n_y=48, n_x=48, off_map_frac=0.0, seed=9)
+    plan = make_runchunk_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_y, n_x, chunk=64, det_block=16,
+        max_window_frac=1.01,
+    )
+    assert plan is not None
+    # frame mask: data zeroed in the second half of time
+    mask = np.zeros_like(data)
+    mask[:, : data.shape[1] // 2] = 1.0
+    masked = jnp.asarray(data * mask)
+    got = np.asarray(bin_runchunk(masked, plan, precision="hilo"))
+    # pixels hit ONLY in the masked-out half must be exactly zero
+    only_late = (_hits_oracle(iy[:, data.shape[1] // 2:], ix[:, data.shape[1] // 2:], n_y, n_x) > 0) & (
+        _hits_oracle(iy[:, : data.shape[1] // 2], ix[:, : data.shape[1] // 2], n_y, n_x) == 0
+    )
+    assert only_late.any()
+    assert np.all(got[only_late] == 0.0)
 
 
 def test_runchunk_rejects_fast_scans():
