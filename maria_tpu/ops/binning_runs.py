@@ -63,7 +63,12 @@ import numpy as np
 
 from .binning import _hilbert_order, blockify_ids
 
-__all__ = ["RunChunkBinPlan", "make_runchunk_bin_plan_on_device", "bin_runchunk"]
+__all__ = [
+    "RunChunkBinPlan",
+    "make_runchunk_bin_plan_on_device",
+    "bin_runchunk",
+    "project_runchunk",
+]
 
 # One one-hot contraction pass costs ~0.17 ns/row on v5e INDEPENDENT of
 # window size up to the point where the pass becomes genuinely
@@ -89,6 +94,7 @@ class RunChunkBinPlan:
     n_chunks: int
     det_block: int
     n_blocks: int
+    n_det: int
     n_t: int
     seg: int  # extraction segment length (divides chunk)
     r_max: int  # run slots per (det, segment), padded to a multiple of 8
@@ -339,7 +345,7 @@ def make_runchunk_bin_plan_on_device(
 
     return RunChunkBinPlan(
         n_y=n_y, n_x=n_x, wy=wy, wx=wx, chunk=chunk, n_chunks=n_chunks,
-        det_block=det_block, n_blocks=n_blocks, n_t=n_t, seg=seg, r_max=r_max,
+        det_block=det_block, n_blocks=n_blocks, n_det=n_det, n_t=n_t, seg=seg, r_max=r_max,
         order=order_p.astype(np.int32), e_idx=e_idx, run_ly=run_ly,
         run_lx=run_lx, origins=np.stack([oy, ox], axis=-1).astype(np.int32),
         wcnt=wcnt, hits=hits.astype(np.float32),
@@ -471,3 +477,105 @@ def bin_runchunk(
     )
     m, _ = jax.lax.scan(chunk_body, m0, xs)
     return m[0] if squeeze else m
+
+
+def project_runchunk(
+    maps,
+    plan: RunChunkBinPlan,
+    e_idx=None,
+    run_ly=None,
+    run_lx=None,
+    origins=None,
+):
+    """Transpose of the run plan's pointing: sample (f, d, t) <-
+    maps[f, iy[d,t], ix[d,t]] (0 for off-map samples), returned in the
+    ORIGINAL detector order with the true n_t.
+
+    The static runs turn P into MXU contractions instead of an
+    elementwise gather (TPU gathers cost ~14 ns/elem — the gather was
+    4.86 ms of the ML mapper's 7.4 ms CG step at MUSTANG-2 scale,
+    reference maria/mappers/ml_mapper.py:323-327 does it as a torch
+    sparse matvec): per (det-block, time-chunk), run VALUES are the map
+    window contracted with the SAME one-hot hats the binning builds
+    (two bf16 passes on a hi/lo window split, ~2^-16 relative), and
+    samples re-expand from their run values through the membership step
+    matrix e_{r-1} < t <= e_r built from the static run-end indices (a
+    fused multiply-reduce — each sample belongs to exactly one run).
+
+    `maps` is (n_y, n_x) or channel-stacked (n_fr, n_y, n_x). Pass
+    `plan.device_args()[:4]` through the keyword arguments under jit
+    (closure constants of that size blow the remote compile request).
+    Pure jnp; call under jit.
+    """
+    e_idx = jnp.asarray(plan.e_idx) if e_idx is None else e_idx
+    run_ly = jnp.asarray(plan.run_ly) if run_ly is None else run_ly
+    run_lx = jnp.asarray(plan.run_lx) if run_lx is None else run_lx
+    origins = jnp.asarray(plan.origins) if origins is None else origins
+
+    squeeze = maps.ndim == 2
+    if squeeze:
+        maps = maps[None]
+    n_fr = maps.shape[0]
+    nb, db, C, R = plan.n_blocks, plan.det_block, plan.chunk, plan.r_max
+    seg = plan.seg
+    n_seg = C // seg
+
+    # hi/lo split once: the bf16 hat passes round each window value to
+    # ~2^-16 relative (two bf16 mantissas), matching bin_runchunk("hilo")
+    maps_hi = maps.astype(jnp.bfloat16)
+    maps_lo = (maps - maps_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    maps2 = jnp.concatenate([maps_hi, maps_lo], axis=0)  # (2 n_fr, n_y, n_x)
+
+    ky = jnp.arange(plan.wy, dtype=jnp.int32)
+    kx = jnp.arange(plan.wx, dtype=jnp.int32)
+    t_iota = jnp.arange(seg, dtype=jnp.int32)
+
+    def chunk_body(_, args):
+        e_c, ly_c, lx_c, org_c = args  # (nb, db, S, R); org_c (nb, 2)
+
+        def win1(o):
+            return jax.lax.dynamic_slice(
+                maps2, (0, o[0], o[1]), (2 * n_fr, plan.wy, plan.wx)
+            )
+
+        W = jax.lax.map(win1, org_c)  # (nb, 2 n_fr, wy, wx) bf16
+        wY = (ly_c.astype(jnp.int32)[..., None] == ky).astype(jnp.bfloat16)
+        wX = (lx_c.astype(jnp.int32)[..., None] == kx).astype(jnp.bfloat16)
+        # contract y on the MXU (rows = db*S*R), then x as a fused
+        # multiply-reduce; off-map runs (ly = -1) hit no hat row -> 0
+        tmp = jnp.einsum(
+            "bdsry,bfyx->bfdsrx", wY, W, preferred_element_type=jnp.float32
+        )
+        val2 = jnp.einsum(
+            "bdsrx,bfdsrx->bfdsr", wX.astype(jnp.float32), tmp,
+            preferred_element_type=jnp.float32,
+        )
+        val = val2[:, :n_fr] + val2[:, n_fr:]  # (nb, n_fr, db, S, R)
+        # membership: in-segment position t belongs to run r iff
+        # e_{r-1} < t <= e_r (empty tail slots pin e to seg-1 and have
+        # e_prev = seg-1 -> empty interval)
+        e32 = e_c.astype(jnp.int32)
+        prev = jnp.concatenate(
+            [jnp.full(e32.shape[:-1] + (1,), -1, jnp.int32), e32[..., :-1]], axis=-1
+        )
+        memb = (
+            (t_iota[:, None] > prev[..., None, :])
+            & (t_iota[:, None] <= e32[..., None, :])
+        ).astype(jnp.float32)  # (nb, db, S, seg, R)
+        samp = jnp.einsum("bdscr,bfdsr->fbdsc", memb, val)
+        return 0, samp.reshape(n_fr, nb * db, C)
+
+    xs = (
+        jnp.moveaxis(e_idx, 2, 0),
+        jnp.moveaxis(run_ly, 2, 0),
+        jnp.moveaxis(run_lx, 2, 0),
+        jnp.moveaxis(origins, 1, 0),
+    )
+    _, out = jax.lax.scan(chunk_body, 0, xs)
+    # (nc, n_fr, nb*db, C) -> (n_fr, nb*db, nc*C) -> true n_t, orig order
+    out = jnp.moveaxis(out, 0, 2).reshape(n_fr, nb * db, plan.n_chunks * C)
+    out = out[..., : plan.n_t]
+    inv = np.zeros(plan.n_det, np.int32)
+    inv[plan.order[: plan.n_det]] = np.arange(plan.n_det, dtype=np.int32)
+    out = jnp.take(out, jnp.asarray(inv), axis=1)
+    return out[0] if squeeze else out

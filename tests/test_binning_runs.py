@@ -185,3 +185,62 @@ def test_runchunk_all_offmap_chunk():
     got = np.asarray(bin_runchunk(jnp.asarray(data), plan))
     ref = _oracle(data, iy, ix, n_y, n_x)
     np.testing.assert_allclose(got, ref, atol=2e-5 * float(np.abs(ref).max()))
+
+
+def _project_oracle(maps, iy, ix):
+    """Gather oracle: sample <- maps[f, iy, ix], 0 off-map."""
+    valid = (iy >= 0) & (ix >= 0)
+    out = np.zeros((maps.shape[0],) + iy.shape, np.float64)
+    for f in range(maps.shape[0]):
+        out[f][valid] = maps[f].astype(np.float64)[iy[valid], ix[valid]]
+    return out
+
+
+@pytest.mark.parametrize(
+    "chunk,det_block,seg", [(64, 32, 64), (128, 96, 32), (256, 48, 256)]
+)
+def test_project_runchunk_matches_gather(chunk, det_block, seg):
+    """P through the run plan == the elementwise gather, original det
+    order, off-map samples -> 0, padded tail chunks handled."""
+    from maria_tpu.ops.binning_runs import project_runchunk
+
+    n_y = n_x = 64
+    iy, ix, _ = _scene(n_t=1000 if chunk < 256 else 1100)
+    plan = make_runchunk_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_y, n_x, chunk=chunk,
+        det_block=det_block, seg=seg, max_window_frac=1.01,
+    )
+    assert plan is not None
+    rng = np.random.default_rng(11)
+    maps = (50.0 * rng.standard_normal((3, n_y, n_x))).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda m, e, ly, lx, o: project_runchunk(
+            m, plan, e_idx=e, run_ly=ly, run_lx=lx, origins=o)
+    )(jnp.asarray(maps), *plan.device_args()[:4]))
+    ref = _project_oracle(maps, iy, ix)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=3e-5 * float(np.abs(maps).max()))
+    # exact zeros off-map (no residue for the CG operand)
+    off = (iy < 0) | (ix < 0)
+    assert np.all(got[:, off] == 0.0)
+
+
+def test_project_runchunk_single_map_and_offmap_rows():
+    """2-D input squeeze + a fully off-map detector row."""
+    from maria_tpu.ops.binning_runs import project_runchunk
+
+    n_y = n_x = 32
+    iy, ix, _ = _scene(n_det=16, n_t=256, n_y=32, n_x=32, off_map_frac=0.05, seed=6)
+    iy[5, :] = -1
+    ix[5, :] = -1
+    plan = make_runchunk_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_y, n_x, chunk=64, det_block=8,
+        max_window_frac=1.01,
+    )
+    assert plan is not None
+    rng = np.random.default_rng(12)
+    m = rng.standard_normal((n_y, n_x)).astype(np.float32)
+    got = np.asarray(project_runchunk(jnp.asarray(m), plan))
+    ref = _project_oracle(m[None], iy, ix)[0]
+    np.testing.assert_allclose(got, ref, atol=3e-5 * float(np.abs(m).max()))
+    assert np.all(got[5] == 0.0)

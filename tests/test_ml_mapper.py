@@ -348,6 +348,16 @@ def test_mxu_pointing_matches_segment_sum(noisy_tod_and_map):
         scale = np.abs(a).max()
         np.testing.assert_allclose(b, a, atol=3e-5 * scale)
 
+        # P equality too: the run-plan MXU projection (hat matmuls +
+        # run->sample expansion) vs the elementwise gather
+        if "rmeta" in mxu.blocks[0]:
+            w = jnp.asarray(
+                np.random.default_rng(1).normal(size=seg.n_m).astype(np.float32)
+            )
+            pa = np.asarray(seg._project(w, seg.blocks[0]))
+            pb = np.asarray(mxu._project(w, mxu.blocks[0]))
+            np.testing.assert_allclose(pb, pa, atol=3e-5 * float(np.abs(pa).max()))
+
         out_seg = seg.fit()
         out_mxu = mxu.fit()
         aa = np.nan_to_num(np.asarray(out_seg.data, dtype=np.float64))
