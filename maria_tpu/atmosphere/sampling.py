@@ -18,7 +18,26 @@ import numpy as np
 from ..ops.interp import interp_bilinear_uniform, interp_bilinear_windowed
 from .fourier import synthesize_layered_matern_2d, synthesize_matern_field_2d
 
-__all__ = ["accumulate_pwv", "gaussian_blur_2d"]
+__all__ = ["accumulate_pwv", "gaussian_blur_2d", "sampler_bf16"]
+
+
+def sampler_bf16() -> bool:
+    """Whether the windowed group sampler should run its hat einsums in
+    bf16 — a measured NEGATIVE result, default OFF.
+
+    Hypothesis was that the (n_det, chunk, w) hat temporaries' HBM
+    traffic bound the stage, so bf16 operands would halve it. Measured
+    on v5e (AtLAST-50k, 60 s): f32 59.9 ms / bf16 59.9 ms, and time is
+    FLAT across chunk sizes while XLA-counted traffic varies 1.3->6.1 GB
+    (docs/bench/r3-tpu-session3/) — the stage is bound by the VPU hat
+    CONSTRUCTION (~4 ops x (wx+wy) cells x n_samples x n_layers ~ 3e10
+    ops), which no dot-operand precision changes. bf16 output is also
+    bit-identical to f32 on the MXU (default f32 dots already truncate
+    operands to bf16). Kept as an env/arg toggle for re-measurement:
+    MARIA_TPU_SAMPLER_BF16=1."""
+    import os
+
+    return os.environ.get("MARIA_TPU_SAMPLER_BF16", "").lower() in ("1", "true", "on")
 
 
 def gaussian_blur_2d(values, sigma_y, sigma_x, res_y, res_x):
@@ -122,7 +141,9 @@ def accumulate_pwv(
     return pwv
 
 
-def _sample_group_windowed(stack, group, px, py, bs_px, bs_py, t_rel, chunk: int = None):
+def _sample_group_windowed(
+    stack, group, px, py, bs_px, bs_py, t_rel, chunk: int = None, bf16: bool = None
+):
     """All-layer windowed sampling of a ScreenGroup in ONE scan over
     time chunks, accumulating sum_l pwv_rms_l * sample_l in-loop.
 
@@ -134,6 +155,7 @@ def _sample_group_windowed(stack, group, px, py, bs_px, bs_py, t_rel, chunk: int
     body, so the full-size traffic is one read of rx/ry and one write
     of the accumulated output. Windows are padded to the group max
     (the extra one-hot columns cost MXU flops, not HBM)."""
+    bf16 = sampler_bf16() if bf16 is None else bf16
     heights = np.asarray(group.heights, dtype=np.float64)
     rms = np.asarray(group.pwv_rms, dtype=np.float64)
     ny, nx = group.ny, group.nx
@@ -191,7 +213,17 @@ def _sample_group_windowed(stack, group, px, py, bs_px, bs_py, t_rel, chunk: int
             )(iy0, ix0)  # (chunk, wy, wx)
             w_x = jnp.clip(1.0 - jnp.abs(fx[..., None] - ix0[:, None] - kx), 0.0, 1.0)
             w_y = jnp.clip(1.0 - jnp.abs(fy[..., None] - iy0[:, None] - ky), 0.0, 1.0)
-            tmp = jnp.einsum("tyx,dtx->dty", wins, w_x)
+            if bf16:
+                # bf16 hats/windows halve the dominant (n_det, chunk, w)
+                # HBM traffic and the MXU pass count; f32 accumulate
+                tmp = jnp.einsum(
+                    "tyx,dtx->dty",
+                    wins.astype(jnp.bfloat16),
+                    w_x.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                tmp = jnp.einsum("tyx,dtx->dty", wins, w_x)
             out_c = out_c + np.float32(rms[il]) * (tmp * w_y).sum(-1)
         return None, out_c
 

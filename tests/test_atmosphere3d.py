@@ -204,3 +204,39 @@ def test_fused_group_sampler_equals_per_layer_path():
         )
         ref += float(group.pwv_rms[il]) * np.asarray(s)
     np.testing.assert_allclose(fused, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_group_sampler_bf16_close_to_f32():
+    """The bf16 hat-einsum path (default on TPU: halves the dominant
+    sampler HBM traffic) must stay within ~2^-7 of the f32 path on a
+    unit-variance stack. On CPU XLA promotes bf16 dots to f32 so the
+    paths agree exactly; the tolerance is sized for real bf16 MXU
+    passes so the same test is meaningful on-chip."""
+    from maria_tpu.atmosphere.atmosphere import ScreenGroup
+    from maria_tpu.atmosphere.sampling import _sample_group_windowed
+
+    rng = np.random.default_rng(11)
+    L, ny, nx = 2, 32, 64
+    n_det, n_t = 9, 40
+    res = 10.0
+    heights = np.array([300.0, 1500.0])
+    group = ScreenGroup(
+        heights=heights, zs=heights * 1.2, pwv_rms=np.array([0.3, 0.1]),
+        angle=-0.2, vx=1.0, vy=0.5, res=res,
+        tx_min=-nx * res / 2, ty_min=-ny * res / 2, nx=nx, ny=ny,
+        W=None, M_cos=None, M_sin=None,
+        win_x=np.array([8, 16]), win_y=np.array([8, 16]),
+    )
+    stack = jnp.asarray(rng.standard_normal((L, ny, nx)).astype(np.float32))
+    px = jnp.asarray(rng.uniform(-8e-3, 8e-3, (n_det, 1)).astype(np.float32))
+    px = px + jnp.zeros((1, n_t), jnp.float32)
+    py = jnp.asarray(rng.uniform(-8e-3, 8e-3, (n_det, 1)).astype(np.float32))
+    py = py + jnp.zeros((1, n_t), jnp.float32)
+    bs = jnp.zeros((n_t,), jnp.float32)
+    t_rel = jnp.asarray(np.linspace(0.0, 10.0, n_t).astype(np.float32))
+
+    args = (stack, px, py, bs, bs, t_rel)
+    f32 = np.asarray(_sample_group_windowed(*((args[0], group) + args[1:]), bf16=False))
+    b16 = np.asarray(_sample_group_windowed(*((args[0], group) + args[1:]), bf16=True))
+    scale = max(np.abs(f32).max(), 1e-12)
+    assert np.abs(b16 - f32).max() <= 2e-2 * scale

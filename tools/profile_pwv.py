@@ -114,6 +114,28 @@ def main() -> None:
         return total
 
     results["sampling_12layers_ms"] = timed(jax.jit(sample_all), stack, px, py, bs, t_rel)
+
+    # production group sampler: f32 vs bf16 hat einsums (+ max deviation)
+    from maria_tpu.atmosphere.sampling import _sample_group_windowed
+
+    def group_sample(bf16):
+        def f(stack, px, py, bs, t_rel):
+            return _sample_group_windowed(
+                stack, g, px, py, bs, jnp.zeros_like(bs), t_rel, bf16=bf16
+            )
+        return jax.jit(f)
+
+    f32_fn, bf16_fn = group_sample(False), group_sample(True)
+    results["group_sampler_f32_ms"] = timed(
+        lambda *a: jnp.sum(f32_fn(*a)), stack, px, py, bs, t_rel
+    )
+    results["group_sampler_bf16_ms"] = timed(
+        lambda *a: jnp.sum(bf16_fn(*a)), stack, px, py, bs, t_rel
+    )
+    a = np.asarray(f32_fn(stack, px, py, bs, t_rel))
+    b = np.asarray(bf16_fn(stack, px, py, bs, t_rel))
+    results["bf16_max_abs_diff"] = float(np.abs(a - b).max())
+    results["sample_abs_scale"] = float(np.abs(a).max())
     print(json.dumps(results))
 
 
