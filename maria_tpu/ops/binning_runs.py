@@ -192,30 +192,46 @@ def make_runchunk_bin_plan_on_device(
 
         @jax.jit
         def _spans_runs(iy, ix):
+            # hold ONLY the two blockified id copies full-size; every
+            # other quantity is chunk-local inside the scan. Computing
+            # valid/pix/change at full (nb, db, nc, chunk) size (as this
+            # pass originally did) peaks at ~7 live full-size buffers —
+            # a genuine OOM at AtLAST-50k x 240 s (2.47 GB each on a
+            # 15.75 GB chip, hit by tools/profile_atlast_stages.py).
             iy_b = blockify_ids(iy, order_dev, n_det, det_block, n_blocks,
                                 n_chunks_c, chunk_c)
             ix_b = blockify_ids(ix, order_dev, n_det, det_block, n_blocks,
                                 n_chunks_c, chunk_c)
-            valid = (iy_b >= 0) & (ix_b >= 0)
             big = jnp.int32(1 << 30)
-            oy = jnp.minimum(jnp.where(valid, iy_b, big).min(axis=(1, 3)),
-                             jnp.where(valid, iy_b, -1).max(axis=(1, 3)))
-            hy = jnp.where(valid, iy_b, -1).max(axis=(1, 3))
-            ox = jnp.minimum(jnp.where(valid, ix_b, big).min(axis=(1, 3)),
-                             jnp.where(valid, ix_b, -1).max(axis=(1, 3)))
-            hx = jnp.where(valid, ix_b, -1).max(axis=(1, 3))
-            # runs: a new run starts at every segment boundary or wherever
-            # the (packed) pixel changes; off-map samples carry pix=-1 and
-            # coalesce into runs of their own (their slot gets ly=-1 and
-            # vanishes in the hats)
-            pix = jnp.where(valid, iy_b * jnp.int32(n_x) + ix_b, -1)
-            pix_s = pix.reshape(pix.shape[:-1] + (n_seg_c, seg_c))
-            change = jnp.concatenate(
-                [jnp.ones(pix_s.shape[:-1] + (1,), bool), pix_s[..., 1:] != pix_s[..., :-1]],
-                axis=-1,
+
+            def body(_, c):
+                yb = jax.lax.dynamic_slice_in_dim(iy_b, c, 1, axis=2)[:, :, 0]
+                xb = jax.lax.dynamic_slice_in_dim(ix_b, c, 1, axis=2)[:, :, 0]
+                valid = (yb >= 0) & (xb >= 0)  # (nb, db, chunk)
+                oy_c = jnp.minimum(jnp.where(valid, yb, big).min(axis=(1, 2)),
+                                   jnp.where(valid, yb, -1).max(axis=(1, 2)))
+                hy_c = jnp.where(valid, yb, -1).max(axis=(1, 2))
+                ox_c = jnp.minimum(jnp.where(valid, xb, big).min(axis=(1, 2)),
+                                   jnp.where(valid, xb, -1).max(axis=(1, 2)))
+                hx_c = jnp.where(valid, xb, -1).max(axis=(1, 2))
+                # runs: a new run starts at every segment boundary or
+                # wherever the (packed) pixel changes; off-map samples
+                # carry pix=-1 and coalesce into runs of their own (their
+                # slot gets ly=-1 and vanishes in the hats)
+                pix = jnp.where(valid, yb * jnp.int32(n_x) + xb, -1)
+                pix_s = pix.reshape(pix.shape[:-1] + (n_seg_c, seg_c))
+                change = jnp.concatenate(
+                    [jnp.ones(pix_s.shape[:-1] + (1,), bool),
+                     pix_s[..., 1:] != pix_s[..., :-1]],
+                    axis=-1,
+                )
+                return 0, (oy_c, hy_c, ox_c, hx_c, change.sum(axis=-1).max())
+
+            _, (oy, hy, ox, hx, nr) = jax.lax.scan(
+                body, 0, jnp.arange(n_chunks_c, dtype=jnp.int32)
             )
-            n_runs = change.sum(axis=-1).max()
-            return oy, hy, ox, hx, n_runs
+            # scan stacks chunk-major: (nc, nb) -> (nb, nc)
+            return oy.T, hy.T, ox.T, hx.T, nr.max()
 
         oy, hi_y, ox, hi_x, n_runs = (np.asarray(v) for v in _spans_runs(iy, ix))
         wy = int(-(-(hi_y - oy + 1).max() // 8) * 8)
@@ -266,25 +282,30 @@ def make_runchunk_bin_plan_on_device(
 
     @jax.jit
     def _runs(iy, ix, oy_d, ox_d):
-        """Per (chunk, block) scan extracting run slots; intermediates
-        are (det_block, chunk, R) — small enough to fuse."""
+        """Per (chunk, block) scan extracting run slots; only the two
+        blockified id arrays live full-size (every derived quantity —
+        valid/ly/lx/pix — is computed inside the body on its
+        (det_block, chunk) tile; materializing them up front peaked at
+        ~7 full-size buffers and OOM'd AtLAST-50k x 240 s on chip)."""
         iy_b = _blockify(iy)
         ix_b = _blockify(ix)
-        valid = (iy_b >= 0) & (ix_b >= 0)
-        ly = jnp.where(valid, iy_b - oy_d[:, None, :, None], -1)
-        lx = jnp.where(valid, ix_b - ox_d[:, None, :, None], -1)
-        # pack (ly, lx) so one change test covers both; -1 stays -1
-        pix = jnp.where(valid, ly * jnp.int32(wx) + lx, -1)
-        # scan over flattened (chunk, block) pairs
-        pix_cb = jnp.moveaxis(pix, 2, 0).reshape(n_chunks * n_blocks, det_block, chunk)
-        ly_cb = jnp.moveaxis(ly, 2, 0).reshape(n_chunks * n_blocks, det_block, chunk)
-        lx_cb = jnp.moveaxis(lx, 2, 0).reshape(n_chunks * n_blocks, det_block, chunk)
 
         t_iota = jnp.arange(seg, dtype=jnp.int32)
         r_iota = jnp.arange(r_max, dtype=jnp.int32)
 
-        def body(_, args):
-            p, l_y, l_x = args  # (det_block, chunk)
+        def body(_, cb):
+            c, b = cb // n_blocks, cb % n_blocks
+            yb = jax.lax.dynamic_slice(iy_b, (b, 0, c, 0), (1, det_block, 1, chunk))
+            xb = jax.lax.dynamic_slice(ix_b, (b, 0, c, 0), (1, det_block, 1, chunk))
+            yb = yb[0, :, 0]  # (det_block, chunk)
+            xb = xb[0, :, 0]
+            valid = (yb >= 0) & (xb >= 0)
+            oy_cb = jax.lax.dynamic_slice(oy_d, (b, c), (1, 1))[0, 0]
+            ox_cb = jax.lax.dynamic_slice(ox_d, (b, c), (1, 1))[0, 0]
+            l_y = jnp.where(valid, yb - oy_cb, -1)
+            l_x = jnp.where(valid, xb - ox_cb, -1)
+            # pack (ly, lx) so one change test covers both; -1 stays -1
+            p = jnp.where(valid, l_y * jnp.int32(wx) + l_x, -1)
             p = p.reshape(det_block, n_seg, seg)
             l_y = l_y.reshape(det_block, n_seg, seg)
             l_x = l_x.reshape(det_block, n_seg, seg)
@@ -323,7 +344,9 @@ def make_runchunk_bin_plan_on_device(
             return 0, (e.astype(idx_dtype), r_ly.astype(idx_dtype),
                        r_lx.astype(idx_dtype), w)
 
-        _, (e, r_ly, r_lx, w) = jax.lax.scan(body, 0, (pix_cb, ly_cb, lx_cb))
+        _, (e, r_ly, r_lx, w) = jax.lax.scan(
+            body, 0, jnp.arange(n_chunks * n_blocks, dtype=jnp.int32)
+        )
         # (nc*nb, db, S, R) -> (nb, db, nc, S, R); (nc*nb, wy, wx) -> (nb, nc, wy, wx)
         def _unflat(a):
             return jnp.moveaxis(
