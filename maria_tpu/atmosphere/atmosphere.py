@@ -14,6 +14,7 @@ zenith-scaled PWV.
 from __future__ import annotations
 
 import logging
+import os
 import time as _time
 from dataclasses import dataclass, field
 
@@ -93,6 +94,11 @@ class ScreenGroup:
     beam: np.ndarray = None  # (L, ny, nx//2+1)
     win_x: np.ndarray = None  # (L,) static window sizes per layer
     win_y: np.ndarray = None
+    # (L,) per-layer temporal decimation factors for the windowed group
+    # sampler: layer l is sampled every dec[l]-th coarse step (its LOS
+    # drift per decimated step stays under a fraction of a cell) and
+    # linearly upsampled. None = no decimation.
+    dec: np.ndarray = None
 
 
 class Atmosphere:
@@ -115,6 +121,7 @@ class Atmosphere:
         outer_scale: float = None,
         seed: int = None,
         disable_progress_bars: bool = True,
+        sampler_dec_tol: float = None,
     ):
         if model not in SUPPORTED_MODELS:
             raise ValueError(f"Invalid model '{model}'. Supported models are {SUPPORTED_MODELS}.")
@@ -146,6 +153,12 @@ class Atmosphere:
         # O(n^3) covariance setup) to converge the pwv integral
         self.n_layers = n_layers if n_layers is not None else (12 if model == "3d" else None)
         self.seed = seed
+        # per-layer temporal decimation tolerance for the windowed group
+        # sampler, in CELLS of LOS drift per decimated step (see
+        # sampling._sample_group_windowed). 0 disables decimation.
+        if sampler_dec_tol is None:
+            sampler_dec_tol = float(os.environ.get("MARIA_TPU_SAMPLER_DEC_TOL", "0.35"))
+        self.sampler_dec_tol = sampler_dec_tol
         self._initialized = False
 
     def initialize(self, obs):
@@ -245,6 +258,26 @@ class Atmosphere:
                 win_y = min(ny, int(-(-(2 * span_y / res + 6) // 8) * 8))
                 return win_x, win_y
 
+            def layer_decimation(h, res):
+                # largest power-of-2 temporal decimation whose per-step
+                # LOS drift (scan motion at height h + wind), measured
+                # on the actual hull trajectories, stays under
+                # sampler_dec_tol cells — the windowed group sampler
+                # then samples this layer every dec-th coarse step and
+                # lerps (sampling._sample_group_windowed)
+                tol = self.sampler_dec_tol
+                if not tol or n_t < 3:
+                    return 1
+                ddx = h * np.diff(hull_px, axis=-1) + vx * dt
+                ddy = h * np.diff(hull_py, axis=-1) + vy * dt
+                du = ca * ddx + sa * ddy
+                dv = -sa * ddx + ca * ddy
+                drift = max(float(np.abs(du).max()), float(np.abs(dv).max())) / res
+                d = 1
+                while 2 * d * drift <= tol and d < 16:
+                    d *= 2
+                return d
+
             if self.model == "2d":
                 # one independent 2-D screen per layer (fourier: FFT
                 # synthesis with beam smoothing folded into the spectral
@@ -325,6 +358,7 @@ class Atmosphere:
                     ny, nx, res, res, heights, nu=nu, r0=outer_scale, beam_sigmas=beam_sigmas
                 )
                 wins = np.array([window_bounds(h, res, nx, ny) for h in heights], dtype=int)
+                dec = np.array([layer_decimation(h, res) for h in heights], dtype=int)
                 self.groups.append(
                     ScreenGroup(
                         heights=heights, zs=zs,
@@ -332,7 +366,7 @@ class Atmosphere:
                         angle=angle, vx=vx, vy=vy, res=res,
                         tx_min=tx_min, ty_min=ty_min, nx=nx, ny=ny,
                         W=W, M_cos=M_cos, M_sin=M_sin, beam=beam,
-                        win_x=wins[:, 0], win_y=wins[:, 1],
+                        win_x=wins[:, 0], win_y=wins[:, 1], dec=dec,
                     )
                 )
             else:

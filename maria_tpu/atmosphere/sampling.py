@@ -141,26 +141,107 @@ def accumulate_pwv(
     return pwv
 
 
-def _sample_group_windowed(
-    stack, group, px, py, bs_px, bs_py, t_rel, chunk: int = None, bf16: bool = None
-):
-    """All-layer windowed sampling of a ScreenGroup in ONE scan over
-    time chunks, accumulating sum_l pwv_rms_l * sample_l in-loop.
+def _upsample_linear_indices(a, d: int, n_t: int, aligned: bool):
+    """Exact linear upsample of (n_det, n_dec) samples taken at fine
+    indices 0, d, 2d, ... (plus n_t-1 appended when not aligned) back to
+    (n_det, n_t). Pure reshape/broadcast — no gathers."""
+    n_det, n_dec = a.shape
+    n_uni = n_dec if aligned else n_dec - 1  # count of the arange(0, n_t, d) part
+    if n_uni >= 2:
+        w = (jnp.arange(d, dtype=a.dtype) / d)[None, None, :]
+        main = a[:, : n_uni - 1, None] * (1 - w) + a[:, 1:n_uni, None] * w
+        main = main.reshape(n_det, (n_uni - 1) * d)
+    else:
+        main = jnp.zeros((n_det, 0), a.dtype)
+    last_uni = (n_uni - 1) * d  # fine index of the last uniform sample
+    if aligned:
+        tail = a[:, n_uni - 1 :]
+    else:
+        m = (n_t - 1) - last_uni  # 1 <= m <= d-1
+        tw = (jnp.arange(m + 1, dtype=a.dtype) / m)[None, :]
+        tail = a[:, n_uni - 1, None] * (1 - tw) + a[:, n_dec - 1, None] * tw
+    return jnp.concatenate([main, tail], axis=1)
 
-    The per-layer path materializes ~6 full (n_det, n_t) coordinate and
-    transpose buffers per layer (~100 GB of HBM traffic for 12 AtLAST
-    layers — measured 230 ms of the 270 ms pwv stage on v5e); here the
-    shared rotated projections (rx, ry) are built once and every
-    per-layer quantity lives on a chunk-local tile inside the scan
-    body, so the full-size traffic is one read of rx/ry and one write
-    of the accumulated output. Windows are padded to the group max
-    (the extra one-hot columns cost MXU flops, not HBM)."""
+
+def _sample_group_windowed(
+    stack, group, px, py, bs_px, bs_py, t_rel,
+    chunk: int = None, bf16: bool = None, decimate: bool = True,
+):
+    """All-layer windowed sampling of a ScreenGroup, accumulating
+    sum_l pwv_rms_l * sample_l with per-layer temporal decimation.
+
+    Fusion: the per-layer path materializes ~6 full (n_det, n_t)
+    coordinate and transpose buffers per layer (~100 GB of HBM traffic
+    for 12 AtLAST layers — measured 230 ms of the 270 ms pwv stage on
+    v5e); here the shared rotated projections (rx, ry) are built once
+    and every per-layer quantity lives on a chunk-local tile inside a
+    scan body, so the full-size traffic is one read of rx/ry and one
+    write of the accumulated output.
+
+    Decimation: an XProf trace of this scan (tools/trace_sampler.py,
+    v5e, AtLAST-50k 60 s) shows each layer's fused scan-body op costs a
+    FIXED ~1.6 ns per (sample, layer) — invariant to window size (1.9x
+    fewer cells: -3%), weight form (hats vs clamped ramps: flat), bf16
+    vs f32 (flat), chunk size (flat at 1.3-6.1 GB XLA-counted traffic).
+    The only lever left is the NUMBER of (sample, layer) evaluations.
+    A layer at height h drifts h*d(LOS)/dt + wind per coarse step — at
+    AtLAST geometry the lowest layers move ~0.02 cells/step where the
+    highest moves ~0.16 — so each layer is sampled on its own
+    power-of-2-decimated time grid chosen at setup such that the drift
+    per decimated step stays under a fraction of a cell
+    (group.dec, see Atmosphere._layer_decimation), then linearly
+    upsampled. The interpolation error class is identical to the
+    bilinear SPATIAL interpolation the sampler already performs (both
+    lerp the beam-smoothed screen over sub-cell distances), so
+    decimation adds no new approximation regime. Layers sharing a
+    factor d are evaluated in one scan over the decimated grid and one
+    upsample pass; d=1 layers keep the original exact path."""
+    heights = np.asarray(group.heights, dtype=np.float64)
+    n_det, n_t = px.shape
+    dec = getattr(group, "dec", None)
+    if not decimate or dec is None:
+        dec_l = np.ones(len(heights), dtype=int)
+    else:
+        dec_l = np.minimum(np.asarray(dec, dtype=int), max(n_t - 1, 1))
+
+    out = None
+    for d in sorted(set(dec_l.tolist())):
+        idxs = [il for il in range(len(heights)) if dec_l[il] == d]
+        if d == 1:
+            part = _sample_group_scan(
+                stack, group, idxs, px, py, bs_px, bs_py, t_rel, chunk, bf16
+            )
+        else:
+            sel = np.arange(0, n_t, d)
+            aligned = sel[-1] == n_t - 1
+            if not aligned:
+                sel = np.append(sel, n_t - 1)
+            sl = jnp.asarray(sel)
+            part_d = _sample_group_scan(
+                stack, group, idxs,
+                jnp.take(px, sl, axis=-1), jnp.take(py, sl, axis=-1),
+                jnp.take(bs_px, sl, axis=-1), jnp.take(bs_py, sl, axis=-1),
+                jnp.take(t_rel, sl, axis=-1), chunk, bf16,
+            )
+            part = _upsample_linear_indices(part_d, d, n_t, aligned)
+        out = part if out is None else out + part
+    return out
+
+
+def _sample_group_scan(
+    stack, group, layer_idxs, px, py, bs_px, bs_py, t_rel, chunk=None, bf16=None
+):
+    """One scan over time chunks evaluating the given layers of a
+    ScreenGroup at every (detector, time) sample and accumulating
+    sum_l pwv_rms_l * sample_l in-loop. Hat-weight windowed bilinear
+    contraction per layer with per-layer static window sizes."""
     bf16 = sampler_bf16() if bf16 is None else bf16
     heights = np.asarray(group.heights, dtype=np.float64)
     rms = np.asarray(group.pwv_rms, dtype=np.float64)
     ny, nx = group.ny, group.nx
-    wx = int(min(np.max(group.win_x), nx))
-    wy = int(min(np.max(group.win_y), ny))
+    wx_l = {il: int(min(np.asarray(group.win_x)[il], nx)) for il in layer_idxs}
+    wy_l = {il: int(min(np.asarray(group.win_y)[il], ny)) for il in layer_idxs}
+    wsum = sum(wx_l[il] + wy_l[il] for il in layer_idxs) // max(len(layer_idxs), 1)
     ca, sa = np.cos(group.angle), np.sin(group.angle)
     n_det, n_t = px.shape
 
@@ -172,10 +253,10 @@ def _sample_group_windowed(
     dy_t = (-sa * group.vx + ca * group.vy) * t_rel
 
     if chunk is None:
-        # weight tiles: n_det * chunk * (wx + wy) f32 <= ~256 MB. The
+        # weight tiles: n_det * chunk * mean(wx + wy) f32 <= ~256 MB. The
         # layer loop is unrolled SEQUENTIALLY inside the body, so only
         # one layer's tiles are live at a time — no L factor
-        budget = (1 << 26) // max(n_det * (wx + wy), 1)
+        budget = (1 << 26) // max(n_det * wsum, 1)
         chunk = int(np.clip(budget, 1, n_t))
     n_chunks = -(-n_t // chunk)
     pad = n_chunks * chunk - n_t
@@ -189,8 +270,6 @@ def _sample_group_windowed(
     brx_p, bry_p = pad_t(brx, 0.0), pad_t(bry, 0.0)
     dxt_p, dyt_p = pad_t(dx_t, 0.0), pad_t(dy_t, 0.0)
 
-    kx = jnp.arange(wx, dtype=stack.dtype)
-    ky = jnp.arange(wy, dtype=stack.dtype)
     inv_res = 1.0 / group.res
 
     def body(_, i):
@@ -200,22 +279,27 @@ def _sample_group_windowed(
         brx_c, bry_c = sl2(brx_p), sl2(bry_p)  # (chunk,)
         dx_c, dy_c = sl2(dxt_p), sl2(dyt_p)
         out_c = jnp.zeros((n_det, chunk), dtype=stack.dtype)
-        for il in range(len(heights)):
+        for il in layer_idxs:
             h = np.float32(heights[il])
+            wxi, wyi = wx_l[il], wy_l[il]
+            kx = jnp.arange(wxi, dtype=stack.dtype)
+            ky = jnp.arange(wyi, dtype=stack.dtype)
             fx = (h * rx_c + dx_c - group.tx_min) * inv_res  # (n_det, chunk)
             fy = (h * ry_c + dy_c - group.ty_min) * inv_res
             cx = (h * brx_c + dx_c - group.tx_min) * inv_res  # (chunk,)
             cy = (h * bry_c + dy_c - group.ty_min) * inv_res
-            ix0 = jnp.clip(jnp.round(cx).astype(jnp.int32) - wx // 2, 0, nx - wx)
-            iy0 = jnp.clip(jnp.round(cy).astype(jnp.int32) - wy // 2, 0, ny - wy)
+            ix0 = jnp.clip(jnp.round(cx).astype(jnp.int32) - wxi // 2, 0, nx - wxi)
+            iy0 = jnp.clip(jnp.round(cy).astype(jnp.int32) - wyi // 2, 0, ny - wyi)
             wins = jax.vmap(
-                lambda i_, j_: jax.lax.dynamic_slice(stack[il], (i_, j_), (wy, wx))
+                lambda i_, j_: jax.lax.dynamic_slice(stack[il], (i_, j_), (wyi, wxi))
             )(iy0, ix0)  # (chunk, wy, wx)
             w_x = jnp.clip(1.0 - jnp.abs(fx[..., None] - ix0[:, None] - kx), 0.0, 1.0)
             w_y = jnp.clip(1.0 - jnp.abs(fy[..., None] - iy0[:, None] - ky), 0.0, 1.0)
             if bf16:
                 # bf16 hats/windows halve the dominant (n_det, chunk, w)
-                # HBM traffic and the MXU pass count; f32 accumulate
+                # HBM traffic and the MXU pass count; f32 accumulate.
+                # Measured a wash on v5e (the scan body is bound by the
+                # fixed per-sample fusion cost) — kept opt-in.
                 tmp = jnp.einsum(
                     "tyx,dtx->dty",
                     wins.astype(jnp.bfloat16),

@@ -248,12 +248,23 @@ def interp_bilinear_windowed(values, tx, ty, cx, cy, x0, dx, y0, dy, wx: int, wy
     of the screen around the boresight track (cx, cy). The window is cut
     with a contiguous dynamic_slice (fast on TPU, unlike scattered
     gathers), and the bilinear interpolation becomes two small dense
-    matmuls with hat-function weight matrices:
+    contractions with hat-function weight matrices:
 
         out[d] = w_y[d] @ W @ w_x[d]   (W the (wy, wx) window)
 
     Points outside the window get zero weight, matching the
     fill_value=0 semantics of interp_bilinear_uniform.
+
+    Measured dead end (v5e, AtLAST-50k geometry, 2026-08-20): rewriting
+    the hats as clamped ramps contracted with a second-differenced
+    window (fewer VPU ops per weight cell, exactly equal output) made
+    this path 18% SLOWER and the group sampler no faster; an XProf trace
+    shows the per-layer scan-body fusions cost a FIXED ~1.6 ns per
+    (sample, layer) regardless of window size, weight form, precision,
+    or chunk — the VPU executes the whole fused weight+contract loop at
+    a per-sample floor, so only reducing the number of (sample, layer)
+    evaluations helps (see the per-layer temporal decimation in
+    atmosphere/sampling.py).
 
     values: (ny, nx); tx/ty: (n_det, n_t); cx/cy: (n_t,). wx/wy are
     static window sizes in cells. Work is chunked over time to bound the

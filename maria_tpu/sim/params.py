@@ -12,6 +12,7 @@ MASTER_PARAMS = {
         "model", "region", "altitude", "weather", "weather_quantiles",
         "weather_source", "spectrum_source", "pwv_rms_frac", "pwv",
         "max_height", "min_height", "timestep", "method", "n_layers", "outer_scale",
+        "sampler_dec_tol",
     ],
     "cmb": ["nside", "lmax"],
     "map": ["nu", "units", "bilinear_sampling"],

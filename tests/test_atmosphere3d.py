@@ -240,3 +240,119 @@ def test_group_sampler_bf16_close_to_f32():
     b16 = np.asarray(_sample_group_windowed(*((args[0], group) + args[1:]), bf16=True))
     scale = max(np.abs(f32).max(), 1e-12)
     assert np.abs(b16 - f32).max() <= 2e-2 * scale
+
+
+def test_upsample_linear_indices_matches_np_interp():
+    from maria_tpu.atmosphere.sampling import _upsample_linear_indices
+
+    rng = np.random.default_rng(13)
+    for n_t, d in [(58, 4), (57, 4), (40, 8), (11, 16), (7, 3), (5, 4)]:
+        d_eff = min(d, n_t - 1)
+        sel = np.arange(0, n_t, d_eff)
+        aligned = sel[-1] == n_t - 1
+        if not aligned:
+            sel = np.append(sel, n_t - 1)
+        a = rng.standard_normal((3, len(sel))).astype(np.float32)
+        got = np.asarray(
+            _upsample_linear_indices(jnp.asarray(a), d_eff, n_t, bool(aligned))
+        )
+        fine = np.arange(n_t)
+        want = np.stack([np.interp(fine, sel, row) for row in a]).astype(np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6, err_msg=f"n_t={n_t} d={d_eff}")
+
+
+def _make_test_group(dec=None, n_layers=2):
+    from maria_tpu.atmosphere.atmosphere import ScreenGroup
+
+    ny, nx = 48, 64
+    res = 10.0
+    heights = np.array([300.0, 2000.0])[:n_layers]
+    return ScreenGroup(
+        heights=heights, zs=heights * 1.2,
+        pwv_rms=np.array([0.3, 0.1])[:n_layers],
+        angle=0.3, vx=1.0, vy=-0.4, res=res,
+        tx_min=-nx * res / 2, ty_min=-ny * res / 2, nx=nx, ny=ny,
+        W=None, M_cos=None, M_sin=None,
+        win_x=np.array([8, 16])[:n_layers], win_y=np.array([8, 16])[:n_layers],
+        dec=dec,
+    ), ny, nx
+
+
+def test_group_sampler_decimation_close_and_exact_on_grid():
+    """Per-layer temporal decimation: sampling a layer every d-th coarse
+    step and lerping must (a) reproduce the undecimated samples EXACTLY
+    at the decimated time indices, and (b) stay within a small fraction
+    of the sample rms everywhere on a beam-smoothed (cell-scale-smooth)
+    screen — the same error class as the spatial bilinear interp."""
+    from scipy.ndimage import gaussian_filter
+
+    from maria_tpu.atmosphere.sampling import _sample_group_windowed
+
+    rng = np.random.default_rng(21)
+    group, ny, nx = _make_test_group(dec=np.array([4, 1]))
+    n_det, n_t = 9, 58  # (n_t-1) % 4 != 0: exercises the appended endpoint
+    stack = np.stack(
+        [gaussian_filter(rng.standard_normal((ny, nx)), 2.0) for _ in range(2)]
+    ).astype(np.float32)
+    stack = jnp.asarray(stack / stack.std(axis=(1, 2), keepdims=True))
+    px = jnp.asarray(rng.uniform(-8e-3, 8e-3, (n_det, 1)).astype(np.float32))
+    px = px + jnp.zeros((1, n_t), jnp.float32)
+    py = jnp.asarray(rng.uniform(-8e-3, 8e-3, (n_det, 1)).astype(np.float32))
+    py = py + jnp.zeros((1, n_t), jnp.float32)
+    bs = jnp.zeros((n_t,), jnp.float32)
+    t_rel = jnp.asarray(np.linspace(0.0, 30.0, n_t).astype(np.float32))
+
+    args = (stack, group, px, py, bs, bs, t_rel)
+    full = np.asarray(_sample_group_windowed(*args, decimate=False))
+    decd = np.asarray(_sample_group_windowed(*args, decimate=True))
+
+    sel = np.append(np.arange(0, n_t, 4), n_t - 1)
+    np.testing.assert_allclose(decd[:, sel], full[:, sel], rtol=2e-5, atol=2e-5)
+    scale = full.std()
+    assert np.abs(decd - full).max() < 0.05 * scale, (
+        np.abs(decd - full).max(), scale
+    )
+
+
+def test_group_sampler_dec_none_is_bitwise_unchanged():
+    from maria_tpu.atmosphere.sampling import _sample_group_windowed
+
+    rng = np.random.default_rng(2)
+    group, ny, nx = _make_test_group(dec=None)
+    group1, _, _ = _make_test_group(dec=np.array([1, 1]))
+    n_det, n_t = 5, 33
+    stack = jnp.asarray(rng.standard_normal((2, ny, nx)).astype(np.float32))
+    px = jnp.asarray(rng.uniform(-8e-3, 8e-3, (n_det, 1)).astype(np.float32))
+    px = px + jnp.zeros((1, n_t), jnp.float32)
+    py = jnp.asarray(rng.uniform(-8e-3, 8e-3, (n_det, 1)).astype(np.float32))
+    py = py + jnp.zeros((1, n_t), jnp.float32)
+    bs = jnp.zeros((n_t,), jnp.float32)
+    t_rel = jnp.asarray(np.linspace(0.0, 10.0, n_t).astype(np.float32))
+
+    a = np.asarray(_sample_group_windowed(stack, group, px, py, bs, bs, t_rel))
+    b = np.asarray(_sample_group_windowed(stack, group1, px, py, bs, bs, t_rel))
+    assert (a == b).all()
+
+
+def test_atmosphere_setup_assigns_layer_decimation():
+    """The 3-D fourier setup must attach per-layer decimation factors:
+    low layers (slow LOS drift in cells) decimate harder than high ones,
+    and tol=0 disables decimation."""
+    from maria_tpu import get_instrument, get_site
+    from maria_tpu.atmosphere.atmosphere import Atmosphere
+    from maria_tpu.sim.observation import Observation
+
+    plan = get_plan("ten_second_zenith_stare")
+    obs = Observation(
+        instrument=get_instrument("test/1deg"), site=get_site("chajnantor"), plan=plan
+    )
+    atm = Atmosphere(model="3d", region="chajnantor", sampler_dec_tol=0.35)
+    atm.initialize(obs)
+    g = atm.groups[0]
+    assert g.dec is not None and len(g.dec) == len(g.heights)
+    assert (g.dec >= 1).all()
+    assert g.dec[0] >= g.dec[-1]  # lowest layer drifts slowest
+
+    atm0 = Atmosphere(model="3d", region="chajnantor", sampler_dec_tol=0.0)
+    atm0.initialize(obs)
+    assert (atm0.groups[0].dec == 1).all()
