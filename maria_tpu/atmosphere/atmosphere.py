@@ -99,6 +99,11 @@ class ScreenGroup:
     # drift per decimated step stays under a fraction of a cell) and
     # linearly upsampled. None = no decimation.
     dec: np.ndarray = None
+    # (L,) bools: layer qualifies for the static-hat GEMM sampler — its
+    # per-detector offsets drift < sampler_dec_tol cells over the whole
+    # observation AND the boresight window never clips the screen edge
+    # (sampling._sample_group_static). None = never.
+    hat_static: np.ndarray = None
 
 
 class Atmosphere:
@@ -258,6 +263,27 @@ class Atmosphere:
                 win_y = min(ny, int(-(-(2 * span_y / res + 6) // 8) * 8))
                 return win_x, win_y
 
+            def static_hat_ok(h, res):
+                # static-hat GEMM sampler validity
+                # (sampling._sample_group_static): every detector's
+                # unit-height offset from the boresight, at height h,
+                # drifts less than sampler_dec_tol cells from its
+                # whole-observation mean (field rotation + projection
+                # stretch; hull detectors bound the array). Window-edge
+                # clipping is handled by the sampler's zero-pad.
+                tol = self.sampler_dec_tol
+                if not tol:
+                    return False
+                rel_x = h * (hull_px - bs_px[None])
+                rel_y = h * (hull_py - bs_py[None])
+                ru = ca * rel_x + sa * rel_y
+                rv = -sa * rel_x + ca * rel_y
+                drift = max(
+                    float(np.abs(ru - ru.mean(-1, keepdims=True)).max()),
+                    float(np.abs(rv - rv.mean(-1, keepdims=True)).max()),
+                ) / res
+                return drift <= tol
+
             def layer_decimation(h, res):
                 # largest power-of-2 temporal decimation whose per-step
                 # LOS drift (scan motion at height h + wind), measured
@@ -359,6 +385,9 @@ class Atmosphere:
                 )
                 wins = np.array([window_bounds(h, res, nx, ny) for h in heights], dtype=int)
                 dec = np.array([layer_decimation(h, res) for h in heights], dtype=int)
+                hat_static = np.array(
+                    [static_hat_ok(h, res) for h in heights], dtype=bool
+                )
                 self.groups.append(
                     ScreenGroup(
                         heights=heights, zs=zs,
@@ -367,6 +396,7 @@ class Atmosphere:
                         tx_min=tx_min, ty_min=ty_min, nx=nx, ny=ny,
                         W=W, M_cos=M_cos, M_sin=M_sin, beam=beam,
                         win_x=wins[:, 0], win_y=wins[:, 1], dec=dec,
+                        hat_static=hat_static,
                     )
                 )
             else:

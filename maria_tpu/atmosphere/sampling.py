@@ -18,7 +18,20 @@ import numpy as np
 from ..ops.interp import interp_bilinear_uniform, interp_bilinear_windowed
 from .fourier import synthesize_layered_matern_2d, synthesize_matern_field_2d
 
-__all__ = ["accumulate_pwv", "gaussian_blur_2d", "sampler_bf16"]
+__all__ = ["accumulate_pwv", "gaussian_blur_2d", "sampler_bf16", "sampler_static"]
+
+
+def sampler_static() -> bool:
+    """Whether layers flagged `hat_static` at setup use the static-hat
+    GEMM sampler (`_sample_group_static`) instead of the per-sample scan.
+    Default ON; MARIA_TPU_SAMPLER_STATIC=0 forces the scan path."""
+    import os
+
+    return os.environ.get("MARIA_TPU_SAMPLER_STATIC", "1").lower() not in (
+        "0",
+        "false",
+        "off",
+    )
 
 
 def sampler_bf16() -> bool:
@@ -163,9 +176,116 @@ def _upsample_linear_indices(a, d: int, n_t: int, aligned: bool):
     return jnp.concatenate([main, tail], axis=1)
 
 
+def _sample_group_static(stack, group, layer_idxs, qpx, qpy, bs_px, bs_py, t_rel):
+    """Static-hat GEMM sampling of the given ScreenGroup layers.
+
+    The scan sampler's measured bound is the per-(sample, layer) VPU hat
+    CONSTRUCTION (~0.1 ns/eval on v5e, invariant to window size /
+    precision / chunk — see `_sample_group_windowed`). But over a TOD the
+    detector offsets are nearly RIGID in the screen frame: writing the
+    LOS position as fx[d,t] = u[t] + q[d] (boresight track + per-detector
+    offset), the offset drift from field rotation and elevation stretch
+    is ~1e-3 cells for a 60 s AtLAST scan — far under the 0.35-cell
+    tolerance the decimation already accepts. Setup measures the actual
+    drift on the hull detectors and flags qualifying layers
+    (`Atmosphere initialize` -> group.hat_static).
+
+    For a flagged layer the bilinear sample factors:
+      out[d,t] = sum_{j,i} hy[d,j] hx[d,i] * S'[t,j,i]
+    where S'[t] is the boresight window shifted by the FRACTIONAL part of
+    u[t] (a 4-tap lerp of the (w+1)-cell window — no n_det factor) and
+    (hx, hy) are STATIC hats at the detector's window-frame position
+    q[d] + w//2. Layers sharing a decimated time grid concatenate along
+    the window axis, so each decimation set is ONE MXU GEMM
+    (n_det, K) @ (K, n_td) with K = sum_l wy_l*wx_l and the per-layer rms
+    folded into H — no per-sample VPU work at all.
+
+    Error class: the static-q approximation is bounded by the measured
+    drift (<= sampler_dec_tol cells), and the frac-shift composition
+    replaces the bilinear hat with the convolution of two half-cell
+    lerps — both are sub-cell interpolation of the beam-smoothed screen,
+    the same regime as the spatial bilinear itself. Exact when u lands on
+    the grid (uf=0) or q is integer; pinned vs the scan oracle in
+    tests/test_atmosphere3d.py.
+    """
+    heights = np.asarray(group.heights, dtype=np.float64)
+    rms = np.asarray(group.pwv_rms, dtype=np.float64)
+    ny, nx = group.ny, group.nx
+    ca, sa = np.cos(group.angle), np.sin(group.angle)
+    inv_res = 1.0 / group.res
+    qx = ca * qpx + sa * qpy  # (n_det,) rotated unit-height offsets
+    qy = -sa * qpx + ca * qpy
+    brx = ca * bs_px + sa * bs_py  # (n_td,) boresight track
+    bry = -sa * bs_px + ca * bs_py
+    dx_t = (ca * group.vx + sa * group.vy) * t_rel  # (n_td,) wind drift
+    dy_t = (-sa * group.vx + ca * group.vy) * t_rel
+
+    # zero-pad the stack so the boresight window NEVER clips: the group
+    # grid only carries a 2-cell margin past the detector hull, so a
+    # footprint-sized window centered on the boresight can poke past the
+    # domain edge at the extreme scan phases. Cells beyond the hull get
+    # zero hat weight from every detector (hull + drift + hat support
+    # stays >= 0.65 cells inside the domain), so zeros there are exact.
+    # The pad is one tiny copy per program (L*ny*nx is ~1 MB at AtLAST
+    # scale) — unlike the scan path's clip-and-rebuild, which would
+    # misalign the static hats.
+    pad_x = max(int(min(np.asarray(group.win_x)[il], nx - 1)) for il in layer_idxs) // 2 + 3
+    pad_y = max(int(min(np.asarray(group.win_y)[il], ny - 1)) for il in layer_idxs) // 2 + 3
+    stack_p = jnp.pad(stack, ((0, 0), (pad_y, pad_y), (pad_x, pad_x)))
+
+    def _catmull_rom(f):
+        # 4-tap Catmull-Rom shift coefficients at fractional offset f:
+        # third-order shift error, so the boresight frac-shift does not
+        # degrade the hat kernel (a bilinear 2-tap shift composes to a
+        # visibly smoother quadratic kernel — measured 14% of sample rms
+        # on a sigma=2 screen vs <1% here)
+        return (
+            -0.5 * f + f**2 - 0.5 * f**3,
+            1.0 - 2.5 * f**2 + 1.5 * f**3,
+            0.5 * f + 2.0 * f**2 - 1.5 * f**3,
+            -0.5 * f**2 + 0.5 * f**3,
+        )
+
+    H_parts, S_parts = [], []
+    for il in layer_idxs:
+        h = np.float32(heights[il])
+        wxi = int(min(np.asarray(group.win_x)[il], nx - 1))
+        wyi = int(min(np.asarray(group.win_y)[il], ny - 1))
+        cx0, cy0 = wxi // 2, wyi // 2
+        u = (h * brx + dx_t - group.tx_min) * inv_res  # (n_td,) cells
+        v = (h * bry + dy_t - group.ty_min) * inv_res
+        u0, v0 = jnp.floor(u), jnp.floor(v)
+        # clamp is a safety net only: the pad sizes the domain so the
+        # window stays in bounds whenever u tracks the detector hull
+        bx = jnp.clip(u0.astype(jnp.int32) - cx0 + pad_x - 1, 0, nx + 2 * pad_x - wxi - 3)
+        by = jnp.clip(v0.astype(jnp.int32) - cy0 + pad_y - 1, 0, ny + 2 * pad_y - wyi - 3)
+        cxs = _catmull_rom((u - u0)[:, None, None])
+        cys = _catmull_rom((v - v0)[:, None, None])
+        W = jax.vmap(
+            lambda j_, i_: jax.lax.dynamic_slice(stack_p[il], (j_, i_), (wyi + 3, wxi + 3))
+        )(by, bx)  # (n_td, wy+3, wx+3)
+        Wx = sum(c * W[:, :, n : n + wxi] for n, c in enumerate(cxs))
+        S = sum(c * Wx[:, m : m + wyi, :] for m, c in enumerate(cys))
+        S_parts.append(S.reshape(S.shape[0], wyi * wxi))
+        px_d = h * qx * inv_res + cx0  # (n_det,) window-frame positions
+        py_d = h * qy * inv_res + cy0
+        kx = jnp.arange(wxi, dtype=stack.dtype)
+        ky = jnp.arange(wyi, dtype=stack.dtype)
+        hx = jnp.clip(1.0 - jnp.abs(px_d[:, None] - kx), 0.0, 1.0)
+        hy = jnp.clip(1.0 - jnp.abs(py_d[:, None] - ky), 0.0, 1.0)
+        H_parts.append(
+            np.float32(rms[il])
+            * (hy[:, :, None] * hx[:, None, :]).reshape(-1, wyi * wxi)
+        )
+    H = jnp.concatenate(H_parts, axis=1) if len(H_parts) > 1 else H_parts[0]
+    S = jnp.concatenate(S_parts, axis=1) if len(S_parts) > 1 else S_parts[0]
+    return jnp.einsum("dk,tk->dt", H, S)
+
+
 def _sample_group_windowed(
     stack, group, px, py, bs_px, bs_py, t_rel,
     chunk: int = None, bf16: bool = None, decimate: bool = True,
+    static: bool = None,
 ):
     """All-layer windowed sampling of a ScreenGroup, accumulating
     sum_l pwv_rms_l * sample_l with per-layer temporal decimation.
@@ -204,26 +324,54 @@ def _sample_group_windowed(
     else:
         dec_l = np.minimum(np.asarray(dec, dtype=int), max(n_t - 1, 1))
 
+    hat_static = getattr(group, "hat_static", None)
+    use_static = (sampler_static() if static is None else static) and (
+        hat_static is not None
+    )
+    stat_l = (
+        np.asarray(hat_static, dtype=bool)
+        if use_static
+        else np.zeros(len(heights), dtype=bool)
+    )
+    if stat_l.any():
+        # rigid mean detector offsets from boresight (unit height); the
+        # setup drift check used the same full-grid mean reference
+        qpx = px.mean(-1) - bs_px.mean()
+        qpy = py.mean(-1) - bs_py.mean()
+
     out = None
     for d in sorted(set(dec_l.tolist())):
         idxs = [il for il in range(len(heights)) if dec_l[il] == d]
+        s_idxs = [il for il in idxs if stat_l[il]]
+        g_idxs = [il for il in idxs if not stat_l[il]]
         if d == 1:
-            part = _sample_group_scan(
-                stack, group, idxs, px, py, bs_px, bs_py, t_rel, chunk, bf16
-            )
+            sl = None
+            bs_px_d, bs_py_d, t_rel_d = bs_px, bs_py, t_rel
         else:
             sel = np.arange(0, n_t, d)
             aligned = sel[-1] == n_t - 1
             if not aligned:
                 sel = np.append(sel, n_t - 1)
             sl = jnp.asarray(sel)
-            part_d = _sample_group_scan(
-                stack, group, idxs,
-                jnp.take(px, sl, axis=-1), jnp.take(py, sl, axis=-1),
-                jnp.take(bs_px, sl, axis=-1), jnp.take(bs_py, sl, axis=-1),
-                jnp.take(t_rel, sl, axis=-1), chunk, bf16,
+            bs_px_d = jnp.take(bs_px, sl, axis=-1)
+            bs_py_d = jnp.take(bs_py, sl, axis=-1)
+            t_rel_d = jnp.take(t_rel, sl, axis=-1)
+        part_d = None
+        if s_idxs:
+            part_d = _sample_group_static(
+                stack, group, s_idxs, qpx, qpy, bs_px_d, bs_py_d, t_rel_d
             )
-            part = _upsample_linear_indices(part_d, d, n_t, aligned)
+        if g_idxs:
+            px_d = px if sl is None else jnp.take(px, sl, axis=-1)
+            py_d = py if sl is None else jnp.take(py, sl, axis=-1)
+            scan = _sample_group_scan(
+                stack, group, g_idxs, px_d, py_d, bs_px_d, bs_py_d, t_rel_d,
+                chunk, bf16,
+            )
+            part_d = scan if part_d is None else part_d + scan
+        part = (
+            part_d if sl is None else _upsample_linear_indices(part_d, d, n_t, aligned)
+        )
         out = part if out is None else out + part
     return out
 

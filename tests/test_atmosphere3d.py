@@ -356,3 +356,162 @@ def test_atmosphere_setup_assigns_layer_decimation():
     atm0 = Atmosphere(model="3d", region="chajnantor", sampler_dec_tol=0.0)
     atm0.initialize(obs)
     assert (atm0.groups[0].dec == 1).all()
+
+
+def _make_static_group(heights, win, nx=64, ny=48, res=8.0, angle=0.0, vx=0.0, vy=0.0):
+    from maria_tpu.atmosphere.atmosphere import ScreenGroup
+
+    heights = np.asarray(heights, dtype=float)
+    return ScreenGroup(
+        heights=heights, zs=heights * 1.2,
+        pwv_rms=np.linspace(0.3, 0.1, len(heights)),
+        angle=angle, vx=vx, vy=vy, res=res,
+        tx_min=-nx * res / 2, ty_min=-ny * res / 2, nx=nx, ny=ny,
+        W=None, M_cos=None, M_sin=None,
+        win_x=np.asarray(win), win_y=np.asarray(win),
+        hat_static=np.ones(len(heights), dtype=bool),
+    ), ny, nx
+
+
+def test_static_hat_sampler_exact_on_grid():
+    """When the boresight track lands exactly on screen cells (uf=vf=0)
+    and detector offsets are rigid, the static-hat GEMM sampler reduces
+    to the same windowed bilinear contraction as the scan path — equal to
+    f32 tolerance. (h=1024, res=8, track steps of res/h keep every
+    quantity exactly representable in binary.)"""
+    from maria_tpu.atmosphere.sampling import _sample_group_windowed
+
+    rng = np.random.default_rng(5)
+    group, ny, nx = _make_static_group([1024.0, 2048.0], [8, 16])
+    n_det, n_t = 11, 41
+    stack = jnp.asarray(rng.standard_normal((2, ny, nx)).astype(np.float32))
+    k = rng.integers(-3, 4, n_t)
+    bs = jnp.asarray((k / 128.0).astype(np.float32))  # u_1024 = k + nx/2
+    q = rng.integers(-4, 5, n_det) / 256.0  # |1024*q/8| <= 2 cells
+    px = jnp.asarray((q[:, None] + k[None, :] / 128.0).astype(np.float32))
+    qy = rng.integers(-4, 5, n_det) / 256.0
+    py = jnp.asarray((qy[:, None] + np.zeros((1, n_t))).astype(np.float32))
+    bs_y = jnp.zeros((n_t,), jnp.float32)
+    t_rel = jnp.asarray(np.linspace(0.0, 10.0, n_t).astype(np.float32))
+
+    a = np.asarray(
+        _sample_group_windowed(stack, group, px, py, bs, bs_y, t_rel, static=True)
+    )
+    b = np.asarray(
+        _sample_group_windowed(stack, group, px, py, bs, bs_y, t_rel, static=False)
+    )
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
+def test_static_hat_sampler_close_on_smooth_screen():
+    """With fractional boresight motion, rotation, and wind, the
+    static-hat path differs from the scan oracle only by the frac-shift
+    kernel composition (two half-cell lerps instead of one bilinear) —
+    within a few percent of the sample rms on a beam-smoothed screen,
+    the same error class as the spatial bilinear itself. A mixed
+    static/scan partition must agree too."""
+    from scipy.ndimage import gaussian_filter
+
+    from maria_tpu.atmosphere.sampling import _sample_group_windowed
+
+    rng = np.random.default_rng(9)
+    group, ny, nx = _make_static_group(
+        [300.0, 2000.0], [8, 16], res=10.0, angle=0.3, vx=1.0, vy=-0.4
+    )
+    n_det, n_t = 9, 57
+    stack = np.stack(
+        [gaussian_filter(rng.standard_normal((ny, nx)), 2.0) for _ in range(2)]
+    ).astype(np.float32)
+    stack = jnp.asarray(stack / stack.std(axis=(1, 2), keepdims=True))
+    q = rng.uniform(-8e-3, 8e-3, (n_det, 1))
+    qy = rng.uniform(-8e-3, 8e-3, (n_det, 1))
+    bs = np.cumsum(rng.uniform(-4e-4, 6e-4, n_t)).astype(np.float32)
+    bs_y = np.cumsum(rng.uniform(-5e-4, 4e-4, n_t)).astype(np.float32)
+    px = jnp.asarray((q + bs[None, :]).astype(np.float32))
+    py = jnp.asarray((qy + bs_y[None, :]).astype(np.float32))
+    bs, bs_y = jnp.asarray(bs), jnp.asarray(bs_y)
+    t_rel = jnp.asarray(np.linspace(0.0, 20.0, n_t).astype(np.float32))
+
+    args = (stack, group, px, py, bs, bs_y, t_rel)
+    oracle = np.asarray(_sample_group_windowed(*args, static=False))
+    stat = np.asarray(_sample_group_windowed(*args, static=True))
+    # the two paths are linear interpolants with knots shifted by
+    # frac(u): each is O(f''/8) from the TRUE field (see the truth test
+    # below), so their mutual deviation is bounded by the same class —
+    # scale it by the field rms the samples are drawn from, not the
+    # (locally small) sample std
+    scale = float(np.sqrt((np.asarray(group.pwv_rms) ** 2).sum()))
+    assert np.abs(stat - oracle).max() < 0.04 * scale, (
+        np.abs(stat - oracle).max(), scale
+    )
+
+    group.hat_static = np.array([True, False])
+    mixed = np.asarray(_sample_group_windowed(*args, static=True))
+    assert np.abs(mixed - oracle).max() < 0.04 * scale
+
+
+def test_static_hat_sampler_truth_error_matches_oracle_class():
+    """On an analytically known band-limited field, the static-hat path's
+    error vs the TRUE field must be the same size as the scan oracle's
+    own bilinear error — the frac-shifted knots change where the O(f'')
+    interpolation error lands, not its magnitude."""
+    from maria_tpu.atmosphere.sampling import _sample_group_windowed
+
+    rng = np.random.default_rng(17)
+    group, ny, nx = _make_static_group(
+        [1500.0], [16], res=10.0, angle=0.25, vx=0.8, vy=-0.3
+    )
+    n_det, n_t = 13, 61
+    # smooth truth: two incommensurate sinusoids, wavelength ~6 cells
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    truth = lambda y, x: np.sin(1.05 * x + 0.3) * np.cos(0.85 * y - 1.1)
+    stack = jnp.asarray(truth(yy, xx)[None].astype(np.float32))
+    q = rng.uniform(-8e-3, 8e-3, (n_det, 1))
+    qy = rng.uniform(-8e-3, 8e-3, (n_det, 1))
+    bs = np.cumsum(rng.uniform(-4e-4, 6e-4, n_t)).astype(np.float32)
+    bs_y = np.cumsum(rng.uniform(-5e-4, 4e-4, n_t)).astype(np.float32)
+    px = jnp.asarray((q + bs[None, :]).astype(np.float32))
+    py = jnp.asarray((qy + bs_y[None, :]).astype(np.float32))
+    t_rel = jnp.asarray(np.linspace(0.0, 20.0, n_t).astype(np.float32))
+
+    args = (stack, group, px, py, jnp.asarray(bs), jnp.asarray(bs_y), t_rel)
+    oracle = np.asarray(_sample_group_windowed(*args, static=False))
+    stat = np.asarray(_sample_group_windowed(*args, static=True))
+
+    # true field values at the exact LOS sample positions
+    h, res = 1500.0, 10.0
+    ca, sa = np.cos(group.angle), np.sin(group.angle)
+    rx = ca * np.asarray(px) + sa * np.asarray(py)
+    ry = -sa * np.asarray(px) + ca * np.asarray(py)
+    dx_t = (ca * group.vx + sa * group.vy) * np.asarray(t_rel)
+    dy_t = (-sa * group.vx + ca * group.vy) * np.asarray(t_rel)
+    fx = (h * rx + dx_t - group.tx_min) / res
+    fy = (h * ry + dy_t - group.ty_min) / res
+    want = float(group.pwv_rms[0]) * truth(fy, fx)
+
+    err_oracle = np.abs(oracle - want).max()
+    err_static = np.abs(stat - want).max()
+    assert err_static < 1.5 * err_oracle + 1e-4, (err_static, err_oracle)
+
+
+def test_atmosphere_setup_assigns_hat_static():
+    """The 3-D fourier setup must flag layers whose detector offsets are
+    rigid over the observation for the static-hat GEMM sampler; tol=0
+    disables the path."""
+    from maria_tpu import get_instrument, get_site
+    from maria_tpu.atmosphere.atmosphere import Atmosphere
+    from maria_tpu.sim.observation import Observation
+
+    plan = get_plan("ten_second_zenith_stare")
+    obs = Observation(
+        instrument=get_instrument("test/1deg"), site=get_site("chajnantor"), plan=plan
+    )
+    atm = Atmosphere(model="3d", region="chajnantor", sampler_dec_tol=0.35)
+    atm.initialize(obs)
+    g = atm.groups[0]
+    assert g.hat_static is not None and len(g.hat_static) == len(g.heights)
+    assert g.hat_static.all()  # a short stare: offsets are rigid
+
+    atm0 = Atmosphere(model="3d", region="chajnantor", sampler_dec_tol=0.0)
+    atm0.initialize(obs)
+    assert not atm0.groups[0].hat_static.any()

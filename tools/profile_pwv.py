@@ -136,6 +136,26 @@ def main() -> None:
     b = np.asarray(bf16_fn(stack, px, py, bs, t_rel))
     results["bf16_max_abs_diff"] = float(np.abs(a - b).max())
     results["sample_abs_scale"] = float(np.abs(a).max())
+
+    # static-hat GEMM path vs the per-sample scan path
+    def group_sample_static(static):
+        def f(stack, px, py, bs, t_rel):
+            return _sample_group_windowed(
+                stack, g, px, py, bs, jnp.zeros_like(bs), t_rel, static=static
+            )
+        return jax.jit(f)
+
+    if getattr(g, "hat_static", None) is not None and g.hat_static.any():
+        stat_fn, scan_fn = group_sample_static(True), group_sample_static(False)
+        results["group_sampler_static_ms"] = timed(
+            lambda *a: jnp.sum(stat_fn(*a)), stack, px, py, bs, t_rel
+        )
+        results["group_sampler_scan_ms"] = timed(
+            lambda *a: jnp.sum(scan_fn(*a)), stack, px, py, bs, t_rel
+        )
+        s = np.asarray(stat_fn(stack, px, py, bs, t_rel))
+        results["static_max_abs_diff"] = float(np.abs(s - a).max())
+        results["hat_static_layers"] = int(g.hat_static.sum())
     print(json.dumps(results))
 
 
