@@ -25,10 +25,12 @@ import numpy as np
 
 # Wall-clock budget: the axon tunnel cannot persist compiled executables
 # (the PJRT plugin lacks serialization), so every run pays full compile
-# for each distinct program (~1-3 min each). The optional extras
-# (AtLAST config (b), per-stage breakdown) are attempted newest-first
-# and skipped when the remaining budget cannot fit their compiles, so
-# the headline JSON always prints before any driver timeout.
+# for each distinct program (~1-3 min each). Legs run by BASELINE.md
+# priority — headline -> AtLAST config (b) -> CPU baseline -> per-stage
+# breakdown — each in its own fresh subprocess (relay discipline, see
+# _acquire_backend) with its own budget, so a slow compile in one leg
+# can never starve a higher-priority number, and each leg streams its
+# milestones to a partial file the parent reads even after a kill.
 _T0 = time.time()
 BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1080.0))
 
@@ -45,6 +47,47 @@ def _stamp(msg: str) -> None:
 # report whatever was measured before a mid-run infrastructure wedge.
 _PARTIAL: dict = {}
 
+# The subprocess currently holding the device, so the watchdog can kill
+# it before exiting (an orphaned child keeps the relay stream open and
+# wedges the NEXT session's first readback).
+_ACTIVE_CHILD = None
+
+# Serializes the final-JSON print between main() and the watchdog so the
+# driver never sees two interleaved result lines.
+import threading  # noqa: E402
+
+_PRINT_LOCK = threading.Lock()
+
+
+def _write_partial(update: dict) -> None:
+    """Milestone stream: children append one JSON line per measurement
+    to $BENCH_PARTIAL_FILE so the parent recovers everything measured
+    even when the child is timeout-killed mid-compile."""
+    _PARTIAL.update(update)
+    path = os.environ.get("BENCH_PARTIAL_FILE")
+    if not path:
+        return
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps(update) + "\n")
+    except OSError:
+        pass
+
+
+def _read_partial(path: str) -> dict:
+    """Merge the milestone lines a child wrote (later lines win)."""
+    out: dict = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                try:
+                    out.update(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+    except OSError:
+        pass
+    return out
+
 
 def _watchdog_result() -> dict:
     tpu_rate = _PARTIAL.get("tpu_rate")
@@ -56,11 +99,15 @@ def _watchdog_result() -> dict:
         "vs_baseline": round(tpu_rate / cpu_rate, 2) if tpu_rate and cpu_rate else None,
         "platform": _PARTIAL.get("platform"),
         "last_stage": _PARTIAL.get("stage"),
+        "atlast_50k_samples_per_s": _PARTIAL.get("atlast_rate"),
+        "atlast_roofline": _PARTIAL.get("atlast_roofline"),
+        "stage_breakdown": _PARTIAL.get("stage_breakdown"),
+        "speed_of_light": _PARTIAL.get("speed_of_light"),
     }
     if tpu_rate:
-        # the headline was measured on hardware; only the optional extras
-        # (config (b) / stage breakdown) were cut off by the deadline
-        result["note"] = "deadline hit after the headline measurement; optional extras omitted"
+        # the headline was measured on hardware; only whatever legs had
+        # not landed by the deadline are missing
+        result["note"] = "deadline hit; later legs omitted (see last_stage)"
     else:
         result["error"] = "bench-deadline-wedged"
         result["note"] = (
@@ -79,17 +126,27 @@ def _start_watchdog(margin_s: float = 60.0) -> None:
     in-process deadline is the only defense: sleep until margin_s before
     BENCH_DEADLINE_S and, if the final JSON has not printed, emit the
     partial result and hard-exit so the driver records rc=0 with a
-    parseable line instead of a timeout."""
-    import threading
+    parseable line instead of a timeout. Any still-running device child
+    is killed first (an orphan keeps its relay stream open and wedges
+    the next session), and the final print is serialized with main()'s
+    so the driver never gets two result lines."""
 
     def body():
-        time.sleep(max(30.0, _remaining() - margin_s))
-        if _PARTIAL.get("done"):
-            return
-        _stamp(f"WATCHDOG: deadline reached at stage {_PARTIAL.get('stage')!r}; "
-               "emitting partial result")
-        print(json.dumps(_watchdog_result()), flush=True)
-        os._exit(0)
+        time.sleep(max(5.0, min(_remaining() - margin_s, BENCH_DEADLINE_S)))
+        with _PRINT_LOCK:
+            if _PARTIAL.get("done"):
+                return
+            _stamp(f"WATCHDOG: deadline reached at stage {_PARTIAL.get('stage')!r}; "
+                   "emitting partial result")
+            child = _ACTIVE_CHILD
+            if child is not None and child.poll() is None:
+                try:
+                    child.kill()
+                    child.wait(timeout=10)
+                except Exception:  # noqa: BLE001 — must still print the JSON
+                    pass
+            print(json.dumps(_watchdog_result()), flush=True)
+            os._exit(0)
 
     threading.Thread(target=body, daemon=True).start()
 
@@ -282,6 +339,26 @@ def speed_of_light(cost: dict | None, measured_s: float) -> dict | None:
     }
 
 
+def measure_dispatch_rtt(n_repeats: int = 7) -> float:
+    """The tunnel's fixed dispatch + blocking-readback cost: time a
+    trivial jitted scalar program (compiles in seconds, nothing like
+    the benched programs) round-trip to host float. Subtracted from
+    single-dispatch timings so they measure device work, not the
+    development relay (a production host has the chip attached)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(np.asarray(f(x)))  # compile + warm
+    times = []
+    for _ in range(n_repeats):
+        start = time.perf_counter()
+        float(np.asarray(f(x)))
+        times.append(time.perf_counter() - start)
+    return float(np.median(times))
+
+
 def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
               return_cost: bool = False) -> float:
     """Samples/s of the fused jitted program on the default jax device,
@@ -291,13 +368,15 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
 
     Measures pipelined throughput: one dispatch synthesizes `k_chain`
     independent TOD realizations via `lax.scan` over PRNG keys, and the
-    marginal per-TOD time is (T(k) - T(1)) / (k - 1). This removes the
-    development tunnel's ~28 ms blocking-readback RTT (this machine's
-    TPU is reached through a loopback relay; a production host has the
-    chip attached directly) while still timing every stage of every
-    realization — each scan iteration computes the full (n_det, n_t)
-    TOD (and its binned map) before the reduction that keeps XLA from
-    dropping work.
+    per-TOD time is (T(k) - rtt) / k with `rtt` the separately measured
+    trivial-dispatch round-trip (measure_dispatch_rtt). One compile per
+    config: the previous two-point marginal scheme ((T(k) - T(1)) /
+    (k - 1)) compiled a second full program purely to cancel the
+    ~28 ms tunnel RTT, and that duplicate compile is what starved the
+    round-3 driver run (BENCH_r03: 400 s headline leg, AtLAST null).
+    Every stage of every realization is still timed — each scan
+    iteration computes the full (n_det, n_t) TOD (and its binned map)
+    before the reduction that keeps XLA from dropping work.
     """
     import jax
     import jax.numpy as jnp
@@ -336,9 +415,11 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
 
     if k_chain is None:
         # bound the chain's device working set: each iteration synthesizes
-        # the full (n_det, n_t) TOD, so huge arrays get a shorter chain
+        # the full (n_det, n_t) TOD, so huge arrays get a shorter chain.
+        # Small programs chain deeper so the one-dispatch timing dwarfs
+        # RTT jitter (MUSTANG-2: 129 x 0.86 ms >> a few ms of jitter).
         n_samples = len(program.offsets) * len(program.t_fine)
-        k_chain = int(np.clip((1 << 31) // max(4 * n_samples, 1), 8, 64)) + 1
+        k_chain = int(np.clip((1 << 31) // max(4 * n_samples, 1), 8, 128)) + 1
 
     def make_chain(k_count):
         # NOTE: pix rides as an ARGUMENT — a 50k-detector id array baked
@@ -384,18 +465,21 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
             times.append(time.perf_counter() - start)
         return min(times)
 
-    chain_1 = compiled_chain(1)
-    t_1 = timed(chain_1)
-    t_k = timed(compiled_chain(k_chain))
-    per_tod = (t_k - t_1) / (k_chain - 1)
+    rtt = measure_dispatch_rtt()
+    chain_k = compiled_chain(k_chain)
+    t_k = timed(chain_k)
+    per_tod = max(t_k - rtt, 0.2 * t_k) / k_chain
     n_samples = len(program.offsets) * len(program.t_fine)
     rate = n_samples / per_tod
     if return_cost:
-        return rate, _executable_cost(chain_1)
+        # the scan body is counted ONCE by HLO cost analysis regardless
+        # of trip count (see _executable_cost), so the k-chain's cost IS
+        # the per-TOD cost
+        return rate, _executable_cost(chain_k)
     return rate
 
 
-def bench_stages(program, n_repeats: int = 3, k_chain: int = 17) -> dict:
+def bench_stages(program, n_repeats: int = 3, k_chain: int = 129) -> dict:
     """Marginal per-realization device time of nested pipeline prefixes,
     reported as per-stage milliseconds:
 
@@ -425,6 +509,8 @@ def bench_stages(program, n_repeats: int = 3, k_chain: int = 17) -> dict:
 
         return run
 
+    rtt = measure_dispatch_rtt()
+
     def marginal(stage_fn):
         def timed(f):
             float(np.asarray(f(*args, tables)))  # warm
@@ -436,10 +522,11 @@ def bench_stages(program, n_repeats: int = 3, k_chain: int = 17) -> dict:
                 times.append(time.perf_counter() - start)
             return min(times)
 
-        c1 = chain(stage_fn, 1).lower(*args, tables).compile()
-        t1 = timed(c1)
-        tk = timed(chain(stage_fn, k_chain).lower(*args, tables).compile())
-        return (tk - t1) / (k_chain - 1), _executable_cost(c1)
+        # one compile per stage: subtract the trivial-dispatch RTT
+        # instead of compiling a second one-trip chain (see bench_tpu)
+        ck = chain(stage_fn, k_chain).lower(*args, tables).compile()
+        tk = timed(ck)
+        return max(tk - rtt, 0.2 * tk) / k_chain, _executable_cost(ck)
 
     t_pwv, c_pwv = marginal(lambda k, o, a, e, tb: program._loadings(k, o, a, e, upto="pwv", tables=tb))
     t_atm, c_atm = marginal(lambda k, o, a, e, tb: program._loadings(k, o, a, e, upto="atmosphere", tables=tb))
@@ -606,43 +693,22 @@ def bench_cpu_baseline(program, obs) -> float:
 
 
 def _headline_impl() -> dict:
-    """MUSTANG-2 headline measurement: build, time, CPU baseline, and
-    (budget permitting) the per-stage breakdown + roofline."""
-    _PARTIAL["stage"] = "build-program"
+    """MUSTANG-2 headline measurement: build + rate + utilization ONLY.
+
+    The CPU baseline and the stage breakdown moved to their own legs so
+    the scarce device budget goes to the two BASELINE.md configs first
+    (round-3 lesson: the AtLAST leg starved behind the breakdown)."""
+    _write_partial({"stage": "build-program"})
     _stamp("build MUSTANG-2 program")
     program, obs = build_program()
-    _PARTIAL["stage"] = "headline"
-    _stamp("headline: compile + time (2 chained programs)")
+    _write_partial({"stage": "headline"})
+    _stamp("headline: compile + time (single chained program)")
     tpu_rate, tpu_cost = bench_tpu(program, obs, return_cost=True)
-    _PARTIAL.update(tpu_rate=tpu_rate, stage="cpu-baseline")
-    _stamp(f"headline rate {tpu_rate:.3e} samples/s; cpu baseline")
-    cpu_rate = bench_cpu_baseline(program, obs)
-    _PARTIAL.update(cpu_rate=cpu_rate)
-    _stamp(f"cpu baseline {cpu_rate:.3e} samples/s")
     n_samples = len(program.offsets) * len(program.t_fine)
-
-    stages = roofline = None
-    if _remaining() > 150:
-        try:
-            _PARTIAL["stage"] = "stage-breakdown"
-            _stamp("stage breakdown (6 chained programs)")
-            stages = bench_stages(program)
-            roofline = roofline_estimate(program, stages["fields_total_ms"] / 1e3)
-            stages["binning_ms"] = round(1e3 * (n_samples / tpu_rate - stages["fields_total_ms"] / 1e3), 3)
-        except Exception:  # noqa: BLE001 — stage breakdown must not kill the headline
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
-            stages, roofline = None, None
-    else:
-        _stamp("skipping stage breakdown (budget)")
-    return {
-        "tpu_rate": tpu_rate,
-        "cpu_rate": cpu_rate,
-        "stage_breakdown": stages,
-        "roofline": roofline,
-        "speed_of_light": speed_of_light(tpu_cost, n_samples / tpu_rate),
-    }
+    sol = speed_of_light(tpu_cost, n_samples / tpu_rate)
+    _write_partial({"tpu_rate": tpu_rate, "speed_of_light": sol, "stage": "headline-done"})
+    _stamp(f"headline rate {tpu_rate:.3e} samples/s")
+    return {"tpu_rate": tpu_rate, "speed_of_light": sol}
 
 
 def headline():
@@ -659,6 +725,142 @@ def headline():
     print(json.dumps(_headline_impl()))
 
 
+def config_b():
+    """AtLAST-50k 3d benchmark, run standalone (see main: subprocess).
+
+    The rate is streamed to the partial file the moment it is measured,
+    so even a kill during the (cheap, but still device-touching)
+    roofline accounting cannot lose the headline-priority number."""
+    _enable_compile_cache()
+    _write_partial({"stage": "atlast-build"})
+    _stamp("build AtLAST-50k 3d program")
+    program_b, obs_b = build_program(
+        instrument="AtLAST-50k", site="ALMA", duration=60.0, radius=0.5, speed=0.25,
+        atmosphere="3d",
+    )
+    _write_partial({"stage": "atlast-bench"})
+    _stamp("AtLAST: compile + time")
+    rate, cost = bench_tpu(program_b, obs_b, n_repeats=3, return_cost=True)
+    _write_partial({"atlast_rate": rate, "stage": "atlast-roofline"})
+    _stamp(f"AtLAST rate {rate:.3e} samples/s")
+    n_samples = len(program_b.offsets) * len(program_b.t_fine)
+    atlast_roofline = roofline_estimate(program_b, n_samples / rate)
+    sol = speed_of_light(cost, n_samples / rate)
+    if sol:
+        atlast_roofline.update(sol)
+    _write_partial({"atlast_roofline": atlast_roofline, "stage": "atlast-done"})
+    print(json.dumps({
+        "atlast_rate": round(rate, 1),
+        # lower-bound traffic model + the executable's own XLA cost model
+        "atlast_roofline": atlast_roofline,
+    }))
+
+
+def cpu_baseline_leg(n_repeats: int = 3):
+    """CPU-baseline leg: never touches the relay (forced CPU platform),
+    so it can run even when the device budget is exhausted. Median of
+    `n_repeats` to damp this box's 2.4x load-dependent swing; the range
+    rides in the JSON so the multiplier's error bar is explicit."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
+    _write_partial({"stage": "cpu-baseline-build"})
+    program, obs = build_program()
+    rates = []
+    for _ in range(n_repeats):
+        rates.append(bench_cpu_baseline(program, obs))
+        _write_partial({"cpu_rate": float(np.median(rates)),
+                        "cpu_rate_range": [round(min(rates), 1), round(max(rates), 1)],
+                        "stage": "cpu-baseline"})
+    _stamp(f"cpu baseline {np.median(rates):.3e} samples/s (range {min(rates):.2e}-{max(rates):.2e})")
+    print(json.dumps({"cpu_rate": float(np.median(rates)),
+                      "cpu_rate_range": [round(min(rates), 1), round(max(rates), 1)]}))
+
+
+def stages_leg():
+    """Per-stage breakdown + traffic roofline for the MUSTANG-2 program
+    (6 more compiled programs — the cheapest leg, so it runs last)."""
+    _enable_compile_cache()
+    _write_partial({"stage": "stages-build"})
+    program, obs = build_program()
+    _write_partial({"stage": "stages-bench"})
+    _stamp("stage breakdown (6 chained programs)")
+    stages = bench_stages(program)
+    roofline = roofline_estimate(program, stages["fields_total_ms"] / 1e3)
+    tpu_rate = float(os.environ.get("BENCH_TPU_RATE", "0") or 0)
+    if tpu_rate > 0:
+        n_samples = len(program.offsets) * len(program.t_fine)
+        stages["binning_ms"] = round(
+            1e3 * (n_samples / tpu_rate - stages["fields_total_ms"] / 1e3), 3)
+    _write_partial({"stage_breakdown": stages, "roofline": roofline, "stage": "stages-done"})
+    print(json.dumps({"stage_breakdown": stages, "roofline": roofline}))
+
+
+def _run_leg(flag: str, budget: float, env_extra: dict = None, tpu: bool = True) -> dict:
+    """Run one bench leg in a fresh subprocess (relay discipline: each
+    device-touching client gets its own process and a ~10 s grace after
+    exit before the next client connects). Returns the union of the
+    leg's stdout JSON lines and its streamed partial file, so results
+    survive a timeout kill mid-leg."""
+    import subprocess
+    import tempfile
+
+    global _ACTIVE_CHILD
+    pfile = os.path.join(
+        tempfile.gettempdir(), f"bench_partial_{os.getpid()}_{flag.strip('-')}.jsonl")
+    try:
+        os.unlink(pfile)
+    except OSError:
+        pass
+    env = dict(os.environ, BENCH_PARTIAL_FILE=pfile,
+               BENCH_DEADLINE_S=str(max(90.0, budget - 15)))
+    if env_extra:
+        env.update(env_extra)
+    out: dict = {}
+    _stamp(f"{flag} leg subprocess, budget {budget:.0f}s")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), flag],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
+    )
+    if tpu:
+        _ACTIVE_CHILD = proc
+    try:
+        stdout, stderr = proc.communicate(timeout=budget)
+        sys.stderr.write((stderr or "")[-6000:])
+        for line in (stdout or "").splitlines():
+            if line.startswith("{"):
+                try:
+                    out.update(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+    except subprocess.TimeoutExpired:
+        _stamp(f"{flag} leg hit its budget ({budget:.0f}s); killed")
+        proc.kill()
+        try:
+            _, stderr = proc.communicate(timeout=15)
+            sys.stderr.write((stderr or "")[-4000:])
+        except Exception:  # noqa: BLE001 — partial file still has the milestones
+            pass
+    finally:
+        if tpu:
+            _ACTIVE_CHILD = None
+            # relay grace: a new client stream opened immediately after
+            # another client disconnects (or is killed mid-compile)
+            # wedges — let the old stream finish closing
+            time.sleep(10)
+    merged = _read_partial(pfile)
+    merged.update(out)
+    return merged
+
+
+# CPU-only child env: the axon sitecustomize forces the TPU platform
+# whenever PALLAS_AXON_POOL_IPS is non-empty, so clear it — these legs
+# must never open a relay session
+_CPU_ENV = {"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+
+
 def main():
     _enable_compile_cache()
     _start_watchdog()
@@ -666,127 +868,94 @@ def main():
     fallback = platform_name == "cpu-fallback"
     _PARTIAL.update(platform=platform_name, stage="headline")
 
-    head = None
+    head: dict = {}
     if fallback:
         # no relay: the in-process CPU path cannot wedge
         _stamp("CPU fallback: headline leg in-process")
         head = _headline_impl()
     else:
-        import subprocess
-
-        budget = min(_remaining() - 420, 600)
+        budget = min(_remaining() - 480, 520)
         for attempt in (1, 2):
-            try:
-                _stamp(f"headline leg subprocess (attempt {attempt}), budget {budget:.0f}s")
-                env = dict(os.environ, BENCH_DEADLINE_S=str(max(120.0, budget - 15)))
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--headline"],
-                    capture_output=True, text=True, timeout=budget, env=env,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
-                )
-                sys.stderr.write(proc.stderr[-6000:])
-                for line in proc.stdout.splitlines():
-                    if line.startswith("{"):
-                        head = json.loads(line)
-                if head:
-                    break
-                _stamp(f"headline subprocess rc={proc.returncode} without a result")
-            except subprocess.TimeoutExpired as e:
-                _stamp(f"headline subprocess hit its budget ({e.timeout:.0f}s)")
-            budget = min(_remaining() - 240, 600)
             if budget < 180:
+                _stamp(f"headline attempt {attempt} skipped (budget {budget:.0f}s)")
                 break
-    if not head:
-        print(json.dumps({
-            "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise + map binning, end-to-end on device)",
-            "value": 0.0,
-            "unit": "samples/s",
-            "vs_baseline": None,
-            "platform": platform_name,
-            "error": "headline-leg-failed",
-            "note": "the headline subprocess produced no result within its budget (wedged relay or compile overrun)",
-        }))
-        _PARTIAL["done"] = True
+            head = _run_leg("--headline", budget)
+            if head.get("tpu_rate"):
+                break
+            _stamp("headline leg produced no rate")
+            budget = min(_remaining() - 300, 520)
+    tpu_rate = head.get("tpu_rate")
+    if not tpu_rate:
+        with _PRINT_LOCK:
+            _PARTIAL["done"] = True
+            print(json.dumps({
+                "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise + map binning, end-to-end on device)",
+                "value": 0.0,
+                "unit": "samples/s",
+                "vs_baseline": None,
+                "platform": platform_name,
+                "error": "headline-leg-failed",
+                "note": "the headline subprocess produced no result within its budget (wedged relay or compile overrun)",
+            }))
         return
-    tpu_rate, cpu_rate = head["tpu_rate"], head["cpu_rate"]
-    _PARTIAL.update(tpu_rate=tpu_rate, cpu_rate=cpu_rate, stage="config-b")
+    _PARTIAL.update(tpu_rate=tpu_rate, speed_of_light=head.get("speed_of_light"),
+                    stage="config-b")
 
-    # config (b): AtLAST-scale ~50k-detector multi-band array with a
-    # multi-layer 3-D (vertically-correlated) atmosphere, per BASELINE.md.
-    # Its compile alone is ~10 min over the axon tunnel, so it runs in a
-    # subprocess under a hard timeout — a slow compile can never block
-    # the headline JSON.
-    atlast_rate = atlast_roofline = None
-    budget = min(_remaining() - 120, 720)
+    # config (b) runs IMMEDIATELY after the headline (round-3 lesson:
+    # it starved behind the CPU baseline + stage breakdown and the
+    # driver artifact recorded null — VERDICT r3 item 1)
+    b: dict = {}
+    budget = min(_remaining() - 120, 780)
     if fallback:
         _stamp("skipping AtLAST config (no TPU; 50k-det x 3d is infeasible on 1 CPU core)")
     elif budget > 240:
-        try:
-            import subprocess
-
-            _stamp(f"AtLAST-50k 3d config (b), subprocess budget {budget:.0f}s")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--config-b"],
-                capture_output=True, text=True, timeout=budget,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            for line in proc.stdout.splitlines():
-                if line.startswith("{"):
-                    parsed_b = json.loads(line)
-                    atlast_rate = parsed_b.get("atlast_50k_samples_per_s")
-                    atlast_roofline = parsed_b.get("atlast_roofline")
-            _stamp(f"AtLAST rate {atlast_rate:.3e} samples/s" if atlast_rate else
-                   f"AtLAST subprocess rc={proc.returncode} without a result")
-        except subprocess.TimeoutExpired:
-            _stamp("AtLAST subprocess hit its budget; skipped")
-        except Exception:  # noqa: BLE001 — report the headline even if (b) fails
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
+        b = _run_leg("--config-b", budget)
     else:
-        _stamp("skipping AtLAST config (budget)")
+        _stamp(f"skipping AtLAST config (budget {budget:.0f}s)")
+    atlast_rate = b.get("atlast_rate")
+    _PARTIAL.update(atlast_rate=atlast_rate, atlast_roofline=b.get("atlast_roofline"),
+                    stage="cpu-baseline")
+
+    # CPU baseline: forced-CPU subprocess, cannot wedge the relay
+    if fallback:
+        cb = {"cpu_rate": bench_cpu_baseline(*build_program())}
+    else:
+        cb = _run_leg("--cpu-baseline", budget=max(min(_remaining() - 60, 240), 60),
+                      env_extra=_CPU_ENV, tpu=False)
+    cpu_rate = cb.get("cpu_rate")
+    _PARTIAL.update(cpu_rate=cpu_rate, stage="stages")
+
+    st: dict = {}
+    budget = min(_remaining() - 75, 420)
+    if not fallback and budget > 150:
+        st = _run_leg("--stages", budget, env_extra={"BENCH_TPU_RATE": str(tpu_rate)})
+    else:
+        _stamp(f"skipping stage breakdown (budget {budget:.0f}s)")
+    _PARTIAL.update(stage_breakdown=st.get("stage_breakdown"), stage="assemble")
 
     result = {
         "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise + map binning, end-to-end on device)",
         "value": round(tpu_rate, 1),
         "unit": "samples/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2),
-        "baseline_samples_per_s": round(cpu_rate, 1),
+        "vs_baseline": round(tpu_rate / cpu_rate, 2) if cpu_rate else None,
+        "baseline_samples_per_s": round(cpu_rate, 1) if cpu_rate else None,
+        "baseline_range_samples_per_s": cb.get("cpu_rate_range"),
         "baseline_threads": os.cpu_count(),
         "platform": platform_name,
         "atlast_50k_samples_per_s": round(atlast_rate, 1) if atlast_rate else None,
-        "atlast_roofline": atlast_roofline,
-        "stage_breakdown": head["stage_breakdown"],
-        "roofline": head["roofline"],
+        "atlast_roofline": b.get("atlast_roofline"),
+        "stage_breakdown": st.get("stage_breakdown"),
+        "roofline": st.get("roofline"),
         # utilization vs the executable's own post-fusion XLA cost model
         # (full pipeline incl. binning; lower bound, see speed_of_light)
-        "speed_of_light": head["speed_of_light"],
+        "speed_of_light": head.get("speed_of_light"),
     }
     if fallback:
         result["error"] = "tpu-backend-unavailable"
         result["note"] = "TPU relay never answered; value measured on the CPU fallback platform"
-    _PARTIAL["done"] = True
-    print(json.dumps(result))
-
-
-def config_b():
-    """AtLAST-50k 3d benchmark, run standalone (see main: subprocess)."""
-    _enable_compile_cache()
-    program_b, obs_b = build_program(
-        instrument="AtLAST-50k", site="ALMA", duration=60.0, radius=0.5, speed=0.25,
-        atmosphere="3d",
-    )
-    rate, cost = bench_tpu(program_b, obs_b, n_repeats=3, return_cost=True)
-    n_samples = len(program_b.offsets) * len(program_b.t_fine)
-    atlast_roofline = roofline_estimate(program_b, n_samples / rate)
-    sol = speed_of_light(cost, n_samples / rate)
-    if sol:
-        atlast_roofline.update(sol)
-    print(json.dumps({
-        "atlast_50k_samples_per_s": round(rate, 1),
-        # lower-bound traffic model + the executable's own XLA cost model
-        "atlast_roofline": atlast_roofline,
-    }))
+    with _PRINT_LOCK:
+        _PARTIAL["done"] = True
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":
@@ -794,6 +963,10 @@ if __name__ == "__main__":
         config_b()
     elif "--headline" in sys.argv:
         headline()
+    elif "--cpu-baseline" in sys.argv:
+        cpu_baseline_leg()
+    elif "--stages" in sys.argv:
+        stages_leg()
     else:
         try:
             main()
