@@ -63,7 +63,9 @@ ALLOWED_ARRAY_KWARGS = [
 
 def get_array(key: str, **kwargs) -> "Array":
     if key not in ARRAY_CONFIGS:
-        raise KeyError(f"'{key}' is not a valid array name. See maria_tpu.all_arrays.")
+        from ..errors import InvalidArrayError
+
+        raise InvalidArrayError(key, valid=all_arrays)
     return Array.from_config({"name": key, **ARRAY_CONFIGS[key], **kwargs})
 
 
@@ -436,7 +438,9 @@ def get_array_config(key: str = None, **kwargs) -> dict:
     c = {}
     if key:
         if key not in ARRAY_CONFIGS:
-            raise KeyError(f"'{key}' is not a valid array name (known: {all_arrays}).")
+            from ..errors import InvalidArrayError
+
+            raise InvalidArrayError(key, valid=all_arrays)
         c = {"name": key, **ARRAY_CONFIGS[key]}
     c.update(kwargs)
     return c

@@ -40,6 +40,15 @@ class InvalidInstrumentError(ValueError):
         super().__init__(f"Invalid instrument '{name}'.{hint}")
 
 
+class InvalidArrayError(ValueError):
+    """Unknown array name (counterpart of InvalidInstrumentError for the
+    array registry, reference array/array.py:100-101)."""
+
+    def __init__(self, name, valid=None):
+        hint = f" Valid arrays are {sorted(valid)}." if valid else ""
+        super().__init__(f"Invalid array '{name}'.{hint}")
+
+
 class InvalidSiteError(ValueError):
     """Unknown site name (reference site/__init__.py:34)."""
 
