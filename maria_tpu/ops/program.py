@@ -90,6 +90,7 @@ class TODProgram:
     gain_error: np.ndarray = None
 
     def __post_init__(self):
+        self._noise_specs_cache = None  # invalidated on re-init (pad_detectors)
         # integer coarse/fine upsample ratio enables the gather-free
         # phase-stencil path
         if len(self.t_coarse) > 1 and len(self.t_fine) > 1:
@@ -202,6 +203,14 @@ class TODProgram:
                 None if b.noise_basis is None else jnp.asarray(b.noise_basis)
                 for b in self.bands
             ],
+            # fused matmul-noise total: pre-scaled correlated basis
+            # columns ((n_det, K) — ~9 MB at AtLAST scale, so it rides
+            # as an argument like everything else here)
+            "noise_corr_cols": (
+                jnp.asarray(self._noise_matmul_specs()[1])
+                if self.use_noise_matmul() and self._noise_matmul_specs()[1] is not None
+                else None
+            ),
         }
 
     def _resolved(self, tables):
@@ -369,6 +378,12 @@ class TODProgram:
 
             fields["map"] = apply_integration_kernel(map_field)
 
+        if upto == "signal":
+            # every non-noise field: the fused matmul-noise total path
+            # (total_power_fn) synthesizes noise + gains + accumulate in
+            # one MXU contraction from these
+            return fields
+
         if self.with_noise:
             n_det, n_t = len(self.offsets), len(self.t_fine)
             noise_pieces = {}
@@ -424,9 +439,100 @@ class TODProgram:
             * jax.random.normal(key_gain, (len(self.offsets),))
         )[:, None]
 
+    def use_noise_matmul(self) -> bool:
+        """Whether total_power_fn fuses the noise stage into one MXU
+        matmul (noise/dft.py). Default: on TPU, when the bands partition
+        the detector axis contiguously and no band carries the
+        time-resolved NEP_per_loading term (that scale depends on the
+        signal sample-wise and cannot fold into the matmul columns).
+        Override with MARIA_TPU_NOISE_TOTAL=matmul|fields."""
+        import os
+
+        mode = os.environ.get("MARIA_TPU_NOISE_TOTAL", "").lower()
+        if mode in ("fields", "0", "off"):
+            return False
+        structural = (
+            self.with_noise
+            and self.band_order is not None
+            and len(self.bands) > 0
+            and all(not b.NEP_per_loading for b in self.bands)
+            and len(self.t_fine) > 1
+        )
+        if mode in ("matmul", "1", "on"):
+            return structural
+        return structural and jax.default_backend() == "tpu"
+
+    def _noise_matmul_specs(self):
+        """(specs, corr_cols, n_fft) for noise/dft.noise_total_matmul —
+        static per program (host numpy, memoized), assembled in
+        band_order so the spec slices walk the detector axis
+        contiguously."""
+        cached = getattr(self, "_noise_specs_cache", None)
+        if cached is not None:
+            return cached
+        from ..atmosphere.fourier import good_fft_size
+        from ..noise.dft import NoiseBandSpec, band_half_spectrum
+
+        n = len(self.t_fine)
+        n_fft = good_fft_size(n)
+        specs = []
+        col_blocks = []
+        k_total = 0
+        for i in self.band_order:
+            b = self.bands[i]
+            start, stop = int(b.det_index[0]), int(b.det_index[-1] + 1)
+            cp = b.corr_prop if b.noise_basis is not None else 0.0
+            c = 1e12 * b.NEP * band_half_spectrum(
+                self.sample_rate, b.knee, 1.0, n_fft, corr_prop=cp
+            )
+            k_modes = 0
+            mode_c = None
+            if cp > 0:
+                k_modes = int(np.asarray(b.noise_basis).shape[-1])
+                mode_c = band_half_spectrum(self.sample_rate, b.knee, 1.0, n_fft,
+                                            pink_only=True)
+                col_blocks.append((start, stop, k_total,
+                                   1e12 * b.NEP * np.sqrt(cp) * np.asarray(b.noise_basis)))
+                k_total += k_modes
+            specs.append(NoiseBandSpec(start=start, stop=stop, c=c,
+                                       k_modes=k_modes, mode_c=mode_c,
+                                       key_index=i))
+        corr_cols = None
+        if k_total:
+            corr_cols = np.zeros((len(self.offsets), k_total), np.float32)
+            for start, stop, col0, block in col_blocks:
+                corr_cols[start:stop, col0:col0 + block.shape[-1]] = block
+        self._noise_specs_cache = (specs, corr_cols, n_fft)
+        return self._noise_specs_cache
+
     def total_power_fn(self):
         """(key, offsets, bs_az_c, bs_el_c) -> (n_det, n_t) total pW,
-        including multiplicative gain errors."""
+        including multiplicative gain errors.
+
+        On TPU (see use_noise_matmul) the noise stage runs as ONE MXU
+        matmul whose epilogue fuses the `signal * gains +` accumulate —
+        same process as the per-band path, different realization for
+        the same key (noise/dft.py docstring)."""
+        if self.use_noise_matmul():
+            from ..noise.dft import noise_total_matmul
+
+            specs, corr_cols, n_fft = self._noise_matmul_specs()
+
+            def fn(key, offsets, bs_az_c, bs_el_c, tables=None):
+                fields = self._loadings(key, offsets, bs_az_c, bs_el_c,
+                                        upto="signal", tables=tables)
+                gains = self.draw_gains(key)
+                A = gains * sum(fields.values())
+                key_noise = jax.random.split(key, 3)[1]
+                cols = corr_cols
+                if tables is not None and tables.get("noise_corr_cols") is not None:
+                    cols = tables["noise_corr_cols"]
+                return noise_total_matmul(
+                    key_noise, A, specs, n=len(self.t_fine), n_fft=n_fft,
+                    corr_cols=cols,
+                )
+
+            return fn
 
         def fn(key, offsets, bs_az_c, bs_el_c, tables=None):
             fields = self._loadings(key, offsets, bs_az_c, bs_el_c, tables=tables)
