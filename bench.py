@@ -360,7 +360,7 @@ def measure_dispatch_rtt(n_repeats: int = 7) -> float:
 
 
 def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
-              return_cost: bool = False) -> float:
+              return_cost: bool = False, batch: int = None) -> float:
     """Samples/s of the fused jitted program on the default jax device,
     including on-device map binning of every realization when `obs` is
     given (the full atmosphere -> TOD -> binned-map pipeline of
@@ -381,11 +381,8 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
     import jax
     import jax.numpy as jnp
 
-    fn = program.total_power_fn()
-    args = program.example_args()
-    tables = program.device_tables()
-
     pix = plan = plan_args = rplan = None
+    in_plan_order = False
     if obs is not None:
         from maria_tpu.ops.binning import make_blocked_bin_plan_on_device
         from maria_tpu.ops.binning_runs import make_runchunk_bin_plan_on_device
@@ -398,9 +395,17 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
         # minutes at AtLAST scale (it burned the whole BENCH_r02
         # subprocess budget)
         iy, ix, n_pix = _pixel_ids_device(program, obs)
-        rplan = make_runchunk_bin_plan_on_device(iy, ix, 128, 128)
+        rplan = make_runchunk_bin_plan_on_device(
+            iy, ix, 128, 128, order_groups=program.band_bounds())
         if rplan is not None:
             plan = rplan
+            # band-stable plan: permute the program's detector axis so
+            # the fused synthesis EMITS det-blocked TOD and binning
+            # consumes it with zero row-gather relayout (the gather was
+            # ~18 ms of the ~24 ms AtLAST binning stage)
+            if program.band_bounds() is not None:
+                program.permute_detectors(rplan.order[:len(program.offsets)])
+                in_plan_order = True
         else:
             plan = make_blocked_bin_plan_on_device(iy, ix, 128, 128)
         if plan is None:
@@ -413,13 +418,25 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
         # the benched programs allocate their fine-rate fields
         del iy, ix
 
+    fn = program.total_power_fn()
+    args = program.example_args()
+    tables = program.device_tables()
+
+    n_samples = len(program.offsets) * len(program.t_fine)
+    if batch is None:
+        # small scenes are per-op-overhead-bound (MUSTANG-2's 2.6 MB
+        # stage arrays leave the chip ~80% idle — BENCH_r03 sol_frac
+        # 0.22), so independent realizations are vmapped into one fat
+        # program: arrays grow `batch`-fold and the fixed per-op costs
+        # amortize. Realization count, not problem size: every TOD is
+        # still fully synthesized and binned (channel-stacked).
+        batch = int(np.clip((1 << 24) // max(n_samples, 1), 1, 16))
     if k_chain is None:
         # bound the chain's device working set: each iteration synthesizes
-        # the full (n_det, n_t) TOD, so huge arrays get a shorter chain.
-        # Small programs chain deeper so the one-dispatch timing dwarfs
-        # RTT jitter (MUSTANG-2: 129 x 0.86 ms >> a few ms of jitter).
-        n_samples = len(program.offsets) * len(program.t_fine)
-        k_chain = int(np.clip((1 << 31) // max(4 * n_samples, 1), 8, 128)) + 1
+        # `batch` full (n_det, n_t) TODs, so huge arrays get a shorter
+        # chain. Small programs chain deeper so the one-dispatch timing
+        # dwarfs RTT jitter.
+        k_chain = int(np.clip((1 << 31) // max(4 * n_samples * batch, 1), 8, 128)) + 1
 
     def make_chain(k_count):
         # NOTE: pix rides as an ARGUMENT — a 50k-detector id array baked
@@ -430,19 +447,28 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
                 from maria_tpu.ops.binning import bin_blocked, bin_scatter
                 from maria_tpu.ops.binning_runs import bin_runchunk
 
-                tod = fn(k, offsets, bs_az, bs_el, tables=tables)
+                if batch > 1:
+                    keys_b = jax.random.split(k, batch)
+                    tod = jax.vmap(
+                        lambda kk: fn(kk, offsets, bs_az, bs_el, tables=tables)
+                    )(keys_b)  # (batch, n_det, n_t) — channel-stacked below
+                else:
+                    tod = fn(k, offsets, bs_az, bs_el, tables=tables)
                 out = tod.mean()
                 if rplan is not None:
                     e, rly, rlx, origins, order, wcnt = bin_args
                     binned = bin_runchunk(tod, rplan, e_idx=e, run_ly=rly, run_lx=rlx,
-                                          origins=origins, order=order, wcnt=wcnt)
+                                          origins=origins, order=order, wcnt=wcnt,
+                                          data_in_plan_order=in_plan_order)
                     out = out + binned.max() / max(len(program.t_fine), 1)
                 elif plan is not None:
                     ly, lx, origins, order = bin_args
                     binned = bin_blocked(tod, plan, ly=ly, lx=lx, origins=origins, order=order)
                     out = out + binned.max() / max(len(program.t_fine), 1)
                 elif pix_arg is not None:
-                    binned = bin_scatter(tod, pix_arg, n_pix)
+                    binned = bin_scatter(tod.reshape(-1, tod.shape[-1]) if batch > 1 else tod,
+                                         jnp.tile(pix_arg, (batch,)) if batch > 1 else pix_arg,
+                                         n_pix)
                     out = out + binned.max() / max(len(program.t_fine), 1)
                 return carry + out, ()
             keys = jax.random.split(key, k_count)
@@ -468,14 +494,17 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
     rtt = measure_dispatch_rtt()
     chain_k = compiled_chain(k_chain)
     t_k = timed(chain_k)
-    per_tod = max(t_k - rtt, 0.2 * t_k) / k_chain
-    n_samples = len(program.offsets) * len(program.t_fine)
+    per_tod = max(t_k - rtt, 0.2 * t_k) / (k_chain * batch)
     rate = n_samples / per_tod
     if return_cost:
         # the scan body is counted ONCE by HLO cost analysis regardless
-        # of trip count (see _executable_cost), so the k-chain's cost IS
-        # the per-TOD cost
-        return rate, _executable_cost(chain_k)
+        # of trip count (see _executable_cost), so the k-chain's cost is
+        # the per-ITERATION cost — divide by the realization batch to
+        # get per-TOD
+        cost = _executable_cost(chain_k)
+        if cost and batch > 1:
+            cost = {k: v / batch for k, v in cost.items()}
+        return rate, cost
     return rate
 
 

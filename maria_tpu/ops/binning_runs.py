@@ -130,6 +130,7 @@ def make_runchunk_bin_plan_on_device(
     max_window_frac: float = 0.5,
     max_r_frac: float = 0.75,
     order: np.ndarray = None,
+    order_groups=None,
 ) -> RunChunkBinPlan:
     """Build the run plan from DEVICE pixel ids (n_det, n_t), -1 = off-map.
 
@@ -173,10 +174,24 @@ def make_runchunk_bin_plan_on_device(
             return my, mx
 
         my, mx = _means(iy, ix)
-        order = _hilbert_order(
-            np.round(np.asarray(my)).astype(np.int64),
-            np.round(np.asarray(mx)).astype(np.int64),
-        )
+        my = np.round(np.asarray(my)).astype(np.int64)
+        mx = np.round(np.asarray(mx)).astype(np.int64)
+        if order_groups:
+            # GROUP-STABLE ordering: Hilbert-sort within each contiguous
+            # detector group (e.g. band blocks), never across. Rows of a
+            # group stay inside [start, stop), so a program whose
+            # detector axis is permuted to this order keeps its bands
+            # contiguous (TODProgram.permute_detectors) and can emit
+            # det-blocked TOD the binning consumes with zero relayout
+            # (`bin_runchunk(..., data_in_plan_order=True)`). Within-band
+            # spatial compactness is nearly as good as global (each band
+            # spans the full focal plane).
+            order = np.concatenate([
+                start + _hilbert_order(my[start:stop], mx[start:stop])
+                for start, stop in order_groups
+            ])
+        else:
+            order = _hilbert_order(my, mx)
     order_p = (
         np.concatenate([order, np.full(pad_d, order[-1], dtype=order.dtype)]) if pad_d else order
     )
@@ -387,9 +402,19 @@ def bin_runchunk(
     wcnt=None,
     precision: str = "shifted",
     pvary_axes=None,
+    data_in_plan_order: bool = False,
 ):
     """Bin (n_det, n_t) or channel-stacked (n_ch, n_det, n_t) data into
     (n_y, n_x) maps through the run-compressed one-hot contraction.
+
+    `data_in_plan_order=True` declares that the detector axis already
+    follows `plan.order` (e.g. the fused program was built with
+    `TODProgram.permute_detectors(plan.order)`), skipping the row-gather
+    relayout — at AtLAST-50k scale the gather was the binning stage's
+    single largest cost (XProf: ~18 ms of a ~24 ms stage). The padded
+    tail rows (plan.order repeats the last detector) are still excluded
+    through the plan's -1 run slots, but the DATA for them must exist:
+    with padding the caller keeps the gather (pad_d rows).
 
     `precision="shifted"` (default) matches `bin_blocked("shifted")`:
     per-(block, chunk) mean-shifted ONE-pass bf16 MXU contraction with
@@ -429,7 +454,16 @@ def bin_runchunk(
     n_seg = C // seg
     pad_t = nc * C - n_t
 
-    d = jnp.take(data, order, axis=1)
+    if data_in_plan_order:
+        # rows already follow plan.order; only the block-grid row pad
+        # remains (those rows are excluded via the plan's -1 slots, but
+        # must exist and be finite)
+        d = data
+        pad_d = nb * db - d.shape[1]
+        if pad_d:
+            d = jnp.pad(d, ((0, 0), (0, pad_d), (0, 0)), mode="edge")
+    else:
+        d = jnp.take(data, order, axis=1)
     if pad_t:
         # edge padding (NOT zeros): padded samples are already excluded
         # through the plan's -1 ids, but they enter the per-(block,
@@ -443,7 +477,13 @@ def bin_runchunk(
     t_iota = jnp.arange(seg, dtype=jnp.int32)
 
     def chunk_body(m, args):
-        d_c, e_c, ly_c, lx_c, org_c, wcnt_c = args
+        c, e_c, ly_c, lx_c, org_c, wcnt_c = args
+        # the chunk's data is sliced IN-BODY instead of riding the scan
+        # xs: moving the time axis to the front for xs is a full-size
+        # strided relayout XLA materializes up front (part of the
+        # measured ~18 ms binning input cost at AtLAST scale); the
+        # dynamic_slice reads the synthesis layout directly
+        d_c = jax.lax.dynamic_slice_in_dim(d, c, 1, axis=3)[:, :, :, 0]
         # d_c (n_ch, nb, db, C); e_c/ly_c/lx_c (nb, db, S, R); org_c (nb, 2)
         if precision == "hilo":
             # unshifted: zero data stays EXACTLY zero (no restore term)
@@ -491,7 +531,7 @@ def bin_runchunk(
     if pvary_axes:
         m0 = jax.lax.pcast(m0, tuple(pvary_axes), to="varying")
     xs = (
-        jnp.moveaxis(d, 3, 0),
+        jnp.arange(nc, dtype=jnp.int32),
         jnp.moveaxis(e_idx, 2, 0),
         jnp.moveaxis(run_ly, 2, 0),
         jnp.moveaxis(run_lx, 2, 0),

@@ -166,6 +166,57 @@ class TODProgram:
         self.__post_init__()  # recompute band contiguity + upsample ratio
         return pad
 
+    def band_bounds(self):
+        """Contiguous (start, stop) detector slices in band_order, or
+        None when bands do not partition the axis — the `order_groups`
+        input for a band-stable binning plan."""
+        if self.band_order is None:
+            return None
+        return [
+            (int(self.bands[i].det_index[0]), int(self.bands[i].det_index[-1] + 1))
+            for i in self.band_order
+        ]
+
+    def permute_detectors(self, perm) -> None:
+        """Reorder the detector axis so row i is the old row perm[i].
+
+        With a BAND-STABLE perm (each band's rows stay inside the band's
+        slice — e.g. a binning plan built with order_groups =
+        band_bounds()), the program then emits TOD directly in the
+        plan's det-blocked order and `bin_runchunk(...,
+        data_in_plan_order=True)` consumes the synthesis layout with no
+        row-gather relayout. Maps are pixel-space, so nothing needs
+        un-permuting downstream; per-detector PRNG streams follow the
+        row index, so a permuted program is a different realization of
+        the same process for the same key."""
+        perm = np.asarray(perm)
+        if perm.shape != (len(self.offsets),):
+            raise ValueError(f"perm must have shape ({len(self.offsets)},)")
+        self.offsets = np.asarray(self.offsets)[perm]
+        self.mueller_I = np.asarray(self.mueller_I)[perm]
+        if self.gain_error is not None and np.ndim(self.gain_error):
+            self.gain_error = np.asarray(self.gain_error)[perm]
+        for band in self.bands:
+            idx = band.det_index
+            start, stop = int(idx[0]), int(idx[-1] + 1)
+            if not np.array_equal(idx, np.arange(start, stop)):
+                raise ValueError("permute_detectors requires contiguous band blocks")
+            local = perm[start:stop] - start
+            if local.min() < 0 or local.max() >= stop - start:
+                raise ValueError("perm is not band-stable (rows cross band slices)")
+
+            def take_rows(a):
+                return None if a is None else np.asarray(a)[local]
+
+            band.cmb_samples = take_rows(band.cmb_samples)
+            band.noise_basis = take_rows(band.noise_basis)
+            if band.map_stages:
+                band.map_stages = [
+                    (table, take_rows(samples), ev)
+                    for (table, samples, ev) in band.map_stages
+                ]
+        self.__post_init__()  # recompute contiguity + invalidate caches
+
     def _upsample(self, values):
         if self.upsample_ratio is not None:
             return upsample_time_phases(values, self.upsample_ratio, len(self.t_fine), kind="cubic")

@@ -164,7 +164,7 @@ class StreamingExecutor:
         self,
         program,
         obs=None,
-        block_tc: int = 64,
+        block_tc="auto",
         n_x: int = 128,
         n_y: int = 128,
         res: float = None,
@@ -195,6 +195,21 @@ class StreamingExecutor:
         self.frame = frame
         self.program = program
         self.r = int(program.upsample_ratio)
+        if block_tc == "auto":
+            # throughput-oriented default: the LARGEST block whose
+            # fine-rate working set (~8 live (n_det, B) f32 buffers:
+            # upsample stencil, sky/cal factors, noise cascade, total,
+            # binning ids/intermediates) fits an HBM budget — tiny
+            # blocks are flat-memory but dispatch/scan-overhead-bound
+            # (a warm 30-min MUSTANG-2 stream ran 6.1e5 samples/s
+            # through 3136-sample blocks; round-3 BASELINE.md). Budget
+            # override: MARIA_TPU_STREAM_HBM_GB (default 2.0).
+            import os
+
+            budget = float(os.environ.get("MARIA_TPU_STREAM_HBM_GB", 2.0)) * 1e9
+            per_cell = 8 * len(program.offsets) * self.r * 4
+            n_tc = -(-len(program.t_fine) // self.r)
+            block_tc = int(np.clip(budget // max(per_cell, 1), 16, max(n_tc, 16)))
         self.block_tc = int(block_tc)
         self.B = self.block_tc * self.r
         self.n_t = len(program.t_fine)

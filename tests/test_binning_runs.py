@@ -244,3 +244,71 @@ def test_project_runchunk_single_map_and_offmap_rows():
     ref = _project_oracle(m[None], iy, ix)[0]
     np.testing.assert_allclose(got, ref, atol=3e-5 * float(np.abs(m).max()))
     assert np.all(got[5] == 0.0)
+
+
+def test_runchunk_band_stable_order_and_plan_order_data():
+    """order_groups keeps rows inside their band slices, and feeding
+    data ALREADY in plan order with data_in_plan_order=True gives the
+    same map as the gathering path and the f64 scatter oracle."""
+    n_y = n_x = 64
+    iy, ix, data = _scene(n_det=96, seed=5)
+    groups = [(0, 40), (40, 96)]
+    plan = make_runchunk_bin_plan_on_device(
+        jnp.asarray(iy), jnp.asarray(ix), n_y, n_x, chunk=64, det_block=32,
+        max_window_frac=1.01, order_groups=groups,
+    )
+    assert plan is not None
+    order = plan.order[:96]
+    # band-stable: every row stays inside its group
+    assert set(order[:40]) == set(range(40))
+    assert set(order[40:96]) == set(range(40, 96))
+
+    ref = _oracle(data, iy, ix, n_y, n_x)
+    via_gather = np.asarray(jax.jit(
+        lambda d, e, ly, lx, o, od, w: bin_runchunk(
+            d, plan, e_idx=e, run_ly=ly, run_lx=lx, origins=o, order=od, wcnt=w)
+    )(jnp.asarray(data), *plan.device_args()))
+    via_plan_order = np.asarray(jax.jit(
+        lambda d, e, ly, lx, o, od, w: bin_runchunk(
+            d, plan, e_idx=e, run_ly=ly, run_lx=lx, origins=o, order=od, wcnt=w,
+            data_in_plan_order=True)
+    )(jnp.asarray(data[order]), *plan.device_args()))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(via_gather, ref, atol=2e-5 * scale)
+    np.testing.assert_array_equal(via_plan_order, via_gather)
+
+
+def test_program_permute_detectors_matches_plan_order():
+    """A band-stable-permuted program emits the permuted TOD of the
+    same process: signal rows equal the unpermuted program's rows under
+    the permutation (noise/gain streams follow the row index, so they
+    are compared per-path with noise disabled)."""
+    import maria_tpu
+    from maria_tpu.ops.program import build_tod_program
+
+    plan_obj = maria_tpu.get_plan(
+        "stare", start_time=1.75e9, scan_center=(150.0, 40.0), frame="az/el",
+        duration=10.0, sample_rate=20.0,
+    )
+    sim = maria_tpu.Simulation(
+        instrument="MUSTANG-2", plans=plan_obj, site="GBT", atmosphere="2d",
+        noise=False, seed=0,
+    )
+    program = build_tod_program(sim.obs_list[0], with_noise=False)
+    key = jax.random.key(9)
+
+    def atm(p):
+        return np.asarray(jax.jit(
+            lambda k, o, a, e, tb: p._loadings(k, o, a, e, upto="atmosphere", tables=tb)
+        )(*p.example_args(key), p.device_tables())["atmosphere"])
+
+    base = atm(program)
+    rng = np.random.default_rng(1)
+    n_det = len(program.offsets)
+    perm = rng.permutation(n_det)  # single band -> any perm is band-stable
+    program.permute_detectors(perm)
+    permuted = atm(program)
+    # the atmosphere field is a deterministic function of the detector's
+    # pointing (gain/noise streams follow the ROW index and are excluded),
+    # so row i of the permuted program == row perm[i] unpermuted
+    np.testing.assert_allclose(permuted, base[perm], rtol=2e-6, atol=1e-4)
