@@ -86,6 +86,7 @@ def test_custom_array_instrument_flow():
     assert input_map.data.shape[-1] > 1
 
 
+@pytest.mark.slow
 def test_polarized_observation_flow():
     """polarized-observations.ipynb, shrunk: IQUV einstein map through a
     polarized array; Q/U power must reach the TOD."""
@@ -106,6 +107,7 @@ def test_polarized_observation_flow():
     assert np.isfinite(np.asarray(tod.signal)).all()
 
 
+@pytest.mark.slow
 def test_doc_mapper_kwargs(nebula_tods):
     input_map, tods = nebula_tods
     from maria_tpu.mappers import BinMapper
@@ -119,6 +121,7 @@ def test_doc_mapper_kwargs(nebula_tods):
     assert m.data.shape[2] >= 1
 
 
+@pytest.mark.slow
 def test_getting_started_aliases():
     sim = maria.Simulation(instrument="apex/saboca", site="cerro_chajnantor",
                            plan="five_second_stare", noise=True, seed=1)

@@ -68,6 +68,7 @@ def test_fused_cmb_and_map_match_mixins(full_scene):
     assert np.abs(map_fused - map_mixin).max() < 0.05 * map_mixin.std()
 
 
+@pytest.mark.slow
 def test_noise_sees_cmb_and_map_loading():
     """NEP_per_loading inside the program must include the cmb/map
     fields (reference sim/noise.py:33 sums all loadings). The physics
@@ -106,6 +107,7 @@ def test_noise_sees_cmb_and_map_loading():
     assert loaded.std() > 2 * base.std()
 
 
+@pytest.mark.slow
 def test_unfused_mixin_path(full_scene):
     """Simulation(fused=False) runs the per-stage mixin path; its fields
     must statistically match the fused program's."""

@@ -124,6 +124,7 @@ def test_ml_recovers_polarized_source():
     assert q[mask].std() > 2 * i_rms
 
 
+@pytest.mark.slow
 def test_ml_beats_binmapper_on_correlated_noise(noisy_tod_and_map):
     """With a common-mode corrupted TOD, the ML mapper's low-rank noise
     model (Woodbury, reference ml_mapper.py:282-286) must beat plain
@@ -270,6 +271,7 @@ def test_ml_time_bins_solve_independently(clean_tod_and_map):
         assert corr > 0.8, (t, corr)
 
 
+@pytest.mark.slow
 def test_ml_mapper_det_sharded_equals_single(noisy_tod_and_map):
     """mesh= shards every per-TOD block over detectors (zero-weight
     padding to the shard count); the CG solution must match the
@@ -323,6 +325,7 @@ def test_fused_epoch_matches_eager(noisy_tod_and_map):
     )
 
 
+@pytest.mark.slow
 def test_mxu_pointing_matches_segment_sum(noisy_tod_and_map):
     """P^T via the channel-stacked MXU hat contraction must equal the
     segment-sum path: same solution, same weights — including with

@@ -52,6 +52,7 @@ def test_same_seed_bitwise_identical_across_processes():
     assert h1 == h2
 
 
+@pytest.mark.slow
 def test_same_seed_same_process_identical():
     import maria_tpu
 
@@ -94,6 +95,7 @@ def test_gain_and_noise_streams_differ():
     assert abs(rho) < 0.5
 
 
+@pytest.mark.slow
 def test_fused_noise_has_loading_term():
     """With NEP_per_loading > 0, the fused program's noise amplitude must
     grow with the loading (photon noise), matching the mixin physics."""

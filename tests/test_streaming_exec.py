@@ -215,6 +215,7 @@ def radec_sim_ingredients():
     return input_map, sim.obs_list[0]
 
 
+@pytest.mark.slow
 def test_streaming_map_stage_matches_batch(radec_sim_ingredients):
     """map= streamed per block must match the batch program's baked
     static timelines (identical calibration tables and channel maps; the
@@ -389,6 +390,7 @@ def test_mxu_binning_equals_scatter(mustang_program):
         assert b.map_wgt.sum() == program.offsets.shape[0] * len(program.t_fine)
 
 
+@pytest.mark.slow
 def test_mxu_binning_wide_field_blocks():
     """Wide-field case (multi-det-block): a synthetic large array whose
     focal plane spans many windows still bins exactly."""
@@ -419,6 +421,7 @@ def test_mxu_binning_wide_field_blocks():
     np.testing.assert_allclose(b.map_sum, a.map_sum, atol=2e-5 * scale)
 
 
+@pytest.mark.slow
 def test_cascade_toeplitz_equals_scan():
     """The Toeplitz-matmul cascade block must reproduce the
     associative_scan reference exactly (same process, different f32

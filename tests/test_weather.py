@@ -57,7 +57,18 @@ import pytest
 from maria_tpu.site import all_regions
 
 
-@pytest.mark.parametrize("region", all_regions)
+# The full 25-region sweep regenerates each region's synthetic
+# climatology + spectrum cache cold (~8 s/region) — the default tier
+# keeps the benchmark/reference sites and the climate extremes, the
+# rest ride the slow tier (SURVEY.md §4 retier).
+_CORE_REGIONS = {"chajnantor", "green_bank", "mauna_kea", "south_pole"}
+
+
+@pytest.mark.parametrize(
+    "region",
+    [r if r in _CORE_REGIONS else pytest.param(r, marks=pytest.mark.slow)
+     for r in all_regions],
+)
 def test_every_region_weather_and_spectrum(region):
     """Reference-style all-region sweep
     (maria/tests/atmosphere/test_atmosphere.py:10-14): every region must
