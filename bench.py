@@ -508,7 +508,7 @@ def bench_tpu(program, obs=None, n_repeats: int = 5, k_chain: int = None,
     return rate
 
 
-def bench_stages(program, n_repeats: int = 3, k_chain: int = 129) -> dict:
+def bench_stages(program, n_repeats: int = 3, k_chain: int = None, batch: int = None) -> dict:
     """Marginal per-realization device time of nested pipeline prefixes,
     reported as per-stage milliseconds:
 
@@ -524,13 +524,27 @@ def bench_stages(program, n_repeats: int = 3, k_chain: int = 129) -> dict:
     args = program.example_args()
     tables = program.device_tables()
 
+    # the SAME realization batching as bench_tpu, so per-stage times are
+    # per-TOD on the same footing as the headline rate (a mismatch makes
+    # the derived binning_ms nonsense)
+    n_samples = len(program.offsets) * len(program.t_fine)
+    if batch is None:
+        batch = int(np.clip((1 << 24) // max(n_samples, 1), 1, 16))
+    if k_chain is None:
+        k_chain = int(np.clip((1 << 31) // max(4 * n_samples * batch, 1), 8, 128)) + 1
+
     def chain(stage_fn, k_count):
         @jax.jit
         def run(key, offsets, bs_az, bs_el, tables):
-            def body(carry, k):
+            def one(k):
                 out = stage_fn(k, offsets, bs_az, bs_el, tables)
                 vals = out.values() if isinstance(out, dict) else [out]
-                return carry + sum(jnp.sum(v) for v in vals), ()
+                return sum(jnp.sum(v) for v in vals)
+
+            def body(carry, k):
+                if batch > 1:
+                    return carry + jnp.sum(jax.vmap(one)(jax.random.split(k, batch))), ()
+                return carry + one(k), ()
 
             keys = jax.random.split(key, k_count)
             total, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
@@ -555,7 +569,10 @@ def bench_stages(program, n_repeats: int = 3, k_chain: int = 129) -> dict:
         # instead of compiling a second one-trip chain (see bench_tpu)
         ck = chain(stage_fn, k_chain).lower(*args, tables).compile()
         tk = timed(ck)
-        return max(tk - rtt, 0.2 * tk) / k_chain, _executable_cost(ck)
+        cost = _executable_cost(ck)
+        if cost and batch > 1:
+            cost = {k: v / batch for k, v in cost.items()}
+        return max(tk - rtt, 0.2 * tk) / (k_chain * batch), cost
 
     t_pwv, c_pwv = marginal(lambda k, o, a, e, tb: program._loadings(k, o, a, e, upto="pwv", tables=tb))
     t_atm, c_atm = marginal(lambda k, o, a, e, tb: program._loadings(k, o, a, e, upto="atmosphere", tables=tb))
@@ -821,7 +838,7 @@ def stages_leg():
     if tpu_rate > 0:
         n_samples = len(program.offsets) * len(program.t_fine)
         stages["binning_ms"] = round(
-            1e3 * (n_samples / tpu_rate - stages["fields_total_ms"] / 1e3), 3)
+            max(1e3 * (n_samples / tpu_rate - stages["fields_total_ms"] / 1e3), 0.0), 3)
     _write_partial({"stage_breakdown": stages, "roofline": roofline, "stage": "stages-done"})
     print(json.dumps({"stage_breakdown": stages, "roofline": roofline}))
 

@@ -69,7 +69,16 @@ def main() -> None:
     from maria_tpu.ops.binning_runs import bin_runchunk, make_runchunk_bin_plan_on_device
 
     iy, ix, n_pix = bench._pixel_ids_device(program, obs)
-    rplan = make_runchunk_bin_plan_on_device(iy, ix, 128, 128)
+    rplan = make_runchunk_bin_plan_on_device(iy, ix, 128, 128,
+                                             order_groups=program.band_bounds())
+    in_plan_order = False
+    if rplan is not None and program.band_bounds() is not None:
+        # mirror bench_tpu: the program emits det-blocked TOD, binning
+        # consumes it with no row-gather relayout
+        program.permute_detectors(rplan.order[:len(program.offsets)])
+        in_plan_order = True
+        prog_args = program.example_args()
+        tables = program.device_tables()
     plan = rplan if rplan is not None else make_blocked_bin_plan_on_device(iy, ix, 128, 128)
     if plan is not None:
         plan_args = plan.device_args()
@@ -93,7 +102,8 @@ def main() -> None:
                 if rplan is not None:
                     e, rly, rlx, origins, order, wcnt = bin_args
                     binned = bin_runchunk(tod, rplan, e_idx=e, run_ly=rly, run_lx=rlx,
-                                          origins=origins, order=order, wcnt=wcnt)
+                                          origins=origins, order=order, wcnt=wcnt,
+                                          data_in_plan_order=in_plan_order)
                 elif plan is not None:
                     ly, lx, origins, order = bin_args
                     binned = bin_blocked(tod, plan, ly=ly, lx=lx, origins=origins, order=order)
