@@ -107,6 +107,8 @@ def noise_total_matmul(
     n_fft: int,
     corr_cols=None,
     basis_dtype=jnp.bfloat16,
+    shared_c=None,
+    row_scale=None,
 ):
     """total = A + banded noise, as one MXU matmul (module docstring).
 
@@ -116,35 +118,60 @@ def noise_total_matmul(
     basis columns (n_det, K_total) f32 numpy/jnp, column blocks aligned
     with the specs' `k_modes` (None when no band has correlated noise).
     `key` is the noise key; band b draws from fold_in(key, b).
-    """
+
+    When every band shares one normalized spectral SHAPE (same knee /
+    corr_prop / sample_rate — e.g. all 9 AtLAST bands), pass that
+    shape as `shared_c` (m+1,) and the per-detector amplitude (1e12 *
+    NEP) as `row_scale` (n_det, 1): the draw collapses to ONE
+    whole-axis threefry op (9 per-band draw+scale+concat fusions
+    measured +3.5 ms at AtLAST scale — tools/probe_upsample_vassembly),
+    the column scale is a tiny shared constant, and the NEP lands as a
+    row scalar in the matmul's fused epilogue. `corr_cols` must then
+    carry sqrt(cp) * basis WITHOUT the NEP factor. The shared-shape
+    path draws a single stream keyed by `key` (a different realization
+    of the same process than the per-band path)."""
     m1 = n_fft // 2 + 1
     C, S = irfft_cos_sin_basis(n_fft, n)
     B_const = jnp.asarray(np.concatenate([C, S], axis=0), dtype=basis_dtype)
 
-    v_parts = []
     mode_rows = []
     for i, sp in enumerate(specs):
         band_key = jax.random.fold_in(key, sp.key_index if sp.key_index is not None else i)
         # same stream layout as generate_noise_with_knee (white stream
         # unused: the white component is folded into the spectral draw)
         _key_white, key_pink, key_modes = jax.random.split(band_key, 3)
-        n_bdet = sp.stop - sp.start
-        z = jax.random.normal(key_pink, (n_bdet, 2, m1), dtype=jnp.float32)
-        c = jnp.asarray(np.asarray(sp.c, dtype=np.float32))
-        v_parts.append((z * c).reshape(n_bdet, 2 * m1))
         if sp.k_modes:
             zm = jax.random.normal(key_modes, (sp.k_modes, 2, m1), dtype=jnp.float32)
             mc = jnp.asarray(np.asarray(sp.mode_c, dtype=np.float32))
             # tiny matmul: per-realization mode time series (k, n)
             mode_rows.append(((zm * mc).reshape(sp.k_modes, 2 * m1) @
                               jnp.asarray(np.concatenate([C, S], axis=0))))
-    V = jnp.concatenate(v_parts, axis=0).astype(basis_dtype)
+
+    if shared_c is not None:
+        n_det = specs[-1].stop
+        z = jax.random.normal(key, (n_det, 2, m1), dtype=jnp.float32)
+        c = jnp.asarray(np.asarray(shared_c, dtype=np.float32))
+        V = (z * c).reshape(n_det, 2 * m1).astype(basis_dtype)
+    else:
+        v_parts = []
+        for i, sp in enumerate(specs):
+            band_key = jax.random.fold_in(key, sp.key_index if sp.key_index is not None else i)
+            _kw, key_pink, _km = jax.random.split(band_key, 3)
+            n_bdet = sp.stop - sp.start
+            z = jax.random.normal(key_pink, (n_bdet, 2, m1), dtype=jnp.float32)
+            c = jnp.asarray(np.asarray(sp.c, dtype=np.float32))
+            v_parts.append((z * c).reshape(n_bdet, 2 * m1))
+        V = jnp.concatenate(v_parts, axis=0).astype(basis_dtype)
+
     B = B_const
     if mode_rows:
         V = jnp.concatenate([V, jnp.asarray(corr_cols).astype(basis_dtype)], axis=1)
         B = jnp.concatenate([B, jnp.concatenate(mode_rows, axis=0).astype(basis_dtype)],
                             axis=0)
-    return A + jnp.dot(V, B, preferred_element_type=jnp.float32)
+    noise = jnp.dot(V, B, preferred_element_type=jnp.float32)
+    if row_scale is not None:
+        noise = jnp.asarray(row_scale) * noise
+    return A + noise
 
 
 def band_half_spectrum(sample_rate: float, knee: float, beta: float, n_fft: int,

@@ -160,11 +160,16 @@ def upsample_time_phases(values, ratio: int, n_fine: int, kind: str = "cubic"):
     values = jnp.asarray(values)
     n_c = values.shape[-1]
 
-    # The stencil is a STATIC (taps, ratio) matrix, so the upsample is
-    # one contraction stencil @ taps instead of per-term broadcasts —
-    # XLA materializes a single (..., n_c-1, ratio) product (the output)
-    # rather than four fine-size temps plus a (..., n_c-1, taps, ratio)
-    # broadcast, which blew HBM at AtLAST scale (19.7 GB compile OOM).
+    # The stencil is a STATIC (taps, ratio) matrix. Phase-MAJOR
+    # evaluation: each phase r is a `taps`-term scalar-weighted sum of
+    # the shifted coarse views, stacked on a new minor axis — pure VPU
+    # work whose only materialization is the output. The previous
+    # einsum ("k...c,kr->...cr") was a K=taps, N=ratio dot_general that
+    # XLA put on the MXU with N padded to 128: measured 7.0 ms vs this
+    # form's 1.6 ms for (50004, 600) -> x5 on v5e
+    # (tools/probe_upsample_vassembly.py). A still-earlier broadcast
+    # form materialized a (..., n_c-1, taps, ratio) temp and OOM'd at
+    # AtLAST scale — the per-phase sums here keep temps coarse-sized.
     if kind == "linear" or n_c < 4:
         taps = [values[..., :-1], values[..., 1:]]
         C = _phase_stencil_matrix(ratio, "linear")
@@ -173,12 +178,13 @@ def upsample_time_phases(values, ratio: int, n_fine: int, kind: str = "cubic"):
         pad = jnp.concatenate([values[..., :1], values, values[..., -1:]], axis=-1)
         taps = [pad[..., :-3], pad[..., 1:-2], pad[..., 2:-1], pad[..., 3:]]
         C = _phase_stencil_matrix(ratio, "cubic")
-    out = jnp.einsum(
-        "k...c,kr->...cr",
-        jnp.stack(taps),
-        jnp.asarray(C, dtype=values.dtype),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    C = np.asarray(C, dtype=np.float64)
+    cols = [
+        sum(jnp.asarray(np.asarray(C[k, r]), values.dtype) * taps[k]
+            for k in range(len(taps)))
+        for r in range(ratio)
+    ]
+    out = jnp.stack(cols, axis=-1)
     out = out.reshape(*values.shape[:-1], (n_c - 1) * ratio)
     # extend with the last coarse value to n_fine
     deficit = n_fine - out.shape[-1]

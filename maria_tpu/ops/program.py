@@ -527,33 +527,46 @@ class TODProgram:
         n = len(self.t_fine)
         n_fft = good_fft_size(n)
         specs = []
+        shapes = []
         col_blocks = []
         k_total = 0
         for i in self.band_order:
             b = self.bands[i]
             start, stop = int(b.det_index[0]), int(b.det_index[-1] + 1)
             cp = b.corr_prop if b.noise_basis is not None else 0.0
-            c = 1e12 * b.NEP * band_half_spectrum(
-                self.sample_rate, b.knee, 1.0, n_fft, corr_prop=cp
-            )
+            shape = band_half_spectrum(self.sample_rate, b.knee, 1.0, n_fft,
+                                       corr_prop=cp)
+            shapes.append(shape)
             k_modes = 0
             mode_c = None
             if cp > 0:
                 k_modes = int(np.asarray(b.noise_basis).shape[-1])
                 mode_c = band_half_spectrum(self.sample_rate, b.knee, 1.0, n_fft,
                                             pink_only=True)
-                col_blocks.append((start, stop, k_total,
-                                   1e12 * b.NEP * np.sqrt(cp) * np.asarray(b.noise_basis)))
+                col_blocks.append((start, stop, k_total, b.NEP,
+                                   np.sqrt(cp) * np.asarray(b.noise_basis)))
                 k_total += k_modes
-            specs.append(NoiseBandSpec(start=start, stop=stop, c=c,
+            specs.append(NoiseBandSpec(start=start, stop=stop, c=1e12 * b.NEP * shape,
                                        k_modes=k_modes, mode_c=mode_c,
                                        key_index=i))
+        # one normalized spectral shape across bands (same knee/cp/rate,
+        # e.g. all AtLAST bands) -> single whole-axis draw + per-det NEP
+        # row scale in the matmul epilogue (noise/dft.py shared-shape path)
+        shared = all(np.allclose(s, shapes[0], rtol=1e-6) for s in shapes[1:])
+        shared_c = shapes[0] if shared else None
+        row_scale = None
+        if shared:
+            row_scale = np.zeros((len(self.offsets), 1), np.float32)
+            for i, sp in zip(self.band_order, specs):
+                row_scale[sp.start:sp.stop] = 1e12 * self.bands[i].NEP
         corr_cols = None
         if k_total:
             corr_cols = np.zeros((len(self.offsets), k_total), np.float32)
-            for start, stop, col0, block in col_blocks:
-                corr_cols[start:stop, col0:col0 + block.shape[-1]] = block
-        self._noise_specs_cache = (specs, corr_cols, n_fft)
+            for start, stop, col0, nep, block in col_blocks:
+                # shared mode: NEP rides the epilogue row scale instead
+                scale = 1.0 if shared else 1e12 * nep
+                corr_cols[start:stop, col0:col0 + block.shape[-1]] = scale * block
+        self._noise_specs_cache = (specs, corr_cols, n_fft, shared_c, row_scale)
         return self._noise_specs_cache
 
     def total_power_fn(self):
@@ -567,7 +580,7 @@ class TODProgram:
         if self.use_noise_matmul():
             from ..noise.dft import noise_total_matmul
 
-            specs, corr_cols, n_fft = self._noise_matmul_specs()
+            specs, corr_cols, n_fft, shared_c, row_scale = self._noise_matmul_specs()
 
             def fn(key, offsets, bs_az_c, bs_el_c, tables=None):
                 fields = self._loadings(key, offsets, bs_az_c, bs_el_c,
@@ -580,7 +593,7 @@ class TODProgram:
                     cols = tables["noise_corr_cols"]
                 return noise_total_matmul(
                     key_noise, A, specs, n=len(self.t_fine), n_fft=n_fft,
-                    corr_cols=cols,
+                    corr_cols=cols, shared_c=shared_c, row_scale=row_scale,
                 )
 
             return fn

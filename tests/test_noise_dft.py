@@ -170,3 +170,24 @@ def test_streaming_noise_untouched_by_gate(monkeypatch):
     key = jax.random.key(2)
     fields, _pwv = jax.jit(program.fields_fn())(*program.example_args(key))
     assert "noise" in fields and np.isfinite(np.asarray(fields["noise"])).all()
+
+
+def test_shared_shape_row_scale_path():
+    """Bands sharing a spectral shape ride the single-draw path with
+    NEP as an epilogue row scale: per-band stds must still track NEP."""
+    n, n_fft = 2000, 2048
+    shape = band_half_spectrum(SR, 0.5, 1.0, n_fft)
+    specs = [
+        NoiseBandSpec(0, 64, c=2.5 * shape, key_index=0),
+        NoiseBandSpec(64, 128, c=1.1 * shape, key_index=1),
+    ]
+    row_scale = np.concatenate([np.full((64, 1), 2.5), np.full((64, 1), 1.1)]).astype(np.float32)
+    x = np.asarray(noise_total_matmul(jax.random.key(21), 0.0, specs, n=n, n_fft=n_fft,
+                                      shared_c=shape, row_scale=row_scale,
+                                      basis_dtype=jnp.float32))
+    r = x[:64].std() / x[64:].std()
+    assert abs(r - 2.5 / 1.1) < 0.08 * (2.5 / 1.1)
+    # and the absolute level matches the per-band path's process
+    y = np.asarray(noise_total_matmul(jax.random.key(21), 0.0, specs, n=n, n_fft=n_fft,
+                                      basis_dtype=jnp.float32))
+    assert abs(x[:64].std() / y[:64].std() - 1) < 0.05
