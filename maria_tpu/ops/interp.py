@@ -148,6 +148,21 @@ def _phase_stencil_matrix(ratio: int, kind: str) -> np.ndarray:
     )
 
 
+def phase_major_cells(taps, C, dtype):
+    """Shared phase-major stencil contraction: out[..., c, r] =
+    sum_k C[k, r] * taps[k][..., c], stacked on a new minor axis. The
+    single source for the full upsample AND the streaming executor's
+    blockwise variants, so they stay BITWISE equal (same scalar
+    constants, same summation order)."""
+    C = np.asarray(C, dtype=np.float64)
+    cols = [
+        sum(jnp.asarray(np.asarray(C[k, r]), dtype) * taps[k]
+            for k in range(len(taps)))
+        for r in range(C.shape[1])
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
 def upsample_time_phases(values, ratio: int, n_fine: int, kind: str = "cubic"):
     """Gather-free upsample for an INTEGER coarse/fine ratio.
 
@@ -178,13 +193,7 @@ def upsample_time_phases(values, ratio: int, n_fine: int, kind: str = "cubic"):
         pad = jnp.concatenate([values[..., :1], values, values[..., -1:]], axis=-1)
         taps = [pad[..., :-3], pad[..., 1:-2], pad[..., 2:-1], pad[..., 3:]]
         C = _phase_stencil_matrix(ratio, "cubic")
-    C = np.asarray(C, dtype=np.float64)
-    cols = [
-        sum(jnp.asarray(np.asarray(C[k, r]), values.dtype) * taps[k]
-            for k in range(len(taps)))
-        for r in range(ratio)
-    ]
-    out = jnp.stack(cols, axis=-1)
+    out = phase_major_cells(taps, C, values.dtype)
     out = out.reshape(*values.shape[:-1], (n_c - 1) * ratio)
     # extend with the last coarse value to n_fine
     deficit = n_fine - out.shape[-1]

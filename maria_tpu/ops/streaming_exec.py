@@ -79,19 +79,14 @@ def _stencil_cells(sl, n_cells: int, ratio: int, n_c: int, kind: str):
     with ops/interp.upsample_time_phases (bitwise-identical weights and
     contraction) so the blockwise variants cannot drift from the full
     upsample."""
-    from .interp import _phase_stencil_matrix
+    from .interp import _phase_stencil_matrix, phase_major_cells
 
     if kind == "linear" or n_c < 4:
         taps = [sl[..., 1 : n_cells + 1], sl[..., 2 : n_cells + 2]]
     else:
         taps = [sl[..., k : n_cells + k] for k in range(4)]
     C = _phase_stencil_matrix(ratio, "linear" if (kind == "linear" or n_c < 4) else "cubic")
-    out = jnp.einsum(
-        "k...c,kr->...cr",
-        jnp.stack(taps),
-        jnp.asarray(C, dtype=sl.dtype),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    out = phase_major_cells(taps, C, sl.dtype)
     return out.reshape(*out.shape[:-2], n_cells * ratio)
 
 

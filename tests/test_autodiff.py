@@ -88,6 +88,7 @@ def test_grad_matches_finite_difference(tiny_program):
     assert abs(analytic - fd) < 0.1 * (abs(analytic) + abs(fd) + 1e-12), (analytic, fd)
 
 
+@pytest.mark.slow
 def test_gradient_pointing_calibration(tiny_program):
     """Recover an injected focal-plane offset error of one detector by
     gradient descent on the TOD mismatch — gradient-based pointing

@@ -116,6 +116,7 @@ def test_mapper_map_only_units(recovery):
     assert (w > 0).any() and np.isfinite(np.nan_to_num(np.asarray(out.data))).all()
 
 
+@pytest.mark.slow
 def test_bin_mapper_sharded_equals_single():
     """BinMapper.run(mesh=...) routes every block through the multi-chip
     MXU binning path and must equal the single-device map."""

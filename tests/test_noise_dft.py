@@ -113,7 +113,7 @@ def test_matmul_noise_correlated_component():
 def _tiny_program(monkeypatch=None):
     plan = maria_tpu.get_plan(
         "stare", start_time=1.75e9, scan_center=(150.0, 40.0), frame="az/el",
-        duration=20.0, sample_rate=20.0,
+        duration=12.0, sample_rate=16.0,
     )
     sim = maria_tpu.Simulation(
         instrument="MUSTANG-2", plans=plan, site="GBT", atmosphere="2d",

@@ -55,6 +55,7 @@ def test_sharded_equals_unsharded(program):
     assert np.allclose(unsharded, sharded, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoint():
     import __graft_entry__
 

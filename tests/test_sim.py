@@ -117,6 +117,7 @@ def test_fourier_vs_ar_statistics():
     assert 0.2 < ratio < 5.0, stds
 
 
+@pytest.mark.slow
 def test_gain_error_applied():
     sim = Simulation(
         instrument="MUSTANG-2",

@@ -146,6 +146,7 @@ def test_tod_blocks_shapes(mustang_program):
     assert np.isfinite(blk).all()
 
 
+@pytest.mark.slow
 def test_streaming_det_sharded_equals_single_device(mustang_program):
     """Long-observation streaming + det sharding compose: the same run
     with the carried state laid out over an 8-device mesh must equal the
@@ -171,6 +172,7 @@ def test_streaming_det_sharded_equals_single_device(mustang_program):
     assert single.n_samples == program.n_real_det * len(program.t_fine)
 
 
+@pytest.mark.slow
 def test_streamed_welch_psd_matches_full_tod(mustang_program):
     """The executor's per-band Welch accumulators (the ML mapper's noise
     statistics without holding the TOD) must match the PSD of the full
@@ -237,6 +239,7 @@ def test_streaming_map_stage_matches_batch(radec_sim_ingredients):
     np.testing.assert_allclose(stream, batch, atol=2e-4 * scale, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_streaming_map_stage_nearest_matches_batch(radec_sim_ingredients):
     """bilinear_sampling=False must reach the streamed sampler too (it
     was once stored and silently ignored): streamed nearest-pixel sky ==
@@ -266,6 +269,7 @@ def test_streaming_map_stage_nearest_matches_batch(radec_sim_ingredients):
     assert (stream != stream_bl).any()
 
 
+@pytest.mark.slow
 def test_streaming_cmb_stage_matches_batch(radec_sim_ingredients):
     """cmb= streamed per block: same power tables, same HEALPix sampling
     math; boundary pixels may flip from f32 rotation round-off, so the
@@ -291,6 +295,7 @@ def test_streaming_cmb_stage_matches_batch(radec_sim_ingredients):
     assert (diff > 0.05 * fluct).mean() < 1e-3  # isolated pixel-boundary flips only
 
 
+@pytest.mark.slow
 def test_streaming_radec_binning_matches_host(radec_sim_ingredients):
     """frame='ra/dec': streamed binning must follow the sky (match an
     independent host bincount from Pointing.det_radec on the same
