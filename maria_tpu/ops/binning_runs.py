@@ -457,33 +457,42 @@ def bin_runchunk(
     if data_in_plan_order:
         # rows already follow plan.order; only the block-grid row pad
         # remains (those rows are excluded via the plan's -1 slots, but
-        # must exist and be finite)
+        # must exist and be finite). Row and time pads ride ONE jnp.pad
+        # (each pad op is a separate full-size pass).
         d = data
         pad_d = nb * db - d.shape[1]
-        if pad_d:
-            d = jnp.pad(d, ((0, 0), (0, pad_d), (0, 0)), mode="edge")
+        if pad_d or pad_t:
+            # edge padding (NOT zeros): padded samples are already
+            # excluded through the plan's -1 ids, but they enter the
+            # per-(block, chunk) mean — zeros would drag the shift off
+            # its data and blow the bf16 residual rounding up to the
+            # full signal scale
+            d = jnp.pad(d, ((0, 0), (0, pad_d), (0, pad_t)), mode="edge")
     else:
         d = jnp.take(data, order, axis=1)
-    if pad_t:
-        # edge padding (NOT zeros): padded samples are already excluded
-        # through the plan's -1 ids, but they enter the per-(block,
-        # chunk) mean — zeros would drag the shift off its data and
-        # blow the bf16 residual rounding up to the full signal scale
-        d = jnp.pad(d, ((0, 0), (0, 0), (0, pad_t)), mode="edge")
-    d = d.reshape(n_ch, nb, db, nc, C)
+        if pad_t:
+            d = jnp.pad(d, ((0, 0), (0, 0), (0, pad_t)), mode="edge")
+    # KEEP the (n_ch, rows, time) layout: slicing the time axis of the
+    # contiguous array inside the scan is a clean per-chunk DMA, while
+    # a 5-D (nb, db, nc, C) view forces XLA to materialize a tiled
+    # relayout of the whole array up front (XProf: ~2 ms at AtLAST-50k
+    # scale — the same cost class as the moveaxis this replaced)
 
     ky = jnp.arange(plan.wy, dtype=jnp.int32)
     kx = jnp.arange(plan.wx, dtype=jnp.int32)
     t_iota = jnp.arange(seg, dtype=jnp.int32)
 
     def chunk_body(m, args):
-        c, e_c, ly_c, lx_c, org_c, wcnt_c = args
-        # the chunk's data is sliced IN-BODY instead of riding the scan
-        # xs: moving the time axis to the front for xs is a full-size
-        # strided relayout XLA materializes up front (part of the
-        # measured ~18 ms binning input cost at AtLAST scale); the
+        c, e_c, ly_c, lx_c, org_c = args
+        # the chunk's data AND count windows are sliced IN-BODY instead
+        # of riding the scan xs: moving their chunk axis to the front
+        # for xs is a full-size strided relayout XLA materializes up
+        # front, and the wcnt xs-slice+restore fusion alone measured
+        # ~6 ms of the AtLAST-50k binning stage; the time-axis
         # dynamic_slice reads the synthesis layout directly
-        d_c = jax.lax.dynamic_slice_in_dim(d, c, 1, axis=3)[:, :, :, 0]
+        d_c = jax.lax.dynamic_slice_in_dim(d, c * C, C, axis=2)
+        d_c = d_c.reshape(n_ch, nb, db, C)
+        wcnt_c = jax.lax.dynamic_slice_in_dim(wcnt, c, 1, axis=1)[:, 0]
         # d_c (n_ch, nb, db, C); e_c/ly_c/lx_c (nb, db, S, R); org_c (nb, 2)
         if precision == "hilo":
             # unshifted: zero data stays EXACTLY zero (no restore term)
@@ -520,12 +529,21 @@ def bin_runchunk(
             )
         win = win + mu[:, :, None, None] * wcnt_c[None]
 
-        def place(b, m):
-            o = org_c[b]
-            blk = jax.lax.dynamic_slice(m, (0, o[0], o[1]), (n_ch, plan.wy, plan.wx))
-            return jax.lax.dynamic_update_slice(m, blk + win[:, b], (0, o[0], o[1]))
-
-        return jax.lax.fori_loop(0, nb, place, m), ()
+        # vectorized placement: pad each block's window to the full map
+        # and ROLL it to its origin (origins are clipped to the map, so
+        # the roll never wraps), then reduce over blocks. The previous
+        # per-block dynamic-update-slice fori_loop was a SEQUENTIAL
+        # nb x nc chain of tiny map updates — XProf measured it at
+        # ~9 ms of the 26 ms AtLAST-50k binning stage (~3 us a step
+        # for 49 x 47 steps); this is one fused pass over
+        # (nb, n_y, n_x) per chunk.
+        full = jnp.pad(
+            win, ((0, 0), (0, 0), (0, plan.n_y - plan.wy), (0, plan.n_x - plan.wx)))
+        placed = jax.vmap(
+            lambda w, o: jnp.roll(w, shift=(o[0], o[1]), axis=(-2, -1)),
+            in_axes=(1, 0), out_axes=1,
+        )(full, org_c)
+        return m + placed.sum(axis=1), ()
 
     m0 = jnp.zeros((n_ch, plan.n_y, plan.n_x), dtype=jnp.float32)
     if pvary_axes:
@@ -536,7 +554,6 @@ def bin_runchunk(
         jnp.moveaxis(run_ly, 2, 0),
         jnp.moveaxis(run_lx, 2, 0),
         jnp.moveaxis(origins, 1, 0),
-        jnp.moveaxis(wcnt, 1, 0),
     )
     m, _ = jax.lax.scan(chunk_body, m0, xs)
     return m[0] if squeeze else m

@@ -53,18 +53,37 @@ def main() -> None:
 
     k_chain = 9
 
-    @jax.jit
-    def binning_only(tod, e, rly, rlx, origins, order, wcnt):
-        def body(c, i):
-            m = bin_runchunk(tod + i.astype(jnp.float32), rplan, e_idx=e, run_ly=rly,
-                             run_lx=rlx, origins=origins, order=order, wcnt=wcnt,
-                             data_in_plan_order=True)
-            return c + m.max(), ()
-        out, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k_chain))
-        return out
+    def make_binning(precision):
+        @jax.jit
+        def binning_only(tod, e, rly, rlx, origins, order, wcnt):
+            def body(c, i):
+                m = bin_runchunk(tod + i.astype(jnp.float32), rplan, e_idx=e, run_ly=rly,
+                                 run_lx=rlx, origins=origins, order=order, wcnt=wcnt,
+                                 data_in_plan_order=True, precision=precision)
+                return c + m.max(), ()
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k_chain))
+            return out
+        return binning_only
+
+    binning_only = make_binning("shifted")
 
     f_bin = binning_only.lower(tod, *plan_args).compile()
     float(np.asarray(f_bin(tod, *plan_args)))
+    rtt = bench.measure_dispatch_rtt()
+    times = []
+    for _ in range(3):
+        s = time.perf_counter()
+        float(np.asarray(f_bin(tod, *plan_args)))
+        times.append(time.perf_counter() - s)
+    stamp(f"binning: {(min(times)-rtt)/k_chain*1e3:.2f} ms/TOD (rtt {rtt*1e3:.1f})")
+    f_hilo = make_binning("hilo").lower(tod, *plan_args).compile()
+    float(np.asarray(f_hilo(tod, *plan_args)))
+    times = []
+    for _ in range(3):
+        s = time.perf_counter()
+        float(np.asarray(f_hilo(tod, *plan_args)))
+        times.append(time.perf_counter() - s)
+    stamp(f"binning hilo: {(min(times)-rtt)/k_chain*1e3:.2f} ms/TOD")
     stamp("binning compiled+warm; tracing")
     with jax.profiler.trace("/tmp/trace_binning"):
         float(np.asarray(f_bin(tod, *plan_args)))
@@ -90,6 +109,12 @@ def main() -> None:
 
     f_noise = noise_only.lower(jax.random.key(1), A, cols).compile()
     float(np.asarray(f_noise(jax.random.key(1), A, cols)))
+    times = []
+    for _ in range(3):
+        s = time.perf_counter()
+        float(np.asarray(f_noise(jax.random.key(3), A, cols)))
+        times.append(time.perf_counter() - s)
+    stamp(f"noise: {(min(times)-rtt)/k_chain*1e3:.2f} ms/TOD")
     stamp("noise compiled+warm; tracing")
     with jax.profiler.trace("/tmp/trace_noise"):
         float(np.asarray(f_noise(jax.random.key(2), A, cols)))
