@@ -156,8 +156,7 @@ def phase_major_cells(taps, C, dtype):
     constants, same summation order)."""
     C = np.asarray(C, dtype=np.float64)
     cols = [
-        sum(jnp.asarray(np.asarray(C[k, r]), dtype) * taps[k]
-            for k in range(len(taps)))
+        sum(jnp.asarray(C[k, r], dtype=dtype) * taps[k] for k in range(len(taps)))
         for r in range(C.shape[1])
     ]
     return jnp.stack(cols, axis=-1)

@@ -205,6 +205,14 @@ class StreamingExecutor:
             per_cell = 8 * len(program.offsets) * self.r * 4
             n_tc = -(-len(program.t_fine) // self.r)
             block_tc = int(np.clip(budget // max(per_cell, 1), 16, max(n_tc, 16)))
+            if len(program.offsets) > 4096:
+                # large arrays bin on the MXU in-scan; the per-block
+                # window AREA grows with block duration and pushes the
+                # one-hot passes past the row-bound regime — measured on
+                # AtLAST-50k x 600 s: block 256 streams SLOWER (3.21 s)
+                # than block 128 (2.88 s, round-3 log) despite fewer
+                # scan steps
+                block_tc = min(block_tc, 128)
         self.block_tc = int(block_tc)
         self.B = self.block_tc * self.r
         self.n_t = len(program.t_fine)
@@ -246,7 +254,14 @@ class StreamingExecutor:
         self.center = (c0, c1)
         if res is None:
             # bound every det x time sample: all detectors x a coarse
-            # boresight subsample, with margin for the skipped samples
+            # boresight subsample, with margin for the skipped samples.
+            # This one-off setup math is PINNED TO THE HOST CPU backend:
+            # run eagerly on the device, its ~27 jnp primitives each
+            # compile a tiny executable, and over the development tunnel
+            # that measured 751 s of StreamingExecutor setup for an
+            # AtLAST-600s scene (~25 s per remote compile; local CPU
+            # compiles are milliseconds and the result is host-bound
+            # anyway).
             step = max(1, len(phi_f) // 1024)
             o = program.offsets.astype(np.float32)
             if frame == "ra/dec":
@@ -257,12 +272,18 @@ class StreamingExecutor:
                 )
             else:
                 det_offs = o[:, None, :]
-            pt = np.asarray(
-                offsets_to_phi_theta(
-                    jnp.asarray(det_offs), jnp.asarray(phi_f[::step]), jnp.asarray(theta_f[::step])
+            try:
+                host = jax.devices("cpu")[0]
+            except RuntimeError:
+                host = None
+            with jax.default_device(host):
+                pt = np.asarray(
+                    offsets_to_phi_theta(
+                        jnp.asarray(det_offs), jnp.asarray(phi_f[::step]),
+                        jnp.asarray(theta_f[::step]),
+                    )
                 )
-            )
-            offs = np.asarray(phi_theta_to_offsets_jit(jnp.asarray(pt), c0, c1))
+                offs = np.asarray(phi_theta_to_offsets_jit(jnp.asarray(pt), c0, c1))
             half = float(np.abs(offs).max()) * 1.05 + 1e-6
             res = 2 * half / self.n_x
         self.res = float(res)

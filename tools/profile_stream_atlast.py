@@ -42,6 +42,10 @@ def main() -> None:
     from maria_tpu.ops.streaming_exec import StreamingExecutor
 
     t0 = time.time()
+
+    def stamp(msg):
+        print(f"[stream +{time.time()-t0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
     if args.cpu_smoke:
         program, obs = bench.build_program(duration=min(args.duration, 60.0))
     else:
@@ -52,20 +56,25 @@ def main() -> None:
     key = jax.random.key(0)
     out = {"platform": jax.default_backend(), "duration_s": args.duration,
            "setup_s": None}
+    stamp("program built")
 
     def timed(ex, **kw):
         ex.run(key, group_size=args.group, **kw)  # compile + warm state
+        stamp("compiled + warm")
         t = time.time()
         r = ex.run(key, group_size=args.group, **kw)
         return time.time() - t, r
 
     ex = StreamingExecutor(program, obs, block_tc=args.block_tc)
     out["setup_s"] = round(time.time() - t0, 1)
+    out["block_tc"] = ex.block_tc
+    stamp(f"executor set up (block_tc {ex.block_tc}, {ex.n_blocks} blocks)")
     mxu = ex._bin_plan is not None and not args.cpu_smoke
     t_full, r = timed(ex, **({} if mxu else {"mxu_binning": False}))
     out["full_s"] = round(t_full, 2)
     out["n_samples"] = r.n_samples
     out["samples_per_s"] = round(r.n_samples / t_full, 1)
+    stamp(f"full: {t_full:.2f}s ({r.n_samples / t_full:.3e} samples/s)")
 
     t_scatter, _ = timed(ex, mxu_binning=False)
     out["scatter_s"] = round(t_scatter, 2)
