@@ -37,6 +37,27 @@ from .sampling import accumulate_pwv
 
 logger = logging.getLogger("maria_tpu")
 
+# Minimum periodic extent of an FFT screen, in units of the outer scale
+# r0. A footprint-sized box cannot carry the Matérn spectrum: its
+# longest mode is the box itself, so every scale between the box and
+# ~r0 — which DOMINATE the aperture-smoothed structure function — is
+# simply absent. Measured on the ν=1/3, r0=1 km, 42.5 m-aperture case
+# (tests/test_atmosphere_fidelity.py): a 240 m footprint box yields
+# 4% of the analytic D^(1/2)(60 m) and 0.7% of the field variance;
+# 4·r0 recovers 95% of D^(1/2), 5·r0 98%. Scales beyond the box fold
+# into the weather-level mean-pwv draw, not the screens.
+_MIN_EXTENT_R0_FACTOR = 4.0
+# memory guard: a screen axis never exceeds this many cells from the
+# extent rule alone (65 MB of f32 at 4096² — far above any real scene)
+_MAX_EXTENT_CELLS = 4096
+
+
+def _min_spectral_extent_cells(res: float, r0: float) -> int:
+    import os
+
+    factor = float(os.environ.get("MARIA_TPU_SCREEN_EXTENT_R0", _MIN_EXTENT_R0_FACTOR))
+    return int(min(factor * r0 / max(res, 1e-6), _MAX_EXTENT_CELLS))
+
 SUPPORTED_MODELS = ["2d", "3d"]
 SUPPORTED_METHODS = ["fourier", "ar"]
 
@@ -341,8 +362,9 @@ class Atmosphere:
                         )
                         continue
 
-                    nx = good_fft_size(int(1.3 * nx_needed) + 8)
-                    ny = good_fft_size(int(1.3 * ny_needed) + 8)
+                    min_cells = _min_spectral_extent_cells(res, outer_scale)
+                    nx = good_fft_size(max(int(1.3 * nx_needed) + 8, min_cells))
+                    ny = good_fft_size(max(int(1.3 * ny_needed) + 8, min_cells))
 
                     W = field_spectral_weights_2d(
                         ny, nx, res, res, nu=nu, r0=outer_scale, beam_sigma=beam_sigma
@@ -369,8 +391,9 @@ class Atmosphere:
                 margin = 2 * res
                 tx_min, tx_max = tx.min() - margin, tx.max() + margin
                 ty_min, ty_max = ty.min() - margin, ty.max() + margin
-                nx = good_fft_size(int(1.3 * ((tx_max - tx_min) / res + 2)) + 8)
-                ny = good_fft_size(int(1.3 * ((ty_max - ty_min) / res + 2)) + 8)
+                min_cells = _min_spectral_extent_cells(res, outer_scale)
+                nx = good_fft_size(max(int(1.3 * ((tx_max - tx_min) / res + 2)) + 8, min_cells))
+                ny = good_fft_size(max(int(1.3 * ((ty_max - ty_min) / res + 2)) + 8, min_cells))
 
                 heights = process_layers.h.values.astype(float)
                 zs = process_layers.z.values.astype(float)

@@ -98,23 +98,39 @@ def test_3d_atmosphere_ar_smoke():
 def test_fourier_vs_ar_statistics():
     """The FFT synthesis path and the AR path should produce pwv
     fluctuations of comparable magnitude (distribution-level parity)."""
+    # Compare on a SCANNING plan: a zenith stare only sees ~60 m of
+    # advection, where both models are deep in the aperture-smoothing
+    # cutoff and the residual variance measures each path's cutoff
+    # implementation, not the resolved Matern statistics (measured
+    # 5-10x apart there, both ~100x below the unsmoothed structure
+    # function). A daisy scan sweeps resolved scales, where the two
+    # syntheses must agree in magnitude. Averaged over seeds for a
+    # stable oracle.
     stds = {}
+    plan_kwargs = dict(
+        start_time=1.75e9, scan_center=(120.0, 70.0), frame="az/el",
+        duration=30.0, sample_rate=20.0,
+        scan_options={"radius": 0.25, "speed": 0.1},
+    )
     for method in ("fourier", "ar"):
-        sim = Simulation(
-            instrument="MUSTANG-2",
-            plans=get_plan("ten_second_zenith_stare", sample_rate=20),
-            site="chajnantor",
-            atmosphere="2d",
-            atmosphere_kwargs={"method": method},
-            noise=False,
-            seed=7,
-        )
-        obs = sim.obs_list[0]
-        sim._simulate_atmosphere(obs, sim._next_key())
-        pwv = np.asarray(obs.atmosphere.zenith_scaled_pwv)
-        stds[method] = (pwv - pwv.mean()).std()
+        var = 0.0
+        for seed in (7, 8, 9):
+            sim = Simulation(
+                instrument="MUSTANG-2",
+                plans=get_plan("daisy_5arcmin_60s", **plan_kwargs),
+                site="chajnantor",
+                atmosphere="2d",
+                atmosphere_kwargs={"method": method},
+                noise=False,
+                seed=seed,
+            )
+            obs = sim.obs_list[0]
+            sim._simulate_atmosphere(obs, sim._next_key())
+            pwv = np.asarray(obs.atmosphere.zenith_scaled_pwv)
+            var += float((pwv - pwv.mean()).var())
+        stds[method] = np.sqrt(var / 3)
     ratio = stds["fourier"] / stds["ar"]
-    assert 0.2 < ratio < 5.0, stds
+    assert 0.33 < ratio < 3.0, stds
 
 
 @pytest.mark.slow
