@@ -61,6 +61,23 @@ import numpy as np
 __all__ = ["NoiseBandSpec", "noise_total_matmul", "irfft_cos_sin_basis"]
 
 
+def _use_pallas_draw() -> bool:
+    """Whether the shared-shape V draw runs through the Mosaic
+    hardware-PRNG kernel (ops/pallas_noise.shared_v_pallas). Default on
+    TPU: the threefry bits->normals chain measured ~5 ms of VPU per
+    AtLAST-50k x 60 s realization. Override MARIA_TPU_NOISE_DRAW=
+    pallas|threefry. NOTE: pallas_call does not partition — explicitly
+    det-sharded programs should set threefry."""
+    import os
+
+    mode = os.environ.get("MARIA_TPU_NOISE_DRAW", "").lower()
+    if mode in ("threefry", "0", "off"):
+        return False
+    if mode in ("pallas", "1", "on"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
 @lru_cache(maxsize=16)
 def irfft_cos_sin_basis(n_fft: int, n: int):
     """(C, S) float32 numpy bases, each (n_fft//2 + 1, n), such that
@@ -149,9 +166,14 @@ def noise_total_matmul(
 
     if shared_c is not None:
         n_det = specs[-1].stop
-        z = jax.random.normal(key, (n_det, 2, m1), dtype=jnp.float32)
-        c = jnp.asarray(np.asarray(shared_c, dtype=np.float32))
-        V = (z * c).reshape(n_det, 2 * m1).astype(basis_dtype)
+        if _use_pallas_draw() and basis_dtype == jnp.bfloat16:
+            from ..ops.pallas_noise import shared_v_pallas
+
+            V = shared_v_pallas(key, n_det, shared_c)
+        else:
+            z = jax.random.normal(key, (n_det, 2, m1), dtype=jnp.float32)
+            c = jnp.asarray(np.asarray(shared_c, dtype=np.float32))
+            V = (z * c).reshape(n_det, 2 * m1).astype(basis_dtype)
     else:
         v_parts = []
         for i, sp in enumerate(specs):

@@ -381,3 +381,69 @@ def pink_time_reference(z, weights, n: int):
     S = S.at[:, 0].set(zre[:, 0])  # k=0 slot re -> real DC normal
     S = S.at[:, m].set(zim[:, 0])  # k=0 slot im -> real Nyquist normal
     return jnp.fft.irfft(jnp.asarray(weights) * S, n=2 * m, axis=-1)[:, :n]
+
+
+def _shared_v_call(seeds, n_det: int, c_np, batch: int, interpret: bool):
+    """pallas_call for `shared_v_pallas`: `batch` independent draws
+    flattened into the grid (grid tile i serves batch member
+    i // tiles_per_member). `seeds` is (batch, 2) int32 in SMEM."""
+    m1 = len(c_np)
+    Dp = -(-n_det // _TILE_D) * _TILE_D
+    tiles = Dp // _TILE_D
+
+    def kernel(seed_ref, c_ref, re_ref, im_ref):
+        golden = jnp.int32(np.int32(np.uint32(0x9E3779B9)))
+        i = pl.program_id(0)
+        b = i // tiles
+        t = i % tiles
+        pltpu.prng_seed(seed_ref[b, 0] + golden * t, seed_ref[b, 1])
+        z_re, z_im = _box_muller((re_ref.shape[0], m1))
+        c = c_ref[...]
+        re_ref[...] = (z_re * c).astype(jnp.bfloat16)
+        im_ref[...] = (z_im * c).astype(jnp.bfloat16)
+
+    re, im = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch * Dp, m1), jnp.bfloat16),
+            jax.ShapeDtypeStruct((batch * Dp, m1), jnp.bfloat16),
+        ),
+        grid=(batch * tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((m1,), lambda i: (0,)),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TILE_D, m1), lambda i: (i, 0)),
+            pl.BlockSpec((_TILE_D, m1), lambda i: (i, 0)),
+        ),
+        interpret=interpret,
+    )(seeds, jnp.asarray(c_np))
+    # [re | im] column order matches the matmul basis B = [C; S]
+    V = jnp.concatenate([re, im], axis=1)
+    return V.reshape(batch, Dp, 2 * m1)[:, :n_det]
+
+
+def shared_v_pallas(key, n_det: int, c, interpret: bool = False):
+    """(n_det, 2*(m+1)) bf16 V rows for the shared-shape matmul-noise
+    path (noise/dft.py): columns [re_0..re_m, im_0..im_m] of c * z with
+    z standard normal from the in-kernel Mosaic PRNG, seeded per
+    (key, tile) — the threefry bits->normals chain this replaces
+    measured ~5 ms of VPU per AtLAST-50k x 60 s realization. Same
+    process as the threefry draw, different realization for the same
+    key. Compiled-TPU only (the interpreter lacks prng_seed).
+
+    vmap over `key` (the bench chains batched realizations) folds the
+    batch into the grid via a custom batching rule — each member draws
+    from its own seed, so batched == stacked unbatched calls."""
+    c_np = np.asarray(c, dtype=np.float32)
+
+    @jax.custom_batching.custom_vmap
+    def core(seed2):
+        return _shared_v_call(seed2[None], n_det, c_np, 1, interpret)[0]
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, seeds):  # noqa: ARG001
+        return _shared_v_call(seeds, n_det, c_np, axis_size, interpret), True
+
+    return core(jax.random.key_data(key).astype(jnp.int32).reshape(2))
