@@ -646,6 +646,10 @@ def bench_cpu_baseline(program, obs) -> float:
     # setup: AR processes matching each screen's grid (not timed)
     processes = []
     for screen in atm.screens:
+        if getattr(screen, "band", "full") == "coarse":
+            # the fine/coarse pair covers ONE physical layer; the
+            # reference algorithm models each layer once
+            continue
         # the footprint-sized grid the reference AR method needs (the
         # FFT-padded screen.nx/ny would overcharge the CPU baseline)
         nx = screen.nx_needed or screen.nx

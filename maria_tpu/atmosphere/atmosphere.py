@@ -27,6 +27,7 @@ from ..spectrum import AtmosphericSpectrum
 from ..units import Quantity
 from ..weather import Weather
 from .fourier import (
+    band_split_spectral_weights_2d,
     field_spectral_weights_2d,
     good_fft_size,
     layered_field_spectral_weights,
@@ -90,6 +91,11 @@ class LayerScreen:
     # (e.g. the reference's AR extrusion) actually needs to cover
     nx_needed: int = None
     ny_needed: int = None
+    # spectral band this screen carries: "full" (one screen spans the
+    # whole spectrum), or one of a "fine"/"coarse" PAIR covering the
+    # same layer (fourier.band_split_spectral_weights_2d) — the
+    # CPU-reference baseline models each layer once and skips "coarse"
+    band: str = "full"
 
 
 @dataclass
@@ -363,8 +369,56 @@ class Atmosphere:
                         continue
 
                     min_cells = _min_spectral_extent_cells(res, outer_scale)
-                    nx = good_fft_size(max(int(1.3 * nx_needed) + 8, min_cells))
-                    ny = good_fft_size(max(int(1.3 * ny_needed) + 8, min_cells))
+                    nx_fp = good_fft_size(max(int(1.3 * nx_needed) + 8, 32))
+                    ny_fp = good_fft_size(max(int(1.3 * ny_needed) + 8, 32))
+
+                    if min_cells > 2 * max(nx_fp, ny_fp):
+                        # footprint box << spectral extent: carry the
+                        # spectrum as a fine/coarse band PAIR (the
+                        # single big box regressed small scenes 3.7x —
+                        # fourier.band_split_spectral_weights_2d)
+                        L_min = min(nx_fp, ny_fp) * res
+                        k_c = 4 * np.pi / L_min
+                        res_c = L_min / 8.0
+                        cells_c = good_fft_size(
+                            int(min_cells * res / res_c) + 2
+                        )
+                        W_f, W_c = band_split_spectral_weights_2d(
+                            ny_fp, nx_fp, res, cells_c, cells_c, res_c,
+                            k_c, nu=nu, r0=outer_scale, beam_sigma=beam_sigma,
+                        )
+                        win_x, win_y = window_bounds(float(layer.h), res, nx_fp, ny_fp)
+                        win_xc, win_yc = window_bounds(
+                            float(layer.h), res_c, cells_c, cells_c)
+                        common = dict(
+                            h=float(layer.h), z=float(layer.z),
+                            pwv_rms=float(layer.pwv_rms), angle=angle, vx=vx, vy=vy,
+                        )
+                        self.screens.append(
+                            LayerScreen(
+                                res=res, tx_min=tx_min, ty_min=ty_min,
+                                nx=nx_fp, ny=ny_fp, W=W_f,
+                                win_x=win_x, win_y=win_y,
+                                nx_needed=nx_needed, ny_needed=ny_needed,
+                                band="fine", **common,
+                            )
+                        )
+                        # coarse box centered on the footprint
+                        Lc = cells_c * res_c
+                        self.screens.append(
+                            LayerScreen(
+                                res=res_c,
+                                tx_min=tx_min - (Lc - nx_fp * res) / 2,
+                                ty_min=ty_min - (Lc - ny_fp * res) / 2,
+                                nx=cells_c, ny=cells_c, W=W_c,
+                                win_x=win_xc, win_y=win_yc,
+                                band="coarse", **common,
+                            )
+                        )
+                        continue
+
+                    nx = good_fft_size(max(nx_fp, min_cells))
+                    ny = good_fft_size(max(ny_fp, min_cells))
 
                     W = field_spectral_weights_2d(
                         ny, nx, res, res, nu=nu, r0=outer_scale, beam_sigma=beam_sigma

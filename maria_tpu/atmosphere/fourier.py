@@ -83,29 +83,92 @@ def good_fft_size(n: int) -> int:
     return best
 
 
+def _rfft2_double_weights(S):
+    """Multiplicity of each rfft2 bin when summing over the full grid
+    (columns 0 and nx/2 are not doubled)."""
+    weights_full = np.ones_like(S)
+    weights_full[:, 1:] = 2.0
+    if (2 * (S.shape[1] - 1)) % 2 == 0:
+        weights_full[:, -1] = 1.0
+    return weights_full
+
+
 def field_spectral_weights_2d(ny: int, nx: int, dy: float, dx: float, nu: float, r0: float, beam_sigma: float = 0.0):
     """Host-precomputed spectral weights W(k) such that
     irfft2(rfft2(white) * W) is a unit-variance Matérn(nu, r0) field,
     optionally beam-smoothed with a Gaussian of width `beam_sigma`
-    (all lengths in meters)."""
+    (all lengths in meters).
+
+    The DC bin is ZEROED and excluded from the normalization: a
+    screen's constant offset is the weather-level mean pwv's job, and
+    because S(k) is steep, a retained S(0) bin swallows most of the
+    variance budget on any box not much larger than r0 (measured: a
+    240 m box left 0.7% of the variance in actual structure)."""
     ky = 2 * np.pi * np.fft.fftfreq(ny, d=dy)
     kx = 2 * np.pi * np.fft.rfftfreq(nx, d=dx)
     k = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
     S = matern_spectral_density(k, nu=nu, r0=r0, d=2)
+    S[0, 0] = 0.0
 
-    # unit variance: Var(x) = (1/N) sum_k |W_k|^2 over the FULL grid.
-    # account for the rfft half-spectrum (columns 0 and nx/2 are not doubled)
-    weights_full = np.ones_like(S)
-    weights_full[:, 1:] = 2.0
-    if nx % 2 == 0:
-        weights_full[:, -1] = 1.0
-    n_total = ny * nx
-    norm = np.sqrt(n_total / np.sum(weights_full * S))
+    # unit variance: Var(x) = (1/N) sum_k |W_k|^2 over the FULL grid
+    norm = np.sqrt(ny * nx / np.sum(_rfft2_double_weights(S) * S))
     W = np.sqrt(S) * norm
 
     if beam_sigma > 0:
         W = W * np.exp(-0.5 * beam_sigma**2 * k**2)
     return W.astype(np.float32)
+
+
+def band_split_spectral_weights_2d(
+    ny_f: int, nx_f: int, res_f: float,
+    ny_c: int, nx_c: int, res_c: float,
+    k_c: float, nu: float, r0: float,
+    beam_sigma: float = 0.0, order: int = 8,
+):
+    """(W_fine, W_coarse) for a TWO-BAND screen pair that jointly
+    carries the Matérn spectrum: the fine box holds k >~ k_c on a
+    footprint-sized grid, the coarse box holds k <~ k_c over a
+    spectrum-spanning extent at coarse resolution, and sampling the SUM
+    of the two (independently drawn) fields reproduces the one-screen
+    statistics — at a tiny fraction of the synthesis cost when the
+    footprint is much smaller than r0 (a 10 s stare needs 64^2 + 48^2
+    cells instead of 512^2; the single big box regressed the small-
+    scene benchmark 3.7x).
+
+    The split is an order-`order` power partition t(k) = k^o/(k^o+k_c^o)
+    (t + (1-t) = 1 exactly, so the total spectral density is preserved);
+    `k_c` must sit >= 2x above the fine box's fundamental and >= 2x
+    below the coarse box's Nyquist so neither box is asked to carry
+    modes it cannot represent (residuals < 0.5% at order 8). Both
+    bands share one normalization so the SUMMED field has unit
+    variance; the beam rides both."""
+
+    def grid_k(ny, nx, d):
+        ky = 2 * np.pi * np.fft.fftfreq(ny, d=d)
+        kx = 2 * np.pi * np.fft.rfftfreq(nx, d=d)
+        return np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
+
+    def taper(k):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(k > 0, 1.0 / (1.0 + (k_c / np.maximum(k, 1e-30)) ** order), 0.0)
+        return t
+
+    k_f = grid_k(ny_f, nx_f, res_f)
+    k_cg = grid_k(ny_c, nx_c, res_c)
+    S_f = matern_spectral_density(k_f, nu=nu, r0=r0, d=2) * taper(k_f)
+    S_c = matern_spectral_density(k_cg, nu=nu, r0=r0, d=2) * (1.0 - taper(k_cg))
+    S_f[0, 0] = 0.0
+    S_c[0, 0] = 0.0
+
+    var = (np.sum(_rfft2_double_weights(S_f) * S_f) / (ny_f * nx_f)
+           + np.sum(_rfft2_double_weights(S_c) * S_c) / (ny_c * nx_c))
+    amp = 1.0 / np.sqrt(var)
+    W_f = amp * np.sqrt(S_f)
+    W_c = amp * np.sqrt(S_c)
+    if beam_sigma > 0:
+        W_f = W_f * np.exp(-0.5 * beam_sigma**2 * k_f**2)
+        W_c = W_c * np.exp(-0.5 * beam_sigma**2 * k_cg**2)
+    return W_f.astype(np.float32), W_c.astype(np.float32)
 
 
 def layered_matern_kz_nodes(nu: float, r0: float, dz_max: float, dz_min: float, J1: int = 64, J2: int = 32):

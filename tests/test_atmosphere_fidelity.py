@@ -67,7 +67,9 @@ def test_screen_structure_function_matches_analytic(beam_sigma):
 
 def test_sim_screens_are_spectrally_sized():
     """The screens a real (small-footprint) sim builds must span the
-    extent rule — the stare scene that exposed the bug."""
+    extent rule — the stare scene that exposed the bug. Small scenes
+    carry the spectrum as a fine/coarse band PAIR whose coarse member
+    spans it (the single big box regressed small scenes 3.7x)."""
     import maria_tpu
 
     sim = maria_tpu.Simulation(
@@ -78,11 +80,59 @@ def test_sim_screens_are_spectrally_sized():
     )
     obs = sim.obs_list[0]
     sim._simulate_atmosphere(obs, sim._next_key())
-    for s in obs.atmosphere.screens:
-        if s.W is None:
-            continue
-        assert s.nx * s.res >= 4.0 * R0 * 0.99, (s.nx, s.res)
-        assert s.ny * s.res >= 4.0 * R0 * 0.99
+    screens = [s for s in obs.atmosphere.screens if s.W is not None]
+    assert screens
+    by_layer = {}
+    for s in screens:
+        by_layer.setdefault(s.h, []).append(s)
+    for h, group in by_layer.items():
+        bands = sorted(getattr(s, "band", "full") for s in group)
+        if bands == ["full"]:
+            (s,) = group
+            assert s.nx * s.res >= 4.0 * R0 * 0.99, (h, s.nx, s.res)
+        else:
+            assert bands == ["coarse", "fine"], (h, bands)
+            coarse = next(s for s in group if s.band == "coarse")
+            assert coarse.nx * coarse.res >= 4.0 * R0 * 0.95, (h, coarse.nx, coarse.res)
+
+
+def test_band_split_pair_matches_analytic():
+    """The SUM of a fine/coarse pair sampled along a track reproduces
+    the one-big-screen structure function (the pair is how small
+    scenes carry the spectrum)."""
+    from scipy.ndimage import map_coordinates
+
+    from maria_tpu.atmosphere.fourier import band_split_spectral_weights_2d
+
+    beam_sigma = 42.5
+    ny_f = nx_f = 32
+    res_f = RES
+    L = nx_f * res_f  # 320 m footprint box
+    k_c = 4 * np.pi / L
+    res_c = L / 8.0
+    cells_c = 112  # ~4.5 km
+    W_f, W_c = band_split_spectral_weights_2d(
+        ny_f, nx_f, res_f, cells_c, cells_c, res_c, k_c,
+        nu=NU, r0=R0, beam_sigma=beam_sigma,
+    )
+    # track through the middle of both boxes (fine box centered in coarse)
+    n_pts = 28
+    xs_m = RES * np.arange(n_pts) + 2 * RES  # 20..290 m inside the fine box
+    off = (cells_c * res_c - L) / 2
+    d_by_lag = {6: [], 12: []}
+    for i in range(30):
+        F = np.asarray(synthesize_matern_field_2d(jax.random.key(2 * i), W_f, ny_f, nx_f))
+        C = np.asarray(synthesize_matern_field_2d(jax.random.key(2 * i + 1), W_c, cells_c, cells_c))
+        f_vals = map_coordinates(F, [np.full(n_pts, ny_f / 2), xs_m / res_f], order=1)
+        c_vals = map_coordinates(
+            C, [np.full(n_pts, cells_c / 2), (xs_m + off) / res_c], order=1)
+        v = f_vals + c_vals
+        for lag in d_by_lag:
+            d_by_lag[lag].append(np.sqrt(((v[lag:] - v[:-lag]) ** 2).mean()))
+    for lag, vals in d_by_lag.items():
+        ref = analytic_d_half(lag * RES, beam_sigma)
+        got = float(np.mean(vals))
+        assert abs(got / ref - 1) < 0.25, (lag, got, ref)
 
 
 def test_sim_3d_groups_are_spectrally_sized():

@@ -82,7 +82,10 @@ def test_grad_matches_finite_difference(tiny_program):
     g = np.asarray(jax.jit(jax.grad(loss))(x))
     analytic = float((g * v).sum())
     f = jax.jit(loss)
-    eps = 1e-6
+    # eps sits above the f32 quantization floor of the loss (Delta-f at
+    # 1e-6 was ~3 ULPs of the ~1.3e-6 loss and the fd wandered 15%;
+    # measured convergence: rel gap 0.022 at 1e-5, 0.006 at 3e-5)
+    eps = 2e-5
     fd = (float(f(x + eps * v)) - float(f(x - eps * v))) / (2 * eps)
     assert np.isfinite(analytic) and np.isfinite(fd)
     assert abs(analytic - fd) < 0.1 * (abs(analytic) + abs(fd) + 1e-12), (analytic, fd)
