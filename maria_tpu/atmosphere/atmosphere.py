@@ -376,13 +376,25 @@ class Atmosphere:
                         # footprint box << spectral extent: carry the
                         # spectrum as a fine/coarse band PAIR (the
                         # single big box regressed small scenes 3.7x —
-                        # fourier.band_split_spectral_weights_2d)
+                        # fourier.band_split_spectral_weights_2d).
+                        # Balance the pair: the coarse box is
+                        # (8 min_cells res / L_min)^2 cells, so growing
+                        # the SHORT fine axis shrinks it quadratically —
+                        # pick the total-cells minimizer.
+                        def pair_sizes(t):
+                            ny_t, nx_t = max(ny_fp, t), max(nx_fp, t)
+                            res_ct = min(ny_t, nx_t) * res / 8.0
+                            cc = good_fft_size(int(min_cells * res / res_ct) + 2)
+                            return ny_t, nx_t, res_ct, cc
+
+                        cands = sorted({good_fft_size(t) for t in (
+                            min(nx_fp, ny_fp), 48, 64, 96, 128, 192, 256)})
+                        ny_fp, nx_fp, res_c, cells_c = min(
+                            (pair_sizes(t) for t in cands if t <= max(min_cells, 32)),
+                            key=lambda s: s[0] * s[1] + s[3] ** 2,
+                        )
                         L_min = min(nx_fp, ny_fp) * res
                         k_c = 4 * np.pi / L_min
-                        res_c = L_min / 8.0
-                        cells_c = good_fft_size(
-                            int(min_cells * res / res_c) + 2
-                        )
                         W_f, W_c = band_split_spectral_weights_2d(
                             ny_fp, nx_fp, res, cells_c, cells_c, res_c,
                             k_c, nu=nu, r0=outer_scale, beam_sigma=beam_sigma,
