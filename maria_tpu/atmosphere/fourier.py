@@ -239,6 +239,12 @@ def layered_field_spectral_weights(
     S3 = matern_spectral_density(
         np.sqrt(k2[None] + kz[:, None, None] ** 2), nu=nu, r0=r0, d=3
     )
+    # zero + exclude every node's horizontal DC bin: a screen-constant
+    # offset is the weather-level mean pwv's job, and the steep density
+    # otherwise concentrates each low-kz node's variance budget there
+    # (measured 16-32% of layer variance lost to DC on 4-5 km boxes;
+    # same disease field_spectral_weights_2d had)
+    S3[:, 0, 0] = 0.0
 
     # normalize PER NODE so each node's grid-summed variance equals its
     # validated quadrature weight w_node (the finite horizontal grid

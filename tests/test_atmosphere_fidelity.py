@@ -148,3 +148,32 @@ def test_sim_3d_groups_are_spectrally_sized():
     for g in getattr(obs.atmosphere, "groups", []):
         assert g.nx * g.res >= 4.0 * R0 * 0.99
         assert g.ny * g.res >= 4.0 * R0 * 0.99
+
+
+def test_layered_3d_statistics_match_analytic():
+    """Each layer of the vertically-correlated 3-D stack is a
+    restriction of the 3-D Matérn field — unit variance and the 2-D
+    structure function (up to grid truncation of sub-resolution scales,
+    which real scenes' beam smoothing absorbs)."""
+    from maria_tpu.atmosphere.fourier import (
+        layered_field_spectral_weights,
+        synthesize_layered_matern_2d,
+    )
+
+    heights = np.array([250.0, 750.0, 1250.0, 2500.0, 4000.0])
+    cells, res = 256, 20.0
+    W, Mc, Ms, _ = layered_field_spectral_weights(
+        cells, cells, res, res, heights, nu=NU, r0=R0)
+    var, d = [], []
+    for i in range(10):
+        F = np.asarray(synthesize_layered_matern_2d(
+            jax.random.key(i), W, Mc, Ms, None, cells, cells))
+        var.append(F.var(axis=(1, 2)))
+        d.append(np.sqrt(((F[:, :, 3:] - F[:, :, :-3]) ** 2).mean(axis=(1, 2))))
+    var = np.mean(var, axis=0)
+    d = np.mean(d, axis=0)
+    assert np.all((var > 0.75) & (var < 1.3)), var
+    ref = analytic_d_half(3 * res, 0.0)
+    # ~10% deficit is the res-20m grid's truncation of sub-resolution
+    # scales (the continuum integral runs to 3 m scales)
+    assert np.all(np.abs(d / ref - 1) < 0.2), (d, ref)
