@@ -622,6 +622,28 @@ class TODProgram:
         )
 
 
+def _crop_table(x_side, y_side, table, x_lo, x_hi, y_lo, y_hi):
+    """Restrict a (x, y) -> value table to the REACHABLE window (one
+    guard cell beyond each bound). Bilinear interpolation is local, so
+    values inside the window are IDENTICAL to the full table's; the
+    gather-free evaluator's cost is ~2 nx ny VPU ops per sample, and a
+    realization's pwv spans a few cells of the 24-point axis (mean
+    +- 8 sigma of the screen rms), so cropping cuts the dominant
+    coarse-stage VPU cost several-fold. Samples beyond the window
+    (astronomically rare, > 8 sigma) clamp to the window edge."""
+    x = np.asarray(x_side)
+    y = np.asarray(y_side)
+    i0 = max(int(np.searchsorted(x, x_lo)) - 1, 0)
+    i1 = min(int(np.searchsorted(x, x_hi)) + 1, len(x))
+    j0 = max(int(np.searchsorted(y, y_lo)) - 1, 0)
+    j1 = min(int(np.searchsorted(y, y_hi)) + 1, len(y))
+    i1 = max(i1, i0 + 2)
+    j1 = max(j1, j0 + 2)
+    i0 = min(i0, len(x) - 2)
+    j0 = min(j0, len(y) - 2)
+    return x[i0:i1], y[j0:j1], np.asarray(table)[i0:i1, j0:j1]
+
+
 def build_tod_program(
     obs,
     with_noise: bool = True,
@@ -648,11 +670,34 @@ def build_tod_program(
     t0 = float(obs.t[0])
     stokes_weight = np.asarray(obs.instrument.dets.stokes_weight(), dtype=np.float32)
 
+    # reachable (pwv, el) window for the table evaluators (_crop_table):
+    # pwv = weather mean +- 8 sigma of the summed screen rms (pairs of a
+    # band-split screen double-count their shared rms — a safe
+    # overestimate); el = the boresight track +- the array extent,
+    # clipped like the program clips
+    sigma_pwv = float(np.sqrt(
+        sum(float(s.pwv_rms) ** 2 for s in atm.screens)
+        + sum(float(np.sum(np.asarray(g.pwv_rms) ** 2))
+              for g in getattr(atm, "groups", []))
+    ))
+    mean_pwv = float(atm.weather.pwv)
+    pwv_lo = max(0.0, mean_pwv - 8 * sigma_pwv)
+    pwv_hi = mean_pwv + 8 * sigma_pwv
+    bs_el = np.asarray(atm.boresight.el, dtype=np.float64)
+    off_max = float(np.abs(np.asarray(obs.offsets)).max()) if len(obs.offsets) else 0.0
+    el_lo = max(np.radians(5.0), float(bs_el.min()) - 2 * off_max)
+    el_hi = min(np.pi / 2, float(bs_el.max()) + 2 * off_max)
+
+    def cropped_eval(pwv_side, el_side, table):
+        xs, ys, tab = _crop_table(np.asarray(pwv_side), np.asarray(el_side),
+                                  np.asarray(table), pwv_lo, pwv_hi, el_lo, el_hi)
+        return make_table_eval(xs, ys, tab)
+
     bands = []
     for band in obs.instrument.dets.bands:
         det_index = np.where(obs.instrument.dets.band_name == band.name)[0]
         pwv_side, el_side, table = band.atmosphere_power_table(atm.spectrum, T_base)
-        power_eval = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), np.asarray(table))
+        power_eval = cropped_eval(pwv_side, el_side, table)
 
         cmb_samples = cmb_P0 = cmb_dPdT = None
         cmb_P0_eval = cmb_dPdT_eval = None
@@ -663,8 +708,8 @@ def build_tod_program(
                 dtype=np.float32,
             )
             _, _, cmb_P0, cmb_dPdT = cmb_power_tables(band, atm.spectrum, T_base)
-            cmb_P0_eval = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), cmb_P0)
-            cmb_dPdT_eval = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), cmb_dPdT)
+            cmb_P0_eval = cropped_eval(pwv_side, el_side, cmb_P0)
+            cmb_dPdT_eval = cropped_eval(pwv_side, el_side, cmb_dPdT)
 
         map_stages = None
         if input_map is not None:
@@ -674,7 +719,7 @@ def build_tod_program(
                 input_map, band, det_index, obs, bilinear=bilinear
             ):
                 tab = map_transmission_table(band, input_map, channel, atm.spectrum, T_base)
-                cal_eval = make_table_eval(np.asarray(pwv_side), np.asarray(el_side), tab)
+                cal_eval = cropped_eval(pwv_side, el_side, tab)
                 map_stages.append((tab, samples, cal_eval))
         basis, corr_prop = None, 0.0
         cp = noise_kwargs.get("correlated_noise_proportion", 0.0)
