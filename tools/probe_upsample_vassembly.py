@@ -83,6 +83,34 @@ def main():
     t_pm = timed_chain(lambda k: jnp.sum(phase_major(coarse_of(k))))
     stamp(f"upsample phase-major: {t_pm*1e3:.2f} ms")
 
+    # (b2) repeat-major: out[d, t] = sum_k C[k, t%r] * tap_k[d, t//r] as
+    # elementwise ops on repeat-broadcast taps — row-major output with
+    # NO stack interleave (XLA materialized the stack in a d-minor
+    # layout and paid a ~2.6 ms reshape copy in-program)
+    def repeat_major(values):
+        pad = jnp.concatenate([values[..., :1], values, values[..., -1:]], axis=-1)
+        taps = [pad[..., :-3], pad[..., 1:-2], pad[..., 2:-1], pad[..., 3:]]
+        n_cm1 = values.shape[-1] - 1
+        out = 0.0
+        for kk in range(4):
+            cvec = jnp.asarray(np.tile(C[kk], n_cm1), jnp.float32)
+            out = out + jnp.repeat(taps[kk], ratio, axis=-1) * cvec
+        deficit = n_fine - n_cm1 * ratio
+        tail = jnp.repeat(values[..., -1:], deficit, axis=-1)
+        return jnp.concatenate([out, tail], axis=-1)
+
+    t_rm = timed_chain(lambda k: jnp.sum(repeat_major(coarse_of(k))))
+    stamp(f"upsample repeat-major: {t_rm*1e3:.2f} ms")
+    # and a consumer-fusion probe: multiply into a resident fine array
+    fine = jnp.ones((n_det, n_fine), jnp.float32)
+    t_pm_c = timed_chain(lambda k: jnp.sum(phase_major(coarse_of(k)) * fine))
+    t_rm_c = timed_chain(lambda k: jnp.sum(repeat_major(coarse_of(k)) * fine))
+    stamp(f"with consumer: phase-major {t_pm_c*1e3:.2f} ms, repeat-major {t_rm_c*1e3:.2f} ms")
+    v2 = jax.random.normal(jax.random.key(8), (128, n_c), jnp.float32)
+    a2 = np.asarray(phase_major(v2))
+    b2 = np.asarray(repeat_major(v2))
+    stamp(f"repeat-major max abs err vs phase-major: {np.abs(a2-b2).max():.2e}")
+
     # equality check (same input)
     v = jax.random.normal(jax.random.key(7), (128, n_c), jnp.float32)
     a = np.asarray(upsample_time_phases(v, ratio, n_fine, kind="cubic"))
