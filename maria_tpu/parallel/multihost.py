@@ -21,7 +21,11 @@ Design:
   and host RSS stay O(n_det / n_hosts).
 - **Degenerate single-process path.** Everything here runs (and is
   CI-tested) with one process and the virtual CPU mesh; a real pod run
-  only changes the environment, not the code path.
+  only changes the environment, not the code path. The multi-process
+  path itself is CI-tested too: tests/test_multihost.py spawns two
+  `jax.distributed` CPU processes (coordinator handshake, gloo
+  collectives) and checks sharded TOD synthesis + cross-process psum
+  binning against single-process execution (multihost_worker.py).
 
 Launch recipe (v5e pod slice, one process per host):
 
@@ -84,6 +88,11 @@ def initialize_multihost(
         return jax.process_count() > 1
     if _INITIALIZED:
         return jax.process_count() > 1
+    if (num_processes or 1) > 1 and jax.config.jax_platforms == "cpu":
+        # the CPU backend's default collectives implementation cannot
+        # cross processes; gloo can (and is what a CPU-pod integration
+        # run uses). Must be set before the backend client is created.
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
