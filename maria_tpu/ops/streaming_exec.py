@@ -151,8 +151,9 @@ class StreamingExecutor:
     `cmb=`/`input_map=` are given — the sky stages too, sampled per
     block from the same calibration tables and smoothed channel maps the
     batch program bakes into static timelines (matches the batch output;
-    tested). The program itself must be built WITHOUT cmb/input_map.
-    Time-evolving input maps are not streamed yet.
+    tested) — including time-evolving input maps, whose frame-blend
+    weights stream to the blocks as two more pointing-track arrays. The
+    program itself must be built WITHOUT cmb/input_map.
     """
 
     def __init__(
@@ -296,6 +297,7 @@ class StreamingExecutor:
             for b in program.bands
         ]
         self.sky = None
+        self._map_fi_f = self._map_whi_f = None
         if cmb is not None or input_map is not None:
             self._build_sky(obs, cmb, input_map, map_kwargs or {}, pad_f)
         self._block_fn_cache = {}
@@ -333,18 +335,31 @@ class StreamingExecutor:
         map_frame_radec = None
         if input_map is not None:
             check_map_observable(input_map)
-            if len(input_map.t) > 1:
-                raise NotImplementedError(
-                    "streaming time-evolving input maps is not supported yet; "
-                    "use the batch program for multi-frame maps."
-                )
+            n_frames = len(input_map.t)
             map_frame_radec = input_map.frame in ("ra/dec", "icrs")
             sky["need_radec"] = sky["need_radec"] or map_frame_radec
             sky["map"] = {
                 "center": (float(input_map.center[0]), float(input_map.center[1])),
                 "radec": map_frame_radec,
                 "bilinear": map_kwargs.get("bilinear_sampling", True),
+                "n_frames": n_frames,
             }
+            if n_frames > 1:
+                # time-evolving map: per-fine-sample frame index + blend
+                # weight tracks (the same searchsorted/clip blend the
+                # batch program bakes, sim/map.py static_map_samples),
+                # streamed to the blocks alongside the pointing tracks
+                t0 = float(obs.t[0])
+                t_rel = np.asarray(obs.t, dtype=np.float64) - t0
+                frame_t = np.asarray(input_map.t, dtype=np.float64) - t0
+                fi = np.clip(np.searchsorted(frame_t, t_rel) - 1, 0, n_frames - 2)
+                w_hi = np.clip(
+                    (t_rel - frame_t[fi]) / (frame_t[fi + 1] - frame_t[fi]), 0.0, 1.0
+                )
+                self._map_fi_f = np.pad(fi.astype(np.int32), (0, pad_f), mode="edge")
+                self._map_whi_f = np.pad(
+                    w_hi.astype(np.float32), (0, pad_f), mode="edge"
+                )
 
         for band, block in zip(obs.instrument.dets.bands, self.program.bands):
             entry = {"sw": jnp.asarray(stokes_weight[block.det_index])}
@@ -369,7 +384,9 @@ class StreamingExecutor:
                         "cal_eval": make_table_eval(
                             np.asarray(block.pwv_side), np.asarray(block.el_side), tab
                         ),
-                        "fields": np.asarray(channel_map.data[:, channel, 0], dtype=np.float32),
+                        # (n_stokes, n_frames, ny, nx) — frame axis kept
+                        # so time-evolving maps stream too
+                        "fields": np.asarray(channel_map.data[:, channel], dtype=np.float32),
                         "x_side": np.asarray(channel_map.x_side),
                         "y_side": np.asarray(channel_map.y_side),
                     })
@@ -626,7 +643,7 @@ class StreamingExecutor:
             el_ext = upsample_block_ext(
                 state["el_pad2"], c0, block_tc, r, n_c, state["el_last"], kind="cubic"
             )
-            ra_ext, dec_ext, q_ext, az_ext, el_tr_ext = xs_sky
+            ra_ext, dec_ext, q_ext, az_ext, el_tr_ext, *frame_tracks = xs_sky
 
             if sky["cmb"] is not None:
                 cm = sky["cmb"]
@@ -695,6 +712,17 @@ class StreamingExecutor:
                     el_b = el_ext[band.det_sel]
                     piece_ext = jnp.zeros((d.shape[0], B + 2 * r), dtype=jnp.float32)
                     sw = entry["sw"]
+                    n_frames = mp["n_frames"]
+                    if n_frames > 1:
+                        fi_ext, whi_ext = frame_tracks
+                        # per-frame blend weights over the ext grid — the
+                        # batch program's exact searchsorted blend
+                        # (sim/map.py static_map_samples)
+                        frame_w = [
+                            jnp.where(fi_ext == f, 1.0 - whi_ext, 0.0)
+                            + jnp.where(fi_ext + 1 == f, whi_ext, 0.0)
+                            for f in range(n_frames)
+                        ]
                     for j, st_ in enumerate(entry["map_stages"]):
                         fields = state["map_fields"][i][j]
                         sample = 0.0
@@ -702,11 +730,12 @@ class StreamingExecutor:
                             # axes stay host-side numpy: the interp
                             # classifies them statically (tiny constants)
                             dx, dy = d[..., 0], d[..., 1]
-                            if mp["bilinear"]:
-                                vals = interp_bilinear_grid(
-                                    fields[s], dx, dy, st_["x_side"], st_["y_side"]
-                                )
-                            else:
+
+                            def sample_frame(img):
+                                if mp["bilinear"]:
+                                    return interp_bilinear_grid(
+                                        img, dx, dy, st_["x_side"], st_["y_side"]
+                                    )
                                 # nearest-pixel, matching
                                 # ProjectionMap.sample(bilinear=False)
                                 xs, ys = st_["x_side"], st_["y_side"]
@@ -717,7 +746,16 @@ class StreamingExecutor:
                                     (dx >= xs[0] - xr / 2) & (dx <= xs[-1] + xr / 2)
                                     & (dy >= ys[0] - yr / 2) & (dy <= ys[-1] + yr / 2)
                                 )
-                                vals = jnp.where(inside, fields[s][iy, ix], 0.0)
+                                return jnp.where(inside, img[iy, ix], 0.0)
+
+                            if n_frames == 1:
+                                vals = sample_frame(fields[s, 0])
+                            else:
+                                vals = 0.0
+                                for f in range(n_frames):
+                                    vals = vals + frame_w[f][None, :] * sample_frame(
+                                        fields[s, f]
+                                    )
                             sample = sample + sw[:, s][:, None] * vals
                         cal = st_["cal_eval"](pwv_b, el_b)
                         piece_ext = piece_ext + cal.astype(jnp.float32) * sample
@@ -1138,7 +1176,8 @@ class StreamingExecutor:
         ra = self.bs_ra_f if self.bs_ra_f is not None else zeros
         dec = self.bs_dec_f if self.bs_dec_f is not None else zeros
         q = self.q_f if self.q_f is not None else zeros
-        self._sky_blocks_cache = tuple(
-            ext_blocks(t) for t in (ra, dec, q, self.bs_az_f, self.bs_el_f)
-        )
+        tracks = [ra, dec, q, self.bs_az_f, self.bs_el_f]
+        if self._map_fi_f is not None:  # time-evolving map frame blend
+            tracks += [self._map_fi_f, self._map_whi_f]
+        self._sky_blocks_cache = tuple(ext_blocks(t) for t in tracks)
         return self._sky_blocks_cache

@@ -269,6 +269,60 @@ def test_streaming_map_stage_nearest_matches_batch(radec_sim_ingredients):
     assert (stream != stream_bl).any()
 
 
+def test_streaming_time_evolving_map_matches_batch():
+    """A time-evolving input map streamed per block must match the batch
+    program's baked frame-blended timelines (reference behavior anchor:
+    maria/tests/sim/test_time_evolving.py:16-36 — a brightening sky must
+    ramp up in the TOD; here we additionally require streamed == batch)."""
+    from maria_tpu.map.projection import ProjectionMap
+
+    n = 32
+    t0 = 1.75e9
+    frames = np.zeros((1, 1, 3, n, n), dtype=np.float32)
+    frames[0, 0, 0] = 0.0
+    frames[0, 0, 1] = 1e-3
+    frames[0, 0, 2] = 2e-3
+    # a spatial gradient so bilinear sampling is actually exercised
+    frames += np.linspace(0, 2e-4, n, dtype=np.float32)[None, None, None, None, :]
+    input_map = ProjectionMap(
+        data=frames, center=(150.0, 41.0), width=2.0, frame="az/el",
+        t=[t0, t0 + 5.0, t0 + 10.0], units="K_RJ", degrees=True,
+    )
+    plan = maria_tpu.get_plan(
+        "daisy_5arcmin_60s", start_time=t0, scan_center=(150.0, 41.0),
+        frame="az/el", duration=10.0, sample_rate=20.0,
+    )
+    sim = maria_tpu.Simulation(
+        instrument="test/1deg", plans=plan, site="chajnantor",
+        atmosphere="2d", noise=False, seed=3,
+    )
+    obs = sim.obs_list[0]
+    key = jax.random.key(5)
+
+    batch_prog = build_tod_program(obs, with_noise=False, input_map=input_map)
+    batch = np.asarray(
+        jax.jit(batch_prog.total_power_fn())(
+            *batch_prog.example_args(key), batch_prog.device_tables()
+        )
+    )
+
+    stream_prog = build_tod_program(obs, with_noise=False)
+    ex = StreamingExecutor(stream_prog, obs, block_tc=16, input_map=input_map)
+    stream = np.concatenate([blk for _, blk in ex.tod_blocks(key)], axis=-1)
+
+    assert stream.shape == batch.shape
+    scale = np.abs(batch).max()
+    np.testing.assert_allclose(stream, batch, atol=2e-4 * scale, rtol=2e-4)
+    # and the physics: the brightening sky ramps the streamed map signal
+    atm_only = np.asarray(
+        jax.jit(stream_prog.total_power_fn())(
+            *stream_prog.example_args(key), stream_prog.device_tables()
+        )
+    )
+    ramp = (stream - atm_only).mean(axis=0)
+    assert ramp[-40:].mean() > ramp[:40].mean() * 1.5
+
+
 @pytest.mark.slow
 def test_streaming_cmb_stage_matches_batch(radec_sim_ingredients):
     """cmb= streamed per block: same power tables, same HEALPix sampling
