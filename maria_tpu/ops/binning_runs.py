@@ -68,6 +68,7 @@ __all__ = [
     "make_runchunk_bin_plan_on_device",
     "bin_runchunk",
     "project_runchunk",
+    "bin_runs_traced",
 ]
 
 # One one-hot contraction pass costs ~0.17 ns/row on v5e INDEPENDENT of
@@ -557,6 +558,163 @@ def bin_runchunk(
     )
     m, _ = jax.lax.scan(chunk_body, m0, xs)
     return m[0] if squeeze else m
+
+
+def bin_runs_traced(
+    data,
+    iy,
+    ix,
+    order_dev,
+    *,
+    n_det: int,
+    det_block: int,
+    n_blocks: int,
+    n_chunks: int,
+    chunk: int,
+    seg: int,
+    r_max: int,
+    wy: int,
+    wx: int,
+    n_y: int,
+    n_x: int,
+):
+    """Run-compressed MXU binning from TRACED pixel ids — the streaming
+    executor's in-scan binner (VERDICT r4 item 2 / builder attack #6).
+
+    The batch `bin_runchunk` consumes a host/device-prebuilt static run
+    plan; a streamed observation computes its pixel ids in-program per
+    time block, so the full-TOD id arrays never materialize and no plan
+    can be prebuilt. This routine fuses the plan-build (run detection +
+    slot assignment) and the contraction into one traced pass over ONE
+    block's ids:
+
+      per (det-block, time-chunk) tile:
+        runs   <- pixel-change cumsum per extraction segment (static
+                  r_max slots; overflowing runs are counted as lost)
+        runsum <- one-hot multiply-reduce of the data over run slots
+                  (written as broadcast-mul + reduce so XLA fuses the
+                  compare into the reduction loop without materializing
+                  the (..., seg, R) one-hot)
+        window <- hi/lo-split bf16 hat contraction over db*S*R rows
+                  instead of db*chunk rows (the 3-4x row compression of
+                  the batch path, now in-scan), with the run-length
+                  channel riding the same hats for exact hit counts
+        placed by pad+roll per (block, chunk) origin
+
+    Since a stream IS one realization, fusing plan-build into the pass
+    costs exactly the work the batch path spends once at plan time.
+
+    `data` is this block's (n_det_padded, n_t_block) TOD (finite
+    everywhere — module contract); `iy`/`ix` its traced pixel ids, -1 =
+    off-map. Static geometry (window sizes, run slots) is bounded by the
+    caller from the exact pointing; `lost` counts valid samples dropped
+    by either the static window or slot overflow — callers must raise on
+    a nonzero total rather than bias the map (StreamingExecutor does).
+
+    Returns (map_sum (n_y, n_x) f32, map_wgt (n_y, n_x) f32, lost ()).
+    Precision matches bin_runchunk("hilo"): ~2^-16 relative on run sums.
+    Pure jnp; call under jit.
+
+    Reference behavior: maria/mappers/bin_mapper.py:100-112.
+    """
+    from .binning import blockify_ids
+
+    n_seg = chunk // seg
+    nb, db = n_blocks, det_block
+
+    iy_b = blockify_ids(iy, order_dev, n_det, db, nb, n_chunks, chunk)
+    ix_b = blockify_ids(ix, order_dev, n_det, db, nb, n_chunks, chunk)
+
+    d = jnp.take(data, order_dev, axis=0)
+    pad_t = n_chunks * chunk - data.shape[1]
+    if pad_t:
+        d = jnp.pad(d, ((0, 0), (0, pad_t)), mode="edge")
+
+    valid_all = (iy_b >= 0) & (ix_b >= 0)
+    big = jnp.int32(1 << 30)
+    oy = jnp.clip(jnp.where(valid_all, iy_b, big).min(axis=(1, 3)), 0, n_y - wy)
+    ox = jnp.clip(jnp.where(valid_all, ix_b, big).min(axis=(1, 3)), 0, n_x - wx)
+
+    ky = jnp.arange(wy, dtype=jnp.int32)
+    kx = jnp.arange(wx, dtype=jnp.int32)
+    r_iota = jnp.arange(r_max, dtype=jnp.int32)
+
+    def chunk_body(carry, c):
+        m, lost = carry
+        yb = jax.lax.dynamic_slice_in_dim(iy_b, c, 1, axis=2)[:, :, 0]  # (nb, db, chunk)
+        xb = jax.lax.dynamic_slice_in_dim(ix_b, c, 1, axis=2)[:, :, 0]
+        d_c = jax.lax.dynamic_slice_in_dim(d, c * chunk, chunk, axis=1)
+        d_c = d_c.reshape(nb, db, n_seg, seg)
+        oy_c = jax.lax.dynamic_slice_in_dim(oy, c, 1, axis=1)[:, 0]  # (nb,)
+        ox_c = jax.lax.dynamic_slice_in_dim(ox, c, 1, axis=1)[:, 0]
+
+        valid = (yb >= 0) & (xb >= 0)
+        l_y = jnp.where(valid, yb - oy_c[:, None, None], -1)
+        l_x = jnp.where(valid, xb - ox_c[:, None, None], -1)
+        win_lost = valid & ((l_y >= wy) | (l_x >= wx))
+        l_y = jnp.where(win_lost, -1, l_y)
+        l_x = jnp.where(win_lost, -1, l_x)
+
+        # runs: new run at each segment boundary or pixel change; off-map
+        # samples (packed -1) coalesce into runs that the hats skip
+        p = jnp.where(l_y >= 0, l_y * jnp.int32(wx) + l_x, -1)
+        p = p.reshape(nb, db, n_seg, seg)
+        l_y = l_y.reshape(nb, db, n_seg, seg)
+        l_x = l_x.reshape(nb, db, n_seg, seg)
+        change = jnp.concatenate(
+            [jnp.ones((nb, db, n_seg, 1), bool), p[..., 1:] != p[..., :-1]], axis=-1
+        )
+        slot = jnp.cumsum(change.astype(jnp.int32), axis=-1) - 1  # (nb, db, S, seg)
+        slot_lost = (slot >= r_max) & (p >= 0)
+
+        # fused one-hot multiply-reduce over run slots (no materialized
+        # one-hot — the compare rides inside the reduction): run sums,
+        # lengths, and start offsets in one pass over 4 features
+        hat = (slot[..., None] == r_iota).astype(jnp.float32)  # fused below
+        feats = jnp.stack(
+            [
+                d_c,
+                jnp.where(p >= 0, 1.0, 0.0),
+                jnp.where(change, l_y, 0).astype(jnp.float32),
+                jnp.where(change, l_x, 0).astype(jnp.float32),
+            ],
+            axis=0,
+        )  # (4, nb, db, S, seg)
+        out = (feats[..., None] * hat[None]).sum(axis=4)  # (4, nb, db, S, R)
+        runsum, cnt, r_ly, r_lx = out[0], out[1], out[2], out[3]
+        empty = cnt <= 0
+        r_ly = jnp.where(empty, -1, r_ly.astype(jnp.int32))
+        r_lx = jnp.where(empty, -1, r_lx.astype(jnp.int32))
+
+        wY = (r_ly[..., None] == ky).astype(jnp.bfloat16)  # (nb, db, S, R, wy)
+        wX = (r_lx[..., None] == kx).astype(jnp.bfloat16)
+        hi = runsum.astype(jnp.bfloat16)
+        lo = (runsum - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        parts = jnp.stack([hi, lo, cnt.astype(jnp.bfloat16)])  # (3, nb, db, S, R)
+        win3 = jnp.einsum(
+            "bdsry,bdsrx,mbdsr->mbyx", wY, wX, parts,
+            preferred_element_type=jnp.float32,
+        )
+        win = jnp.stack([win3[0] + win3[1], win3[2]])  # (2, nb, wy, wx)
+
+        # vectorized placement (same as bin_runchunk): pad each block's
+        # window to the map and roll to its origin (clipped, never wraps)
+        full = jnp.pad(win, ((0, 0), (0, 0), (0, n_y - wy), (0, n_x - wx)))
+        org_c = jnp.stack([oy_c, ox_c], axis=-1)
+        placed = jax.vmap(
+            lambda w, o: jnp.roll(w, shift=(o[0], o[1]), axis=(-2, -1)),
+            in_axes=(1, 0), out_axes=1,
+        )(full, org_c)
+        new_lost = lost + (
+            win_lost.sum() + jnp.where(slot_lost, 1, 0).sum()
+        ).astype(jnp.float32)
+        return (m + placed.sum(axis=1), new_lost), ()
+
+    m0 = jnp.zeros((2, n_y, n_x), dtype=jnp.float32)
+    (m, lost), _ = jax.lax.scan(
+        chunk_body, (m0, jnp.float32(0.0)), jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    return m[0], m[1], lost
 
 
 def project_runchunk(

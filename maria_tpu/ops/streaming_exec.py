@@ -297,6 +297,7 @@ class StreamingExecutor:
             for b in program.bands
         ]
         self.sky = None
+        self._run_params = None  # set by _setup_blocked_binning
         self._map_fi_f = self._map_whi_f = None
         if cmb is not None or input_map is not None:
             self._build_sky(obs, cmb, input_map, map_kwargs or {}, pad_f)
@@ -444,8 +445,84 @@ class StreamingExecutor:
         for det_block, chunk in ((512, 64), (512, 32), (256, 32), (128, 16), (64, 16)):
             plan = self._try_blocked_binning(inv, det_block, chunk)
             if plan is not None:
+                self._run_params = self._bound_runs(inv, plan)
                 return plan
         return None
+
+    def _bound_runs(self, inv, plan):
+        """Static run-slot bound for the in-scan run-compressed binner
+        (ops/binning_runs.bin_runs_traced): exact pixel-run counts per
+        extraction segment for the per-block EXTREME detectors over the
+        FULL padded timeline (cheap: 8 dets/block), times a 1.25x margin
+        for the between-direction speed underread (the cos 22.5 deg
+        argument of the window bound) plus alignment slack. The runtime
+        `lost` counter hard-verifies the bound exactly like the window
+        bound. Returns {"seg", "r_max"} or None (no compression to be
+        had -> per-sample blocked path)."""
+        import os
+
+        if os.environ.get("MARIA_TPU_STREAM_RUNS", "").lower() in ("0", "off"):
+            return None
+        o, order, phi_f, theta_f, q_f, step_cells = inv
+        seg = min(64, plan.chunk)
+        if plan.chunk % seg:
+            return None
+        det_block, n_db = plan.det_block, plan.n_blocks
+        order_p = plan.order
+        ob = o[order_p].reshape(n_db, det_block, 2)
+        ex_scores = np.stack(
+            [ob[..., 0], -ob[..., 0], ob[..., 1], -ob[..., 1],
+             ob[..., 0] + ob[..., 1], ob[..., 0] - ob[..., 1],
+             -ob[..., 0] + ob[..., 1], -ob[..., 0] - ob[..., 1]], axis=-1,
+        )
+        ex_idx = ex_scores.argmax(axis=1)
+        eo = np.take_along_axis(ob, ex_idx[:, :, None], axis=1).reshape(-1, 2)
+
+        n_chunks_b = -(-self.B // plan.chunk)
+        n_pad_t = self.n_blocks * n_chunks_b * plan.chunk
+
+        def pad_time(a):
+            blocks = a.reshape(self.n_blocks, self.B)
+            pad_t = n_chunks_b * plan.chunk - self.B
+            if pad_t:
+                blocks = np.pad(blocks, ((0, 0), (0, pad_t)), mode="edge")
+            return blocks.reshape(-1)
+
+        phi_s, theta_s = pad_time(phi_f), pad_time(theta_f)
+        if q_f is not None:
+            q_s = pad_time(q_f)
+            cq, sq = np.cos(q_s), np.sin(q_s)
+            det = np.stack(
+                [eo[:, :1] * cq - eo[:, 1:] * sq, eo[:, :1] * sq + eo[:, 1:] * cq],
+                axis=-1,
+            )
+        else:
+            det = np.broadcast_to(eo[:, None, :], (eo.shape[0], n_pad_t, 2))
+        try:
+            host = jax.devices("cpu")[0]
+        except RuntimeError:
+            host = None
+        with jax.default_device(host):  # setup math stays off the tunnel
+            pt = np.asarray(
+                offsets_to_phi_theta(
+                    jnp.asarray(det, jnp.float32), jnp.asarray(phi_s), jnp.asarray(theta_s)
+                )
+            )
+            offs = np.asarray(
+                phi_theta_to_offsets_jit(jnp.asarray(pt), self.center[0], self.center[1])
+            )
+        x0 = -(self.n_x - 1) / 2 * self.res
+        y0 = -(self.n_y - 1) / 2 * self.res
+        ix = np.round((offs[..., 0] - x0) / self.res).astype(np.int64)
+        iy = np.round((offs[..., 1] - y0) / self.res).astype(np.int64)
+        inside = (ix >= 0) & (ix < self.n_x) & (iy >= 0) & (iy < self.n_y)
+        pix = np.where(inside, iy * self.n_x + ix, -1)
+        p_s = pix.reshape(len(eo), n_pad_t // seg, seg)
+        runs = 1 + (p_s[..., 1:] != p_s[..., :-1]).sum(axis=-1)
+        r_max = int(-(-(int(np.ceil(1.25 * runs.max())) + 2) // 8) * 8)
+        if r_max > 0.75 * seg:
+            return None  # scan too fast per segment — no compression
+        return {"seg": seg, "r_max": r_max}
 
     def _try_blocked_binning(self, inv, det_block: int, chunk: int):
         from .binning import BlockedBinPlan
@@ -609,6 +686,13 @@ class StreamingExecutor:
 
     # ------------------------------------------------------------------
     def _make_block_fn(self, with_tod: bool, with_psd: bool = False, use_blocked: bool = False):
+        import os
+
+        # profiling-only: skip the map accumulation entirely so the
+        # binning stage's ABSOLUTE cost is measurable by differencing
+        # (tools/profile_stream_atlast.py); read at trace time — set it
+        # before the executor's first run in a fresh process
+        skip_bin = os.environ.get("MARIA_TPU_STREAM_SKIP_BIN") == "1"
         p = self.program
         r, B, block_tc = self.r, self.B, self.block_tc
         n_c, n_t, n_det = self.n_c, self.n_t, self.n_det
@@ -778,6 +862,7 @@ class StreamingExecutor:
             # traced scan body would run the setup sweep under tracing
             bin_plan = self._bin_plan
             bin_order_dev = jnp.asarray(bin_plan.order)
+        run_params = self._run_params if use_blocked else None
 
         def block_fn(state, xs):
             if need_tracks:
@@ -817,6 +902,8 @@ class StreamingExecutor:
 
             # bin the block straight into the carried map (pW sums);
             # same pixel convention as BinMapper (round, centered grid)
+            if skip_bin:
+                return dict(state, noise=new_states), (tod if with_tod else ())
             if self.frame == "ra/dec":
                 ra_ext, dec_ext, q_ext = xs_sky[0], xs_sky[1], xs_sky[2]
                 cq, sq = jnp.cos(q_ext[interior]), jnp.sin(q_ext[interior])
@@ -836,7 +923,26 @@ class StreamingExecutor:
                 (ix >= 0) & (ix < n_x) & (iy >= 0) & (iy < n_y)
                 & (g < n_t)[None, :] & jnp.asarray(real_row)
             )
-            if use_blocked:
+            if use_blocked and run_params is not None:
+                # run-compressed MXU binning (VERDICT r4 item 2): runs
+                # are detected and contracted in-scan, so the streamed
+                # path gets the batch binner's 3-4x row compression
+                # without any full-TOD plan ever materializing
+                from .binning_runs import bin_runs_traced
+
+                bp = bin_plan
+                msum, mwgt, lost = bin_runs_traced(
+                    tod, jnp.where(inside, iy, -1), jnp.where(inside, ix, -1),
+                    bin_order_dev,
+                    n_det=n_det, det_block=bp.det_block, n_blocks=bp.n_blocks,
+                    n_chunks=bp.n_chunks, chunk=bp.chunk,
+                    seg=run_params["seg"], r_max=run_params["r_max"],
+                    wy=bp.wy, wx=bp.wx, n_y=n_y, n_x=n_x,
+                )
+                map_sum = state["map_sum"] + msum.reshape(-1)
+                map_wgt = state["map_wgt"] + mwgt.reshape(-1)
+                bin_lost = state["bin_lost"] + lost
+            elif use_blocked:
                 # MXU windowed binning (no scatters): block the det axis
                 # by the static Hilbert order, compute window origins
                 # from this block's actual ids, and contract one-hot
@@ -978,7 +1084,10 @@ class StreamingExecutor:
         # v3: bin_lost joined the mutable leaves; the binning mode is
         # part of the identity (a blocked-mode checkpoint resumed in
         # scatter mode would blend accumulators from two float paths)
-        mode = "mxu" if use_blocked else "scatter"
+        if use_blocked:
+            mode = "runs" if self._run_params is not None else "mxu"
+        else:
+            mode = "scatter"
         return (
             f"v3:{mode}:{self.n_t}:{self.n_blocks}:{self.B}:{self.n_det}:{self.n_x}:{self.n_y}:"
             f"{self.res:.9g}:{self.center[0]:.9g}:{self.center[1]:.9g}:{self.frame}"

@@ -431,22 +431,35 @@ def test_checkpoint_resume_equals_uninterrupted(mustang_program, tmp_path):
         ex2.run(key, group_size=2, accumulate_psd=True, checkpoint_path=ckpt)
 
 
-def test_mxu_binning_equals_scatter(mustang_program):
-    """The in-scan windowed MXU binning (mxu_binning=True) must produce
-    the same map as the scatter path to binning-precision tolerance, in
-    both binning frames, with zero window-dropped samples."""
+def test_mxu_binning_equals_scatter(mustang_program, monkeypatch):
+    """The in-scan MXU binning (mxu_binning=True) must produce the same
+    map as the scatter path to binning-precision tolerance, in both
+    binning frames, with zero window-dropped samples — through BOTH the
+    run-compressed default (bin_runs_traced) and the per-sample blocked
+    fallback (MARIA_TPU_STREAM_RUNS=0)."""
     program, obs = mustang_program
     key = jax.random.key(9)
     for frame in ("az/el", "ra/dec"):
         ex = StreamingExecutor(program, obs, block_tc=32, frame=frame)
         assert ex._bin_plan is not None, "window geometry should be coverable here"
+        assert ex._run_params is not None, "runs should compress a daisy scan"
         a = ex.run(key, group_size=4, mxu_binning=False)
         b = ex.run(key, group_size=4, mxu_binning=True)
         np.testing.assert_array_equal(a.map_wgt, b.map_wgt)
         scale = np.abs(a.map_sum).max()
         np.testing.assert_allclose(b.map_sum, a.map_sum, atol=2e-5 * scale)
-        # identical hit totals: nothing was window-dropped
+        # identical hit totals: nothing was window- or slot-dropped
         assert b.map_wgt.sum() == program.offsets.shape[0] * len(program.t_fine)
+
+    # per-sample blocked fallback: same equality with runs disabled
+    monkeypatch.setenv("MARIA_TPU_STREAM_RUNS", "0")
+    ex2 = StreamingExecutor(program, obs, block_tc=32)
+    assert ex2._bin_plan is not None and ex2._run_params is None
+    a2 = ex2.run(key, group_size=4, mxu_binning=False)
+    b2 = ex2.run(key, group_size=4, mxu_binning=True)
+    np.testing.assert_array_equal(a2.map_wgt, b2.map_wgt)
+    scale = np.abs(a2.map_sum).max()
+    np.testing.assert_allclose(b2.map_sum, a2.map_sum, atol=2e-5 * scale)
 
 
 @pytest.mark.slow

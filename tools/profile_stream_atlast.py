@@ -85,6 +85,17 @@ def main() -> None:
     t_nonoise, _ = timed(ex2, **({} if mxu else {"mxu_binning": False}))
     out["no_noise_s"] = round(t_nonoise, 2)
 
+    # absolute binning cost: same full pipeline with the map
+    # accumulation compiled out (trace-time env toggle)
+    import os
+
+    os.environ["MARIA_TPU_STREAM_SKIP_BIN"] = "1"
+    ex3 = StreamingExecutor(program, obs, block_tc=args.block_tc)
+    t_nobin, _ = timed(ex3, mxu_binning=False)
+    os.environ.pop("MARIA_TPU_STREAM_SKIP_BIN", None)
+    out["no_binning_s"] = round(t_nobin, 2)
+    out["binning_cost_s"] = round(t_full - t_nobin, 2)
+
     out["noise_cost_s"] = round(t_full - t_nonoise, 2)
     out["binning_mxu_vs_scatter_s"] = round(t_scatter - t_full, 2)
     print(json.dumps(out), flush=True)
