@@ -34,3 +34,5 @@ try:  # the ML mapper needs its own module; keep the import soft during bring-up
     from .ml_mapper import MaximumLikelihoodMapper  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+
+from .streaming_ml import StreamingMLMapper  # noqa: F401,E402

@@ -717,6 +717,112 @@ def bin_runs_traced(
     return m[0], m[1], lost
 
 
+def project_runs_traced(
+    map_img,
+    iy,
+    ix,
+    order_dev,
+    inv_order_dev,
+    *,
+    n_det: int,
+    det_block: int,
+    n_blocks: int,
+    n_chunks: int,
+    chunk: int,
+    seg: int,
+    r_max: int,
+    wy: int,
+    wx: int,
+    n_y: int,
+    n_x: int,
+):
+    """P m from TRACED pixel ids: sample (d, t) <- map_img[iy, ix]
+    (0 for off-map), the streamed twin of `project_runchunk` for the
+    streaming ML mapper, sharing `bin_runs_traced`'s in-scan run
+    extraction so P stays two MXU hat passes + a fused run->sample
+    expansion instead of an elementwise gather (~14 ns/elem on TPU).
+
+    Returns (n_det, n_chunks * chunk) samples in the ORIGINAL detector
+    order (trim the time pad yourself). Runs past `r_max` slots produce
+    ZERO samples — callers must bound r_max exactly as for
+    `bin_runs_traced` (the binner's lost counter polices the same bound).
+    Precision ~2^-16 relative (hi/lo window split). Pure jnp; call
+    under jit."""
+    from .binning import blockify_ids
+
+    n_seg = chunk // seg
+    nb, db = n_blocks, det_block
+
+    iy_b = blockify_ids(iy, order_dev, n_det, db, nb, n_chunks, chunk)
+    ix_b = blockify_ids(ix, order_dev, n_det, db, nb, n_chunks, chunk)
+    valid_all = (iy_b >= 0) & (ix_b >= 0)
+    big = jnp.int32(1 << 30)
+    oy = jnp.clip(jnp.where(valid_all, iy_b, big).min(axis=(1, 3)), 0, n_y - wy)
+    ox = jnp.clip(jnp.where(valid_all, ix_b, big).min(axis=(1, 3)), 0, n_x - wx)
+
+    map_hi = map_img.astype(jnp.bfloat16)
+    map_lo = (map_img - map_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    maps2 = jnp.stack([map_hi, map_lo])  # (2, n_y, n_x)
+
+    ky = jnp.arange(wy, dtype=jnp.int32)
+    kx = jnp.arange(wx, dtype=jnp.int32)
+    r_iota = jnp.arange(r_max, dtype=jnp.int32)
+
+    def chunk_body(_, c):
+        yb = jax.lax.dynamic_slice_in_dim(iy_b, c, 1, axis=2)[:, :, 0]
+        xb = jax.lax.dynamic_slice_in_dim(ix_b, c, 1, axis=2)[:, :, 0]
+        oy_c = jax.lax.dynamic_slice_in_dim(oy, c, 1, axis=1)[:, 0]
+        ox_c = jax.lax.dynamic_slice_in_dim(ox, c, 1, axis=1)[:, 0]
+        valid = (yb >= 0) & (xb >= 0)
+        l_y = jnp.where(valid, yb - oy_c[:, None, None], -1)
+        l_x = jnp.where(valid, xb - ox_c[:, None, None], -1)
+        oob = valid & ((l_y >= wy) | (l_x >= wx))
+        l_y = jnp.where(oob, -1, l_y)
+        l_x = jnp.where(oob, -1, l_x)
+        p = jnp.where(l_y >= 0, l_y * jnp.int32(wx) + l_x, -1)
+        p = p.reshape(nb, db, n_seg, seg)
+        l_y = l_y.reshape(nb, db, n_seg, seg)
+        l_x = l_x.reshape(nb, db, n_seg, seg)
+        change = jnp.concatenate(
+            [jnp.ones((nb, db, n_seg, 1), bool), p[..., 1:] != p[..., :-1]], axis=-1
+        )
+        slot = jnp.cumsum(change.astype(jnp.int32), axis=-1) - 1
+        hat = (slot[..., None] == r_iota).astype(jnp.float32)
+        feats = jnp.stack(
+            [
+                jnp.where(change, l_y, 0).astype(jnp.float32),
+                jnp.where(change, l_x, 0).astype(jnp.float32),
+                jnp.where(p >= 0, 1.0, 0.0),
+            ],
+            axis=0,
+        )
+        out = (feats[..., None] * hat[None]).sum(axis=4)  # (3, nb, db, S, R)
+        r_ly, r_lx, cnt = out[0], out[1], out[2]
+        empty = cnt <= 0
+        r_ly = jnp.where(empty, -1, r_ly.astype(jnp.int32))
+        r_lx = jnp.where(empty, -1, r_lx.astype(jnp.int32))
+
+        def win1(o):
+            return jax.lax.dynamic_slice(maps2, (0, o[0], o[1]), (2, wy, wx))
+
+        W = jax.lax.map(win1, jnp.stack([oy_c, ox_c], axis=-1))  # (nb, 2, wy, wx)
+        wY = (r_ly[..., None] == ky).astype(jnp.bfloat16)  # (nb, db, S, R, wy)
+        wX = (r_lx[..., None] == kx).astype(jnp.bfloat16)
+        tmp = jnp.einsum("bdsry,bfyx->bfdsrx", wY, W, preferred_element_type=jnp.float32)
+        val2 = jnp.einsum(
+            "bdsrx,bfdsrx->bfdsr", wX.astype(jnp.float32), tmp,
+            preferred_element_type=jnp.float32,
+        )
+        val = val2[:, 0] + val2[:, 1]  # (nb, db, S, R)
+        # fused run -> sample expansion: each sample reads its slot's value
+        samp = (val[..., None, :] * (slot[..., None] == r_iota)).sum(axis=-1)
+        return 0, samp.reshape(nb * db, chunk)
+
+    _, out = jax.lax.scan(chunk_body, 0, jnp.arange(n_chunks, dtype=jnp.int32))
+    out = jnp.moveaxis(out, 0, 1).reshape(nb * db, n_chunks * chunk)
+    return jnp.take(out, inv_order_dev, axis=0)
+
+
 def project_runchunk(
     maps,
     plan: RunChunkBinPlan,

@@ -685,14 +685,62 @@ class StreamingExecutor:
         }
 
     # ------------------------------------------------------------------
-    def _make_block_fn(self, with_tod: bool, with_psd: bool = False, use_blocked: bool = False):
+    def _make_pixel_fn(self):
+        """Traceable per-block pixel ids — the single source of the
+        streamed binning-pixel convention (round, centered grid; same as
+        BinMapper), shared by the in-scan binner AND the streamed ML
+        mapper's pointing operators.
+
+        Returns pixel_ids(b, bs_az_b, bs_el_b, xs_sky) ->
+        (iy (n_det, B) int32, ix, inside bool) where `inside` already
+        excludes out-of-map, beyond-n_t phantom, and padded detector
+        samples."""
+        p = self.program
+        r, B = self.r, self.B
+        n_t, n_det = self.n_t, self.n_det
+        n_x, n_y, res = self.n_x, self.n_y, self.res
+        c_az, c_el = self.center
+        offsets = jnp.asarray(p.offsets, dtype=jnp.float32)
+        interior = slice(r, r + B)
+        n_real = self.n_real_det
+        real_row = (np.arange(n_det) < n_real)[:, None]
+
+        def pixel_ids(b, bs_az_b, bs_el_b, xs_sky):
+            if self.frame == "ra/dec":
+                ra_ext, dec_ext, q_ext = xs_sky[0], xs_sky[1], xs_sky[2]
+                cq, sq = jnp.cos(q_ext[interior]), jnp.sin(q_ext[interior])
+                offs_rot = jnp.stack(
+                    [offsets[:, :1] * cq - offsets[:, 1:] * sq,
+                     offsets[:, :1] * sq + offsets[:, 1:] * cq], axis=-1)
+                pt = offsets_to_phi_theta(offs_rot, ra_ext[interior], dec_ext[interior])
+            else:
+                pt = offsets_to_phi_theta(offsets[:, None, :], bs_az_b, bs_el_b)
+            offs = phi_theta_to_offsets_jit(pt, c_az, c_el)
+            x0 = -(n_x - 1) / 2 * res
+            y0 = -(n_y - 1) / 2 * res
+            ix = jnp.round((offs[..., 0] - x0) / res).astype(jnp.int32)
+            iy = jnp.round((offs[..., 1] - y0) / res).astype(jnp.int32)
+            g = b * self.block_tc * r + jnp.arange(B)
+            inside = (
+                (ix >= 0) & (ix < n_x) & (iy >= 0) & (iy < n_y)
+                & (g < n_t)[None, :] & jnp.asarray(real_row)
+            )
+            return iy, ix, inside
+
+        return pixel_ids
+
+    def _make_block_fn(
+        self, with_tod: bool, with_psd: bool = False, use_blocked: bool = False,
+        with_map: bool = True,
+    ):
         import os
 
-        # profiling-only: skip the map accumulation entirely so the
-        # binning stage's ABSOLUTE cost is measurable by differencing
-        # (tools/profile_stream_atlast.py); read at trace time — set it
-        # before the executor's first run in a fresh process
-        skip_bin = os.environ.get("MARIA_TPU_STREAM_SKIP_BIN") == "1"
+        # with_map=False skips the map accumulation: the streamed ML
+        # mapper's synthesis passes consume the TOD blocks directly and
+        # accumulate their own products. The env toggle serves the same
+        # purpose for the stage profiler (trace-time read — set it
+        # before the executor's first run in a fresh process).
+        skip_bin = (not with_map) or os.environ.get("MARIA_TPU_STREAM_SKIP_BIN") == "1"
         p = self.program
         r, B, block_tc = self.r, self.B, self.block_tc
         n_c, n_t, n_det = self.n_c, self.n_t, self.n_det
@@ -863,6 +911,7 @@ class StreamingExecutor:
             bin_plan = self._bin_plan
             bin_order_dev = jnp.asarray(bin_plan.order)
         run_params = self._run_params if use_blocked else None
+        pixel_ids = self._make_pixel_fn()
 
         def block_fn(state, xs):
             if need_tracks:
@@ -904,25 +953,7 @@ class StreamingExecutor:
             # same pixel convention as BinMapper (round, centered grid)
             if skip_bin:
                 return dict(state, noise=new_states), (tod if with_tod else ())
-            if self.frame == "ra/dec":
-                ra_ext, dec_ext, q_ext = xs_sky[0], xs_sky[1], xs_sky[2]
-                cq, sq = jnp.cos(q_ext[interior]), jnp.sin(q_ext[interior])
-                offs_rot = jnp.stack(
-                    [offsets[:, :1] * cq - offsets[:, 1:] * sq,
-                     offsets[:, :1] * sq + offsets[:, 1:] * cq], axis=-1)
-                pt = offsets_to_phi_theta(offs_rot, ra_ext[interior], dec_ext[interior])
-            else:
-                pt = offsets_to_phi_theta(offsets[:, None, :], bs_az_b, bs_el_b)
-            offs = phi_theta_to_offsets_jit(pt, c_az, c_el)
-            x0 = -(n_x - 1) / 2 * res
-            y0 = -(n_y - 1) / 2 * res
-            ix = jnp.round((offs[..., 0] - x0) / res).astype(jnp.int32)
-            iy = jnp.round((offs[..., 1] - y0) / res).astype(jnp.int32)
-            g = c0 * r + jnp.arange(B)
-            inside = (
-                (ix >= 0) & (ix < n_x) & (iy >= 0) & (iy < n_y)
-                & (g < n_t)[None, :] & jnp.asarray(real_row)
-            )
+            iy, ix, inside = pixel_ids(b, bs_az_b, bs_el_b, xs_sky)
             if use_blocked and run_params is not None:
                 # run-compressed MXU binning (VERDICT r4 item 2): runs
                 # are detected and contracted in-scan, so the streamed
@@ -1230,23 +1261,20 @@ class StreamingExecutor:
                 yield b, np.asarray(tod)[:, :hi]
                 b += 1
 
-    def _iterate(
-        self, state, group_size: int, with_tod: bool, yield_tod: bool = False,
-        with_psd: bool = False, start_block: int = 0, use_blocked: bool = False,
-    ):
-        run_group = self._group_fn(with_tod, with_psd, use_blocked)
+    def _xs_groups(self, start_block: int, group_size: int):
+        """Yield (g0, g1, xs) per dispatch group of EXACTLY L blocks: the
+        tail group is padded with phantom blocks (b >= n_blocks) whose
+        samples the block fn fully masks (g < n_t) — so one executor
+        compiles ONE scan shape per mode instead of re-specializing (a
+        multi-minute compile through the TPU tunnel) on the leftover
+        tail length. Phantom blocks only ever run after the last real
+        block, so the carried state the real blocks see is untouched.
+        Shared by run()/tod_blocks() and the streamed ML mapper's
+        passes (mappers/streaming_ml.py)."""
         az = self.bs_az_f.reshape(self.n_blocks, self.B)
         el = self.bs_el_f.reshape(self.n_blocks, self.B)
         need_tracks = self.sky is not None or self.frame == "ra/dec"
         sky_ext = self._sky_track_blocks() if need_tracks else None
-
-        # every dispatch scans exactly L blocks: the tail group is padded
-        # with phantom blocks (b >= n_blocks) whose samples the block fn
-        # fully masks (g < n_t) — so one executor compiles ONE scan shape
-        # per mode instead of re-specializing (a multi-minute compile
-        # through the TPU tunnel) on the leftover tail length. Phantom
-        # blocks only ever run after the last real block, so the carried
-        # state the real blocks see is untouched.
         L = min(group_size, max(self.n_blocks - start_block, 1))
 
         def take(a, g0, g1):
@@ -1261,6 +1289,14 @@ class StreamingExecutor:
             xs = (bs, take(az, g0, g1), take(el, g0, g1))
             if sky_ext is not None:
                 xs = (*xs, tuple(take(a, g0, g1) for a in sky_ext))
+            yield g0, g1, xs
+
+    def _iterate(
+        self, state, group_size: int, with_tod: bool, yield_tod: bool = False,
+        with_psd: bool = False, start_block: int = 0, use_blocked: bool = False,
+    ):
+        run_group = self._group_fn(with_tod, with_psd, use_blocked)
+        for g0, g1, xs in self._xs_groups(start_block, group_size):
             state, tods = run_group(state, xs)
             if yield_tod:
                 yield state, tods, g1 - g0
