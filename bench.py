@@ -102,6 +102,7 @@ def _watchdog_result() -> dict:
         "atlast_50k_samples_per_s": _PARTIAL.get("atlast_rate"),
         "atlast_roofline": _PARTIAL.get("atlast_roofline"),
         "atlast_stage_breakdown": _PARTIAL.get("atlast_stage_breakdown"),
+        "atlast_streamed_600s_samples_per_s": _PARTIAL.get("streamed_rate"),
         "stage_breakdown": _PARTIAL.get("stage_breakdown"),
         "speed_of_light": _PARTIAL.get("speed_of_light"),
     }
@@ -821,6 +822,45 @@ def config_b():
         _stamp(f"skipping AtLAST stage breakdown (remaining {_remaining():.0f}s)")
 
 
+def streamed_leg():
+    """Streamed AtLAST-50k x 600 s — the scene whose BATCH program
+    cannot fit HBM (~20 GB of fine-rate temporaries). Measures the
+    production StreamingExecutor warm rate with the round-5 HBM-resident
+    per-block run plans (VERDICT r4 item 2: the arbitrarily-long claim
+    is only as good as its fast path)."""
+    _enable_compile_cache()
+    import jax
+
+    _write_partial({"stage": "streamed-build"})
+    _stamp("build AtLAST-50k x 600 s streamed scene")
+    program, obs = build_program(
+        instrument="AtLAST-50k", site="ALMA", duration=600.0, radius=0.5, speed=0.25,
+        atmosphere="3d",
+    )
+    from maria_tpu.ops.streaming_exec import StreamingExecutor
+
+    ex = StreamingExecutor(program, obs, block_tc=128)
+    _write_partial({"stage": "streamed-warm"})
+    key = jax.random.key(0)
+    r = ex.run(key, group_size=8)  # compile + warm (resident plans build here)
+    _stamp("streamed: compiled + warm")
+    times = []
+    for _ in range(2):
+        t0l = time.perf_counter()
+        r = ex.run(key, group_size=8)
+        times.append(time.perf_counter() - t0l)
+    rate = r.n_samples / min(times)
+    resident = ex._resident is not None
+    _write_partial({
+        "streamed_rate": round(rate, 1), "streamed_resident_plans": resident,
+        "stage": "streamed-done",
+    })
+    _stamp(f"streamed rate {rate:.3e} samples/s (resident={resident})")
+    print(json.dumps({
+        "streamed_rate": round(rate, 1), "streamed_resident_plans": resident,
+    }))
+
+
 def cpu_baseline_leg(n_repeats: int = 3):
     """CPU-baseline leg: never touches the relay (forced CPU platform),
     so it can run even when the device budget is exhausted. Median of
@@ -979,7 +1019,18 @@ def main():
         _stamp(f"skipping AtLAST config (budget {budget:.0f}s)")
     atlast_rate = b.get("atlast_rate")
     _PARTIAL.update(atlast_rate=atlast_rate, atlast_roofline=b.get("atlast_roofline"),
-                    stage="cpu-baseline")
+                    stage="streamed")
+
+    # streamed AtLAST x 600 s (batch cannot fit HBM): VERDICT r4 item 2
+    sl: dict = {}
+    budget = min(_remaining() - 300, 700)
+    if fallback:
+        _stamp("skipping streamed leg (no TPU)")
+    elif budget > 300:
+        sl = _run_leg("--streamed", budget)
+    else:
+        _stamp(f"skipping streamed leg (budget {budget:.0f}s)")
+    _PARTIAL.update(streamed_rate=sl.get("streamed_rate"), stage="cpu-baseline")
 
     # CPU baseline: forced-CPU subprocess, cannot wedge the relay
     if fallback:
@@ -1009,6 +1060,10 @@ def main():
         "platform": platform_name,
         "atlast_50k_samples_per_s": round(atlast_rate, 1) if atlast_rate else None,
         "atlast_roofline": b.get("atlast_roofline"),
+        # streamed AtLAST-50k x 600 s (batch cannot fit HBM); resident
+        # per-block run plans (ops/streaming_exec.py round 5)
+        "atlast_streamed_600s_samples_per_s": sl.get("streamed_rate"),
+        "atlast_streamed_resident_plans": sl.get("streamed_resident_plans"),
         # per-stage ms AND per-stage XLA speed-of-light (stage_sol) at
         # AtLAST scale, where stage times are far above the noise floor
         "atlast_stage_breakdown": b.get("atlast_stage_breakdown"),
@@ -1031,6 +1086,8 @@ if __name__ == "__main__":
         config_b()
     elif "--headline" in sys.argv:
         headline()
+    elif "--streamed" in sys.argv:
+        streamed_leg()
     elif "--cpu-baseline" in sys.argv:
         cpu_baseline_leg()
     elif "--stages" in sys.argv:

@@ -141,9 +141,11 @@ class StreamingMLMapper:
             from ..ops.binning_runs import bin_runs_traced
 
             order, _ = self._orders()
+            # hilo: zero data stays exactly zero — the shifted restore's
+            # cancellation residue breaks CG (bin_runchunk's hilo note)
             return bin_runs_traced(
                 v, jnp.where(inside, iy, -1), jnp.where(inside, ix, -1),
-                order, **self._run_statics(),
+                order, precision="hilo", **self._run_statics(),
             )
         from ..ops.binning import bin_scatter
 

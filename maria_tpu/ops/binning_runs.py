@@ -132,6 +132,9 @@ def make_runchunk_bin_plan_on_device(
     max_r_frac: float = 0.75,
     order: np.ndarray = None,
     order_groups=None,
+    force_window: tuple = None,
+    force_r_max: int = None,
+    with_hits: bool = True,
 ) -> RunChunkBinPlan:
     """Build the run plan from DEVICE pixel ids (n_det, n_t), -1 = off-map.
 
@@ -287,6 +290,16 @@ def make_runchunk_bin_plan_on_device(
         return None
     chunk, n_chunks, seg, n_seg = (chosen[k] for k in ("chunk", "n_chunks", "seg", "n_seg"))
     wy, wx, r_max = chosen["wy"], chosen["wx"], chosen["r_max"]
+    if force_window is not None:
+        # uniform static shapes across sibling plans (the streaming
+        # executor's resident per-block plans share one compiled scan)
+        if force_window[0] < wy or force_window[1] < wx:
+            return None
+        wy, wx = int(force_window[0]), int(force_window[1])
+    if force_r_max is not None:
+        if force_r_max < r_max:
+            return None
+        r_max = int(force_r_max)
     oy = np.clip(chosen["oy"], 0, n_y - wy)
     ox = np.clip(chosen["ox"], 0, n_x - wx)
     oy_d, ox_d = jnp.asarray(oy), jnp.asarray(ox)
@@ -377,10 +390,11 @@ def make_runchunk_bin_plan_on_device(
 
     # static hits map: count windows placed at their origins
     hits = np.zeros((n_y, n_x), np.float64)
-    wcnt_h = np.asarray(wcnt, np.float64)
-    for b in range(n_blocks):
-        for c in range(n_chunks):
-            hits[oy[b, c]:oy[b, c] + wy, ox[b, c]:ox[b, c] + wx] += wcnt_h[b, c]
+    if with_hits:
+        wcnt_h = np.asarray(wcnt, np.float64)
+        for b in range(n_blocks):
+            for c in range(n_chunks):
+                hits[oy[b, c]:oy[b, c] + wy, ox[b, c]:ox[b, c] + wx] += wcnt_h[b, c]
 
     return RunChunkBinPlan(
         n_y=n_y, n_x=n_x, wy=wy, wx=wx, chunk=chunk, n_chunks=n_chunks,
@@ -577,6 +591,7 @@ def bin_runs_traced(
     wx: int,
     n_y: int,
     n_x: int,
+    precision: str = "shifted",
 ):
     """Run-compressed MXU binning from TRACED pixel ids — the streaming
     executor's in-scan binner (VERDICT r4 item 2 / builder attack #6).
@@ -586,69 +601,75 @@ def bin_runs_traced(
     time block, so the full-TOD id arrays never materialize and no plan
     can be prebuilt. This routine fuses the plan-build (run detection +
     slot assignment) and the contraction into one traced pass over ONE
-    block's ids:
-
-      per (det-block, time-chunk) tile:
-        runs   <- pixel-change cumsum per extraction segment (static
-                  r_max slots; overflowing runs are counted as lost)
-        runsum <- one-hot multiply-reduce of the data over run slots
-                  (written as broadcast-mul + reduce so XLA fuses the
-                  compare into the reduction loop without materializing
-                  the (..., seg, R) one-hot)
-        window <- hi/lo-split bf16 hat contraction over db*S*R rows
-                  instead of db*chunk rows (the 3-4x row compression of
-                  the batch path, now in-scan), with the run-length
-                  channel riding the same hats for exact hit counts
-        placed by pad+roll per (block, chunk) origin
-
-    Since a stream IS one realization, fusing plan-build into the pass
+    block's ids. Since a stream IS one realization, the fused plan-build
     costs exactly the work the batch path spends once at plan time.
 
-    `data` is this block's (n_det_padded, n_t_block) TOD (finite
-    everywhere — module contract); `iy`/`ix` its traced pixel ids, -1 =
-    off-map. Static geometry (window sizes, run slots) is bounded by the
-    caller from the exact pointing; `lost` counts valid samples dropped
-    by either the static window or slot overflow — callers must raise on
-    a nonzero total rather than bias the map (StreamingExecutor does).
+    Layout discipline (the difference between ~10 and ~45 ms per
+    AtLAST-50k block, tools/probe_stream_binning.py): ids and data stay
+    in their (rows, time) synthesis layout — per-chunk dynamic slices
+    are clean DMAs, while a (nb, db, nc, chunk) blockify forces XLA to
+    materialize tiled relayout copies of every array. Everything else
+    (origins, run extraction, hats) happens on the chunk tile in-body.
+    Padded detector rows ride a single appended SENTINEL row (ids -1,
+    data 0) instead of a full-size where-pass. Precision is the
+    `shifted` scheme: the per-(det-block) chunk mean is subtracted
+    before the bf16 contraction and restored exactly through the
+    in-scan count windows — which double as the hit-count map, so sums
+    and weights share one 2-channel MXU pass.
+
+    `data` must be FINITE everywhere (module contract); `iy`/`ix` are
+    this block's traced pixel ids, -1 = off-map. `lost` counts valid
+    samples dropped by the static window or run-slot bound — callers
+    must raise on a nonzero total rather than bias the map
+    (StreamingExecutor does).
 
     Returns (map_sum (n_y, n_x) f32, map_wgt (n_y, n_x) f32, lost ()).
-    Precision matches bin_runchunk("hilo"): ~2^-16 relative on run sums.
     Pure jnp; call under jit.
 
     Reference behavior: maria/mappers/bin_mapper.py:100-112.
     """
-    from .binning import blockify_ids
-
-    n_seg = chunk // seg
     nb, db = n_blocks, det_block
+    n_seg = chunk // seg
+    rows = nb * db
+    n_t = iy.shape[1]
+    pad_t = n_chunks * chunk - n_t
 
-    iy_b = blockify_ids(iy, order_dev, n_det, db, nb, n_chunks, chunk)
-    ix_b = blockify_ids(ix, order_dev, n_det, db, nb, n_chunks, chunk)
-
-    d = jnp.take(data, order_dev, axis=0)
-    pad_t = n_chunks * chunk - data.shape[1]
+    # sentinel row: padded detector slots point at one appended row of
+    # off-map ids / zero data — no full-size mask pass
+    order_pad = jnp.where(
+        jnp.arange(rows) < n_det, order_dev[:rows], jnp.int32(iy.shape[0])
+    )
+    iy_r = jnp.take(
+        jnp.concatenate([iy, jnp.full((1, n_t), -1, iy.dtype)]), order_pad, axis=0
+    )
+    ix_r = jnp.take(
+        jnp.concatenate([ix, jnp.full((1, n_t), -1, ix.dtype)]), order_pad, axis=0
+    )
+    d_r = jnp.take(
+        jnp.concatenate([data, jnp.zeros((1, n_t), data.dtype)]), order_pad, axis=0
+    )
     if pad_t:
-        d = jnp.pad(d, ((0, 0), (0, pad_t)), mode="edge")
-
-    valid_all = (iy_b >= 0) & (ix_b >= 0)
-    big = jnp.int32(1 << 30)
-    oy = jnp.clip(jnp.where(valid_all, iy_b, big).min(axis=(1, 3)), 0, n_y - wy)
-    ox = jnp.clip(jnp.where(valid_all, ix_b, big).min(axis=(1, 3)), 0, n_x - wx)
+        iy_r = jnp.pad(iy_r, ((0, 0), (0, pad_t)), constant_values=-1)
+        ix_r = jnp.pad(ix_r, ((0, 0), (0, pad_t)), constant_values=-1)
+        d_r = jnp.pad(d_r, ((0, 0), (0, pad_t)), mode="edge")
 
     ky = jnp.arange(wy, dtype=jnp.int32)
     kx = jnp.arange(wx, dtype=jnp.int32)
     r_iota = jnp.arange(r_max, dtype=jnp.int32)
+    big = jnp.int32(1 << 30)
 
     def chunk_body(carry, c):
         m, lost = carry
-        yb = jax.lax.dynamic_slice_in_dim(iy_b, c, 1, axis=2)[:, :, 0]  # (nb, db, chunk)
-        xb = jax.lax.dynamic_slice_in_dim(ix_b, c, 1, axis=2)[:, :, 0]
-        d_c = jax.lax.dynamic_slice_in_dim(d, c * chunk, chunk, axis=1)
-        d_c = d_c.reshape(nb, db, n_seg, seg)
-        oy_c = jax.lax.dynamic_slice_in_dim(oy, c, 1, axis=1)[:, 0]  # (nb,)
-        ox_c = jax.lax.dynamic_slice_in_dim(ox, c, 1, axis=1)[:, 0]
+        yb = jax.lax.dynamic_slice_in_dim(iy_r, c * chunk, chunk, axis=1)
+        xb = jax.lax.dynamic_slice_in_dim(ix_r, c * chunk, chunk, axis=1)
+        d_c = jax.lax.dynamic_slice_in_dim(d_r, c * chunk, chunk, axis=1)
+        yb = yb.reshape(nb, db, chunk)
+        xb = xb.reshape(nb, db, chunk)
+        d_c = d_c.reshape(nb, db, chunk)
 
         valid = (yb >= 0) & (xb >= 0)
+        oy_c = jnp.clip(jnp.where(valid, yb, big).min(axis=(1, 2)), 0, n_y - wy)
+        ox_c = jnp.clip(jnp.where(valid, xb, big).min(axis=(1, 2)), 0, n_x - wx)
         l_y = jnp.where(valid, yb - oy_c[:, None, None], -1)
         l_x = jnp.where(valid, xb - ox_c[:, None, None], -1)
         win_lost = valid & ((l_y >= wy) | (l_x >= wx))
@@ -664,16 +685,31 @@ def bin_runs_traced(
         change = jnp.concatenate(
             [jnp.ones((nb, db, n_seg, 1), bool), p[..., 1:] != p[..., :-1]], axis=-1
         )
-        slot = jnp.cumsum(change.astype(jnp.int32), axis=-1) - 1  # (nb, db, S, seg)
+        slot = jnp.cumsum(change.astype(jnp.int32), axis=-1) - 1
         slot_lost = (slot >= r_max) & (p >= 0)
 
-        # fused one-hot multiply-reduce over run slots (no materialized
-        # one-hot — the compare rides inside the reduction): run sums,
-        # lengths, and start offsets in one pass over 4 features
-        hat = (slot[..., None] == r_iota).astype(jnp.float32)  # fused below
+        # row-shifted (default): subtract each detector ROW's chunk mean
+        # so the bf16 contraction rounds only the in-row residual (a
+        # per-block mean leaves the detector-to-detector offset spread
+        # in the residual — measured 4.5e-4 relative vs this scheme's
+        # ~1e-5); the row means are restored EXACTLY through a
+        # hi/lo-split (mu_row * run-length) channel pair riding the same
+        # hats. precision="hilo" skips the shift and splits the raw run
+        # sums instead — zero data stays EXACTLY zero (no restore
+        # residue), which CG solvers need (bin_runchunk's hilo note).
+        if precision == "hilo":
+            mu_d = jnp.zeros(d_c.shape[:2], d_c.dtype)
+        else:
+            mu_d = d_c.mean(axis=2)  # (nb, db)
+        ds = (d_c - mu_d[:, :, None]).reshape(nb, db, n_seg, seg)
+
+        # fused one-hot multiply-reduce over run slots (the compare
+        # rides inside the reduction; no materialized one-hot): shifted
+        # run sums, run lengths, and start offsets in one pass
+        hat = (slot[..., None] == r_iota).astype(jnp.float32)
         feats = jnp.stack(
             [
-                d_c,
+                ds,
                 jnp.where(p >= 0, 1.0, 0.0),
                 jnp.where(change, l_y, 0).astype(jnp.float32),
                 jnp.where(change, l_x, 0).astype(jnp.float32),
@@ -688,17 +724,30 @@ def bin_runs_traced(
 
         wY = (r_ly[..., None] == ky).astype(jnp.bfloat16)  # (nb, db, S, R, wy)
         wX = (r_lx[..., None] == kx).astype(jnp.bfloat16)
-        hi = runsum.astype(jnp.bfloat16)
-        lo = (runsum - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        parts = jnp.stack([hi, lo, cnt.astype(jnp.bfloat16)])  # (3, nb, db, S, R)
-        win3 = jnp.einsum(
+        if precision == "hilo":
+            hi = runsum.astype(jnp.bfloat16)
+            lo = (runsum - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts = jnp.stack([hi, lo, cnt.astype(jnp.bfloat16)])
+        else:
+            mc = mu_d[:, :, None, None] * cnt  # (nb, db, S, R) restore weights
+            mc_hi = mc.astype(jnp.bfloat16)
+            mc_lo = (mc - mc_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts = jnp.stack(
+                [runsum.astype(jnp.bfloat16), cnt.astype(jnp.bfloat16), mc_hi, mc_lo]
+            )
+        win = jnp.einsum(
             "bdsry,bdsrx,mbdsr->mbyx", wY, wX, parts,
             preferred_element_type=jnp.float32,
         )
-        win = jnp.stack([win3[0] + win3[1], win3[2]])  # (2, nb, wy, wx)
+        # restore (exact: the hi/lo pair carries ~16 bits); the count
+        # window IS the hit-map contribution
+        if precision == "hilo":
+            win = jnp.stack([win[0] + win[1], win[2]])
+        else:
+            win = jnp.stack([win[0] + win[2] + win[3], win[1]])
 
-        # vectorized placement (same as bin_runchunk): pad each block's
-        # window to the map and roll to its origin (clipped, never wraps)
+        # vectorized placement (bin_runchunk pattern): pad each block's
+        # window to the map and roll to its (clipped) origin
         full = jnp.pad(win, ((0, 0), (0, 0), (0, n_y - wy), (0, n_x - wx)))
         org_c = jnp.stack([oy_c, ox_c], axis=-1)
         placed = jax.vmap(
@@ -923,3 +972,146 @@ def project_runchunk(
     inv[plan.order[: plan.n_det]] = np.arange(plan.n_det, dtype=np.int32)
     out = jnp.take(out, jnp.asarray(inv), axis=1)
     return out[0] if squeeze else out
+
+
+def make_sibling_run_stats(
+    order_dev, *, n_det, det_block, n_blocks, n_chunks, chunk, seg, n_x
+):
+    """ONE jitted stats program reusable across sibling time blocks of
+    an observation: (iy, ix) -> (oy (nb, nc), hy, ox, hx, max_runs).
+    The streaming executor's resident-plan setup calls it once per
+    block; `make_runchunk_bin_plan_on_device` builds the same pass
+    inline (single-TOD case). Keep the two in sync."""
+    n_seg = chunk // seg
+
+    @jax.jit
+    def stats(iy, ix):
+        iy_b = blockify_ids(iy, order_dev, n_det, det_block, n_blocks, n_chunks, chunk)
+        ix_b = blockify_ids(ix, order_dev, n_det, det_block, n_blocks, n_chunks, chunk)
+        big = jnp.int32(1 << 30)
+
+        def body(_, c):
+            yb = jax.lax.dynamic_slice_in_dim(iy_b, c, 1, axis=2)[:, :, 0]
+            xb = jax.lax.dynamic_slice_in_dim(ix_b, c, 1, axis=2)[:, :, 0]
+            valid = (yb >= 0) & (xb >= 0)
+            oy_c = jnp.minimum(jnp.where(valid, yb, big).min(axis=(1, 2)),
+                               jnp.where(valid, yb, -1).max(axis=(1, 2)))
+            hy_c = jnp.where(valid, yb, -1).max(axis=(1, 2))
+            ox_c = jnp.minimum(jnp.where(valid, xb, big).min(axis=(1, 2)),
+                               jnp.where(valid, xb, -1).max(axis=(1, 2)))
+            hx_c = jnp.where(valid, xb, -1).max(axis=(1, 2))
+            pix = jnp.where(valid, yb * jnp.int32(n_x) + xb, -1)
+            pix_s = pix.reshape(pix.shape[:-1] + (n_seg, seg))
+            change = jnp.concatenate(
+                [jnp.ones(pix_s.shape[:-1] + (1,), bool),
+                 pix_s[..., 1:] != pix_s[..., :-1]],
+                axis=-1,
+            )
+            return 0, (oy_c, hy_c, ox_c, hx_c, change.sum(axis=-1).max())
+
+        _, (oy, hy, ox, hx, nr) = jax.lax.scan(
+            body, 0, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+        return oy.T, hy.T, ox.T, hx.T, nr.max()
+
+    return stats
+
+
+def make_sibling_run_extract(
+    order_dev, *, n_det, det_block, n_blocks, n_chunks, chunk, seg, r_max,
+    wy, wx, n_y, n_x
+):
+    """ONE jitted extraction program reusable across sibling time
+    blocks with a UNIFORM (wy, wx, r_max) geometry (fixed from the max
+    over all blocks' stats): (iy, ix, oy_d, ox_d) ->
+    (e, run_ly, run_lx (nb, db, nc, S, R) int8/int32,
+     wcnt (nb, nc, wy, wx) f32, hits (n_y, n_x) f32).
+    The body is `make_runchunk_bin_plan_on_device`'s extraction scan
+    plus an in-jit placed hits map (the host loop there would read the
+    wcnt windows back per block). Keep the two in sync."""
+    n_seg = chunk // seg
+    idx_dtype = jnp.int8 if seg <= 128 and max(wy, wx) < 127 else jnp.int32
+
+    @jax.jit
+    def extract(iy, ix, oy_d, ox_d):
+        iy_b = blockify_ids(iy, order_dev, n_det, det_block, n_blocks, n_chunks, chunk)
+        ix_b = blockify_ids(ix, order_dev, n_det, det_block, n_blocks, n_chunks, chunk)
+
+        t_iota = jnp.arange(seg, dtype=jnp.int32)
+        r_iota = jnp.arange(r_max, dtype=jnp.int32)
+
+        def body(_, cb):
+            c, b = cb // n_blocks, cb % n_blocks
+            yb = jax.lax.dynamic_slice(iy_b, (b, 0, c, 0), (1, det_block, 1, chunk))
+            xb = jax.lax.dynamic_slice(ix_b, (b, 0, c, 0), (1, det_block, 1, chunk))
+            yb = yb[0, :, 0]
+            xb = xb[0, :, 0]
+            valid = (yb >= 0) & (xb >= 0)
+            oy_cb = jax.lax.dynamic_slice(oy_d, (b, c), (1, 1))[0, 0]
+            ox_cb = jax.lax.dynamic_slice(ox_d, (b, c), (1, 1))[0, 0]
+            l_y = jnp.where(valid, yb - oy_cb, -1)
+            l_x = jnp.where(valid, xb - ox_cb, -1)
+            p = jnp.where(valid, l_y * jnp.int32(wx) + l_x, -1)
+            p = p.reshape(det_block, n_seg, seg)
+            l_y = l_y.reshape(det_block, n_seg, seg)
+            l_x = l_x.reshape(det_block, n_seg, seg)
+            change = jnp.concatenate(
+                [jnp.ones((det_block, n_seg, 1), bool), p[..., 1:] != p[..., :-1]],
+                axis=-1,
+            )
+            slot = jnp.cumsum(change.astype(jnp.int32), axis=-1) - 1
+            is_end = jnp.concatenate(
+                [change[..., 1:], jnp.ones((det_block, n_seg, 1), bool)], axis=-1
+            )
+            onehot = (slot[..., None] == r_iota).astype(jnp.float32)
+            feats = jnp.stack(
+                [
+                    jnp.where(is_end, t_iota, 0).astype(jnp.float32),
+                    jnp.where(change, l_y, 0).astype(jnp.float32),
+                    jnp.where(change, l_x, 0).astype(jnp.float32),
+                    jnp.ones((det_block, n_seg, seg), jnp.float32),
+                ],
+                axis=0,
+            )
+            out = jnp.einsum("dscr,mdsc->mdsr", onehot, feats)
+            e = out[0].astype(jnp.int32)
+            r_ly = out[1].astype(jnp.int32)
+            r_lx = out[2].astype(jnp.int32)
+            cnt = out[3]
+            empty = cnt <= 0
+            e = jnp.where(empty, seg - 1, e)
+            r_ly = jnp.where(empty, -1, r_ly)
+            r_lx = jnp.where(empty, -1, r_lx)
+            hy = (r_ly[..., None] == jnp.arange(wy)).astype(jnp.float32)
+            hx = (r_lx[..., None] == jnp.arange(wx)).astype(jnp.float32)
+            w = jnp.einsum("dsry,dsrx,dsr->yx", hy, hx, cnt)
+            return 0, (e.astype(idx_dtype), r_ly.astype(idx_dtype),
+                       r_lx.astype(idx_dtype), w)
+
+        _, (e, r_ly, r_lx, w) = jax.lax.scan(
+            body, 0, jnp.arange(n_chunks * n_blocks, dtype=jnp.int32)
+        )
+
+        def _unflat(a):
+            return jnp.moveaxis(
+                a.reshape(n_chunks, n_blocks, det_block, n_seg, r_max), 0, 2
+            )
+
+        e, r_ly, r_lx = _unflat(e), _unflat(r_ly), _unflat(r_lx)
+        w = jnp.moveaxis(w.reshape(n_chunks, n_blocks, wy, wx), 0, 1)
+
+        # placed hits: the block's key-independent weight-map term
+        full = jnp.pad(
+            w.reshape(n_blocks * n_chunks, wy, wx),
+            ((0, 0), (0, n_y - wy), (0, n_x - wx)),
+        )
+        org = jnp.stack(
+            [oy_d.reshape(-1), ox_d.reshape(-1)], axis=-1
+        )  # (nb * nc, 2) — same (b, c) raveling as w
+        placed = jax.vmap(
+            lambda win, o: jnp.roll(win, shift=(o[0], o[1]), axis=(-2, -1))
+        )(full, org)
+        hits = placed.sum(axis=0)
+        return e, r_ly, r_lx, w, hits
+
+    return extract

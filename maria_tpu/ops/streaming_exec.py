@@ -35,6 +35,7 @@ cannot reproduce a circulant whole-observation FFT draw.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 import jax
@@ -44,6 +45,8 @@ import numpy as np
 from ..coords.transforms import offsets_to_phi_theta, phi_theta_to_offsets_jit
 from ..noise.streaming import StreamingBandNoise
 from .binning import bin_scatter
+
+logger = logging.getLogger("maria_tpu")
 
 __all__ = [
     "StreamingExecutor",
@@ -304,6 +307,7 @@ class StreamingExecutor:
         self._block_fn_cache = {}
         self._coarse_jit = None
         self._bin_plan_cache = "unset"  # lazy: see the _bin_plan property
+        self._resident_cache = "unset"  # lazy: see the _resident property
 
     def _build_sky(self, obs, cmb, input_map, map_kwargs, pad_f: int):
         """Host setup for per-block sky sampling: the SAME calibration
@@ -441,8 +445,11 @@ class StreamingExecutor:
         inv = (o, order, phi_f, theta_f, q_f, step_cells)
 
         # wide focal planes / fast scans need smaller blocks or chunks
-        # to keep the window below half the map
-        for det_block, chunk in ((512, 64), (512, 32), (256, 32), (128, 16), (64, 16)):
+        # to keep the window below half the map; 1024-det blocks first —
+        # the batch binner's measured-fastest granularity (fewer, larger
+        # MXU tiles; tools/probe_stream_binning.py round 5)
+        for det_block, chunk in ((1024, 64), (512, 64), (512, 32), (256, 32),
+                                 (128, 16), (64, 16)):
             plan = self._try_blocked_binning(inv, det_block, chunk)
             if plan is not None:
                 self._run_params = self._bound_runs(inv, plan)
@@ -609,6 +616,129 @@ class StreamingExecutor:
             n_chunks=n_chunks_b, det_block=det_block, n_blocks=n_db, n_t=self.B,
             order=order_p.astype(np.int32), ly=None, lx=None, origins=None,
         )
+
+    def _setup_resident_plans(self):
+        """HBM-RESIDENT per-streaming-block run plans — the streamed
+        binner at the BATCH binner's speed (VERDICT r4 item 2).
+
+        The in-scan formulations (per-sample blocked, fused run
+        extraction) all measured 45-65 ms per AtLAST-50k block on chip
+        while the batch run-compressed binner does the same logical work
+        in ~9 ms — the difference is the static precomputed plan
+        (tools/probe_stream_binning.py, round 5). Pointing is static, so
+        the streamed path can have one too WITHOUT materializing
+        full-TOD id arrays: per-block ids are recomputed on device at
+        setup and compressed to int8 run plans (3 B/run-slot ~ 1.5
+        B/sample vs 8 B/sample of raw ids), built through ONE compiled
+        stats pass + ONE compiled extraction pass shared by all blocks
+        (uniform window/r_max = maxima over blocks).
+
+        Residency is HBM-budgeted (MARIA_TPU_STREAM_PLAN_GB, default 6):
+        past the budget (~40 min of AtLAST-50k at 128-cell blocks) the
+        executor falls back to the bounded-memory in-scan path, keeping
+        the arbitrarily-long contract. Returns the plan dict or None."""
+        import os
+
+        if os.environ.get("MARIA_TPU_STREAM_RESIDENT", "").lower() in ("0", "off"):
+            return None
+        bp = self._bin_plan
+        if bp is None:
+            return None
+        from .binning_runs import (
+            RunChunkBinPlan,
+            make_sibling_run_extract,
+            make_sibling_run_stats,
+        )
+
+        nb, db, chunk, nc = bp.n_blocks, bp.det_block, bp.chunk, bp.n_chunks
+        seg = min(64, chunk)
+        if chunk % seg:
+            return None
+        n_seg = chunk // seg
+        order_dev = jnp.asarray(bp.order)
+        pixel_fn = self._make_pixel_fn()
+        pix_jit = jax.jit(
+            lambda b, az, el, sky: pixel_fn(b, az, el, sky)
+        )
+
+        def block_ids(xs):
+            b, az_b, el_b = xs[0][0], xs[1][0], xs[2][0]
+            sky_b = tuple(t[0] for t in xs[3]) if len(xs) == 4 else None
+            iy, ix, inside = pix_jit(b, az_b, el_b, sky_b)
+            return jnp.where(inside, iy, -1), jnp.where(inside, ix, -1)
+
+        statics = dict(n_det=self.n_det, det_block=db, n_blocks=nb,
+                       n_chunks=nc, chunk=chunk, seg=seg, n_x=self.n_x)
+        stats_fn = make_sibling_run_stats(order_dev, **statics)
+        all_stats = []
+        for _, _, xs in self._xs_groups(0, 1):
+            iym, ixm = block_ids(xs)
+            all_stats.append([np.asarray(v) for v in stats_fn(iym, ixm)])
+        oy = np.stack([s[0] for s in all_stats])  # (n_sb, nb, nc)
+        hy = np.stack([s[1] for s in all_stats])
+        ox = np.stack([s[2] for s in all_stats])
+        hx = np.stack([s[3] for s in all_stats])
+        wy = int(-(-int((hy - oy + 1).max()) // 8) * 8)
+        wx = int(-(-int((hx - ox + 1).max()) // 8) * 8)
+        r_max = int(-(-int(max(int(s[4]) for s in all_stats)) // 8) * 8)
+        if (wy * wx > 0.5 * self.n_y * self.n_x or wy > self.n_y or wx > self.n_x
+                or r_max > 0.75 * seg):
+            return None
+
+        n_sb = len(all_stats)
+        budget = float(os.environ.get("MARIA_TPU_STREAM_PLAN_GB", 6.0)) * 1e9
+        idx_bytes = 1 if (seg <= 128 and max(wy, wx) < 127) else 4
+        plan_bytes = n_sb * nb * nc * (
+            3 * db * n_seg * r_max * idx_bytes + 4 * wy * wx
+        )
+        if plan_bytes > budget:
+            logger.info(
+                "resident bin plans would need %.1f GB (> %.1f budget); "
+                "falling back to in-scan binning", plan_bytes / 1e9, budget / 1e9,
+            )
+            return None
+
+        oy = np.clip(oy, 0, self.n_y - wy)
+        ox = np.clip(ox, 0, self.n_x - wx)
+        extract_fn = make_sibling_run_extract(
+            order_dev, n_det=self.n_det, det_block=db, n_blocks=nb, n_chunks=nc,
+            chunk=chunk, seg=seg, r_max=r_max, wy=wy, wx=wx,
+            n_y=self.n_y, n_x=self.n_x,
+        )
+        Es, LYs, LXs, WCs = [], [], [], []
+        for sb, (_, _, xs) in enumerate(self._xs_groups(0, 1)):
+            iym, ixm = block_ids(xs)
+            e, r_ly, r_lx, wcnt, _ = extract_fn(
+                iym, ixm, jnp.asarray(oy[sb]), jnp.asarray(ox[sb])
+            )
+            Es.append(e)
+            LYs.append(r_ly)
+            LXs.append(r_lx)
+            WCs.append(wcnt)
+        template = RunChunkBinPlan(
+            n_y=self.n_y, n_x=self.n_x, wy=wy, wx=wx, chunk=chunk, n_chunks=nc,
+            det_block=db, n_blocks=nb, n_det=self.n_det, n_t=self.B, seg=seg,
+            r_max=r_max, order=bp.order, e_idx=None, run_ly=None, run_lx=None,
+            origins=None, wcnt=None, hits=None,
+        )
+        logger.info(
+            "resident bin plans: %d blocks x (%d, %d, %d, %d, %d), window %dx%d, "
+            "%.2f GB", n_sb, nb, db, nc, n_seg, r_max, wy, wx, plan_bytes / 1e9,
+        )
+        return {
+            "E": jnp.stack(Es), "LY": jnp.stack(LYs), "LX": jnp.stack(LXs),
+            "WCNT": jnp.stack(WCs),
+            "ORG": jnp.asarray(np.stack([oy, ox], axis=-1), jnp.int32),
+            "template": template, "order_dev": order_dev, "n_sb": n_sb,
+        }
+
+    @property
+    def _resident(self):
+        """Lazy resident-plan build; run() resolves it only when the
+        blocked path is taken on-device."""
+        if self._resident_cache == "unset":
+            self._resident_cache = self._setup_resident_plans()
+        return self._resident_cache
 
     def _load_radec_tracks(self, obs, pad_f: int):
         if self.bs_ra_f is not None:
@@ -910,10 +1040,19 @@ class StreamingExecutor:
             # traced scan body would run the setup sweep under tracing
             bin_plan = self._bin_plan
             bin_order_dev = jnp.asarray(bin_plan.order)
-        run_params = self._run_params if use_blocked else None
+        use_resident = use_blocked and self._resident is not None
+        if use_resident:
+            res_template = self._resident["template"]
+            res_order_dev = self._resident["order_dev"]
+            res_n_sb = self._resident["n_sb"]
+            # "shifted" matches the batch headline's accumulation (~1e-4
+            # relative class, 3.4x faster than hilo on chip); set
+            # MARIA_TPU_STREAM_BIN_PRECISION=hilo for ~2^-16
+            res_precision = os.environ.get(
+                "MARIA_TPU_STREAM_BIN_PRECISION", "shifted")
         pixel_ids = self._make_pixel_fn()
 
-        def block_fn(state, xs):
+        def block_fn(state, xs, plans=None):
             if need_tracks:
                 b, bs_az_b, bs_el_b, xs_sky = xs
             else:
@@ -953,27 +1092,39 @@ class StreamingExecutor:
             # same pixel convention as BinMapper (round, centered grid)
             if skip_bin:
                 return dict(state, noise=new_states), (tod if with_tod else ())
-            iy, ix, inside = pixel_ids(b, bs_az_b, bs_el_b, xs_sky)
-            if use_blocked and run_params is not None:
-                # run-compressed MXU binning (VERDICT r4 item 2): runs
-                # are detected and contracted in-scan, so the streamed
-                # path gets the batch binner's 3-4x row compression
-                # without any full-TOD plan ever materializing
-                from .binning_runs import bin_runs_traced
+            if use_resident:
+                # HBM-resident static run plan for this block — the
+                # batch binner's fast path, streamed (_setup_resident
+                # _plans). Phantom tail blocks (b >= n_sb) reuse the
+                # last block's plan but their contribution is zeroed.
+                from .binning_runs import bin_runchunk
 
-                bp = bin_plan
-                msum, mwgt, lost = bin_runs_traced(
-                    tod, jnp.where(inside, iy, -1), jnp.where(inside, ix, -1),
-                    bin_order_dev,
-                    n_det=n_det, det_block=bp.det_block, n_blocks=bp.n_blocks,
-                    n_chunks=bp.n_chunks, chunk=bp.chunk,
-                    seg=run_params["seg"], r_max=run_params["r_max"],
-                    wy=bp.wy, wx=bp.wx, n_y=n_y, n_x=n_x,
+                bi = jnp.clip(b, 0, res_n_sb - 1)
+                take1 = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+                    a, bi, axis=0, keepdims=False)
+                e_b, ly_b, lx_b = take1(plans["E"]), take1(plans["LY"]), take1(plans["LX"])
+                wcnt_b, org_b = take1(plans["WCNT"]), take1(plans["ORG"])
+                maps = bin_runchunk(
+                    tod, res_template, e_idx=e_b, run_ly=ly_b, run_lx=lx_b,
+                    origins=org_b, order=res_order_dev, wcnt=wcnt_b,
+                    precision=res_precision,
                 )
-                map_sum = state["map_sum"] + msum.reshape(-1)
-                map_wgt = state["map_wgt"] + mwgt.reshape(-1)
-                bin_lost = state["bin_lost"] + lost
+                # key-independent hit counts: place the plan's count
+                # windows (per-block so checkpoint/resume stays exact)
+                tp = res_template
+                full_w = jnp.pad(
+                    wcnt_b.reshape(-1, tp.wy, tp.wx),
+                    ((0, 0), (0, n_y - tp.wy), (0, n_x - tp.wx)),
+                )
+                placed = jax.vmap(
+                    lambda w, o: jnp.roll(w, shift=(o[0], o[1]), axis=(-2, -1))
+                )(full_w, org_b.reshape(-1, 2))
+                live = (b < res_n_sb).astype(jnp.float32)
+                map_sum = state["map_sum"] + live * maps.reshape(-1)
+                map_wgt = state["map_wgt"] + live * placed.sum(axis=0).reshape(-1)
+                bin_lost = state["bin_lost"]  # plan windows fit by construction
             elif use_blocked:
+                iy, ix, inside = pixel_ids(b, bs_az_b, bs_el_b, xs_sky)
                 # MXU windowed binning (no scatters): block the det axis
                 # by the static Hilbert order, compute window origins
                 # from this block's actual ids, and contract one-hot
@@ -1001,6 +1152,7 @@ class StreamingExecutor:
                 map_wgt = state["map_wgt"] + maps[1].reshape(-1)
                 bin_lost = state["bin_lost"] + lost.sum().astype(jnp.float32)
             else:
+                iy, ix, inside = pixel_ids(b, bs_az_b, bs_el_b, xs_sky)
                 pix = jnp.where(inside, iy * n_x + ix, n_y * n_x)  # overflow bucket
                 w = inside.astype(jnp.float32)
                 map_sum = state["map_sum"] + bin_scatter(tod * w, pix, n_y * n_x + 1)[:-1]
@@ -1040,17 +1192,31 @@ class StreamingExecutor:
         return block_fn
 
     def _group_fn(self, with_tod: bool, with_psd: bool = False, use_blocked: bool = False):
-        # ONE jit per mode; jit re-specializes per group length
-        key = (with_tod, with_psd, use_blocked)
+        # ONE jit per mode; jit re-specializes per group length. The
+        # resident plan arrays ride as explicit jit ARGUMENTS (closure
+        # constants of that size blow the remote compile request).
+        resident = use_blocked and self._resident is not None
+        key = (with_tod, with_psd, use_blocked, resident)
         if key not in self._block_fn_cache:
             block_fn = self._make_block_fn(with_tod, with_psd, use_blocked)
 
             @jax.jit
-            def run_group(state, xs):
-                return jax.lax.scan(block_fn, state, xs)
+            def run_group(state, xs, plans):
+                def body(s, x):
+                    return block_fn(s, x, plans)
+
+                return jax.lax.scan(body, state, xs)
 
             self._block_fn_cache[key] = run_group
         return self._block_fn_cache[key]
+
+    def _plan_args(self, use_blocked: bool):
+        """The resident plan arrays for run_group's third argument (an
+        empty dict when the mode doesn't use them)."""
+        if use_blocked and self._resident is not None:
+            r = self._resident
+            return {k: r[k] for k in ("E", "LY", "LX", "WCNT", "ORG")}
+        return {}
 
     def _shard_state(self, state, mesh):
         """Lay the carried state out over the mesh's det axis: every
@@ -1116,7 +1282,7 @@ class StreamingExecutor:
         # part of the identity (a blocked-mode checkpoint resumed in
         # scatter mode would blend accumulators from two float paths)
         if use_blocked:
-            mode = "runs" if self._run_params is not None else "mxu"
+            mode = "plan" if self._resident is not None else "mxu"
         else:
             mode = "scatter"
         return (
@@ -1181,10 +1347,17 @@ class StreamingExecutor:
         result is exactly the uninterrupted run's (tested).
 
         `mxu_binning` selects how blocks land in the map: None (default)
-        auto-picks the windowed MXU hat contraction when the geometry
-        allows it and no mesh is given (det-sharded runs keep the
-        scatter path, whose psum XLA inserts); True requires it; False
-        forces the scatter path (used by the equality tests)."""
+        auto-picks the MXU path when the geometry allows it and no mesh
+        is given (det-sharded runs keep the scatter path, whose psum XLA
+        inserts); True requires it; False forces the scatter path (used
+        by the equality tests). Within the MXU path, HBM-RESIDENT
+        per-block run plans are precomputed at first use when they fit
+        the MARIA_TPU_STREAM_PLAN_GB budget (default 6 GB; ~40 min of
+        AtLAST-50k) — the batch binner's static-plan speed for streams —
+        falling back to the bounded-memory in-scan windowed contraction
+        beyond it (the arbitrarily-long contract). Resident precision:
+        MARIA_TPU_STREAM_BIN_PRECISION = shifted (default, the batch
+        headline's ~1e-4 class) | hilo (~2^-16)."""
         key = key if key is not None else jax.random.key(0)
         if mxu_binning is None:
             use_blocked = self._auto_blocked(mesh)
@@ -1296,8 +1469,9 @@ class StreamingExecutor:
         with_psd: bool = False, start_block: int = 0, use_blocked: bool = False,
     ):
         run_group = self._group_fn(with_tod, with_psd, use_blocked)
+        plans = self._plan_args(use_blocked)
         for g0, g1, xs in self._xs_groups(start_block, group_size):
-            state, tods = run_group(state, xs)
+            state, tods = run_group(state, xs, plans)
             if yield_tod:
                 yield state, tods, g1 - g0
             else:
