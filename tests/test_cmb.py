@@ -62,6 +62,7 @@ def test_cmb_sim():
     assert aniso.std() > 0
 
 
+@pytest.mark.slow
 def test_cmb_sim_with_atmosphere_transmission():
     plan = maria_tpu.get_plan("five_second_stare", start_time=1.75e9, sample_rate=10)
     sim_clear = maria_tpu.Simulation(

@@ -171,6 +171,7 @@ def test_program_hlo_carries_no_large_constants():
     )
 
 
+@pytest.mark.slow
 def test_device_tables_path_matches_constants_path():
     """Passing the spectral tables as arguments must be bitwise-identical
     to the closure-constant path (they are the same arrays)."""

@@ -68,6 +68,7 @@ def test_same_seed_same_process_identical():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_gain_and_noise_streams_differ():
     """Gains must not share a PRNG stream with noise: two programs whose
     only difference is the gain draw must not produce correlated noise."""

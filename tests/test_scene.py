@@ -50,6 +50,7 @@ def test_unpolarized_stokes():
     assert np.allclose(sw[:, 1:], 0.0)
 
 
+@pytest.mark.slow
 def test_atlast_sz_scale():
     sz = get_instrument("AtLAST-SZ")
     assert sz.n_dets > 20000  # ~50k detectors

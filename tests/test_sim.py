@@ -196,6 +196,7 @@ def test_despike_flags_and_repairs_glitches():
     assert (w == 0).mean() < 0.02
 
 
+@pytest.mark.slow
 def test_despike_in_pipeline():
     import maria_tpu
 

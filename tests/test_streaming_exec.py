@@ -431,27 +431,41 @@ def test_checkpoint_resume_equals_uninterrupted(mustang_program, tmp_path):
         ex2.run(key, group_size=2, accumulate_psd=True, checkpoint_path=ckpt)
 
 
-def test_mxu_binning_equals_scatter(mustang_program, monkeypatch):
+def test_mxu_binning_equals_scatter(mustang_program):
     """The MXU binning (mxu_binning=True) must produce the same map as
-    the scatter path, in both binning frames, with zero window-dropped
-    samples — through the HBM-resident plan default (shifted precision,
-    the batch headline's ~1e-4 accumulation class; hilo at ~2^-16), and
-    through the in-scan per-sample fallback
-    (MARIA_TPU_STREAM_RESIDENT=0)."""
+    the scatter path with zero window-dropped samples — the HBM-resident
+    plan default at shifted precision (the batch headline's ~1e-4
+    accumulation class). Frames/precisions/fallback variants live in the
+    slow-tier sibling below."""
     program, obs = mustang_program
     key = jax.random.key(9)
-    for frame in ("az/el", "ra/dec"):
-        ex = StreamingExecutor(program, obs, block_tc=32, frame=frame)
-        assert ex._bin_plan is not None, "window geometry should be coverable here"
-        assert ex._run_params is not None, "runs should compress a daisy scan"
-        a = ex.run(key, group_size=4, mxu_binning=False)
-        b = ex.run(key, group_size=4, mxu_binning=True)
-        assert ex._resident is not None, "resident plans should build here"
-        np.testing.assert_array_equal(a.map_wgt, b.map_wgt)
-        scale = np.abs(a.map_sum).max()
-        np.testing.assert_allclose(b.map_sum, a.map_sum, atol=1e-3 * scale)
-        # identical hit totals: nothing was window- or slot-dropped
-        assert b.map_wgt.sum() == program.offsets.shape[0] * len(program.t_fine)
+    ex = StreamingExecutor(program, obs, block_tc=32)
+    assert ex._bin_plan is not None, "window geometry should be coverable here"
+    assert ex._run_params is not None, "runs should compress a daisy scan"
+    a = ex.run(key, group_size=4, mxu_binning=False)
+    b = ex.run(key, group_size=4, mxu_binning=True)
+    assert ex._resident is not None, "resident plans should build here"
+    np.testing.assert_array_equal(a.map_wgt, b.map_wgt)
+    scale = np.abs(a.map_sum).max()
+    np.testing.assert_allclose(b.map_sum, a.map_sum, atol=1e-3 * scale)
+    # identical hit totals: nothing was window- or slot-dropped
+    assert b.map_wgt.sum() == program.offsets.shape[0] * len(program.t_fine)
+
+
+@pytest.mark.slow
+def test_mxu_binning_modes_equal_scatter(mustang_program, monkeypatch):
+    """The ra/dec binning frame, the hilo (~2^-16) precision contract,
+    and the in-scan per-sample fallback (beyond the resident HBM
+    budget) all match the scatter path."""
+    program, obs = mustang_program
+    key = jax.random.key(9)
+
+    ex_r = StreamingExecutor(program, obs, block_tc=32, frame="ra/dec")
+    a = ex_r.run(key, group_size=4, mxu_binning=False)
+    b = ex_r.run(key, group_size=4, mxu_binning=True)
+    np.testing.assert_array_equal(a.map_wgt, b.map_wgt)
+    scale = np.abs(a.map_sum).max()
+    np.testing.assert_allclose(b.map_sum, a.map_sum, atol=1e-3 * scale)
 
     # hilo precision: the tight (~2^-16) accumulation contract
     monkeypatch.setenv("MARIA_TPU_STREAM_BIN_PRECISION", "hilo")

@@ -38,6 +38,7 @@ def map_scene():
     return program, obs, input_map, blob
 
 
+@pytest.mark.slow
 def test_streamed_ml_runs_equals_gather(map_scene):
     """The run-compressed MXU pointing path must match the gather/
     segment-sum path through a full fit (same noise model, same CG)."""
