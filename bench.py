@@ -1021,9 +1021,13 @@ def main():
     _PARTIAL.update(atlast_rate=atlast_rate, atlast_roofline=b.get("atlast_roofline"),
                     stage="streamed")
 
-    # streamed AtLAST x 600 s (batch cannot fit HBM): VERDICT r4 item 2
+    # streamed AtLAST x 600 s (batch cannot fit HBM): VERDICT r4 item 2.
+    # A cold remote-compile server measured 1205 s for this leg's ~6
+    # programs (warm: minutes); the standalone validation number
+    # (1.09e9 samples/s, resident plans) is recorded in BASELINE.md in
+    # case the budget kills it here.
     sl: dict = {}
-    budget = min(_remaining() - 300, 700)
+    budget = min(_remaining() - 240, 1000)
     if fallback:
         _stamp("skipping streamed leg (no TPU)")
     elif budget > 300:
