@@ -990,19 +990,11 @@ def main():
             _stamp("headline leg produced no rate")
             budget = min(_remaining() - 300, 520)
     tpu_rate = head.get("tpu_rate")
-    if not tpu_rate:
-        with _PRINT_LOCK:
-            _PARTIAL["done"] = True
-            print(json.dumps({
-                "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise + map binning, end-to-end on device)",
-                "value": 0.0,
-                "unit": "samples/s",
-                "vs_baseline": None,
-                "platform": platform_name,
-                "error": "headline-leg-failed",
-                "note": "the headline subprocess produced no result within its budget (wedged relay or compile overrun)",
-            }))
-        return
+    # a failed headline (cold/degraded compile server: both attempts of
+    # 2026-08-20 evening overran 520 s on a program that compiles in
+    # ~1 min warm) no longer aborts the run — every other leg still
+    # measures, and the headline retries LAST with whatever budget
+    # remains (the killed attempts' compiles may be server-cached)
     _PARTIAL.update(tpu_rate=tpu_rate, speed_of_light=head.get("speed_of_light"),
                     stage="config-b")
 
@@ -1048,16 +1040,26 @@ def main():
     st: dict = {}
     budget = min(_remaining() - 75, 420)
     if not fallback and budget > 150:
-        st = _run_leg("--stages", budget, env_extra={"BENCH_TPU_RATE": str(tpu_rate)})
+        st = _run_leg("--stages", budget,
+                      env_extra={"BENCH_TPU_RATE": str(tpu_rate or 0)})
     else:
         _stamp(f"skipping stage breakdown (budget {budget:.0f}s)")
     _PARTIAL.update(stage_breakdown=st.get("stage_breakdown"), stage="assemble")
 
+    # last-chance headline retry: runs AFTER every other leg so a
+    # degraded compile server costs the headline only when it could not
+    # have landed anyway; killed attempts may have seeded the server
+    # cache, making this retry cheap
+    if not tpu_rate and not fallback and _remaining() > 150:
+        head = _run_leg("--headline", max(_remaining() - 45, 120))
+        tpu_rate = head.get("tpu_rate")
+        _PARTIAL.update(tpu_rate=tpu_rate, speed_of_light=head.get("speed_of_light"))
+
     result = {
         "metric": "TOD samples/sec (MUSTANG-2 daisy, 2d atmosphere + noise + map binning, end-to-end on device)",
-        "value": round(tpu_rate, 1),
+        "value": round(tpu_rate, 1) if tpu_rate else 0.0,
         "unit": "samples/s",
-        "vs_baseline": round(tpu_rate / cpu_rate, 2) if cpu_rate else None,
+        "vs_baseline": round(tpu_rate / cpu_rate, 2) if (tpu_rate and cpu_rate) else None,
         "baseline_samples_per_s": round(cpu_rate, 1) if cpu_rate else None,
         "baseline_range_samples_per_s": cb.get("cpu_rate_range"),
         "baseline_threads": os.cpu_count(),
@@ -1080,6 +1082,13 @@ def main():
     if fallback:
         result["error"] = "tpu-backend-unavailable"
         result["note"] = "TPU relay never answered; value measured on the CPU fallback platform"
+    elif not tpu_rate:
+        result["error"] = "headline-leg-failed"
+        result["note"] = (
+            "the headline subprocess produced no result within its budget on any "
+            "attempt (degraded/cold remote compile server or wedged relay); the "
+            "other legs' numbers above are real measurements from this run"
+        )
     with _PRINT_LOCK:
         _PARTIAL["done"] = True
         print(json.dumps(result))
