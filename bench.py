@@ -113,9 +113,11 @@ def _watchdog_result() -> dict:
     else:
         result["error"] = "bench-deadline-wedged"
         result["note"] = (
-            "the TPU relay stopped answering mid-run (device calls through the "
-            "tunnel block forever, as in BENCH_r02); no headline number was "
-            "measured before the wedge"
+            "no headline number landed by the soft deadline — either a wedged "
+            "relay (BENCH_r02 mode) or a degraded remote-compile server "
+            "(2026-08-21 mode: >520 s for a program that compiles in ~45 s "
+            "warm); legs may still land after this line and print a better "
+            "final result"
         )
     return result
 
@@ -135,6 +137,23 @@ def _start_watchdog(margin_s: float = 60.0) -> None:
 
     def body():
         time.sleep(max(5.0, min(_remaining() - margin_s, BENCH_DEADLINE_S)))
+        # grace: when the LAST-CHANCE headline retry is in flight (set
+        # via _PARTIAL["grace"]), print the partial result NOW as
+        # insurance (the driver parses the LAST JSON line, so a better
+        # line later supersedes it) and hold the hard exit up to
+        # +540 s — an uninterrupted attempt is the only thing that
+        # lands on a degraded compile server (2026-08-21: killed
+        # attempts do not seed the server cache).
+        if _PARTIAL.get("grace") and not _PARTIAL.get("done"):
+            with _PRINT_LOCK:
+                if not _PARTIAL.get("done"):
+                    _stamp("WATCHDOG: deadline reached mid-retry; printing "
+                           "insurance partial, granting grace")
+                    print(json.dumps(_watchdog_result()), flush=True)
+            grace_until = time.time() + 540.0
+            while (_PARTIAL.get("grace") and not _PARTIAL.get("done")
+                   and time.time() < grace_until):
+                time.sleep(10.0)
         with _PRINT_LOCK:
             if _PARTIAL.get("done"):
                 return
@@ -980,15 +999,18 @@ def main():
         head = _headline_impl()
     else:
         budget = min(_remaining() - 480, 520)
-        for attempt in (1, 2):
-            if budget < 180:
-                _stamp(f"headline attempt {attempt} skipped (budget {budget:.0f}s)")
-                break
+        # ONE attempt here: when the compile server is in its
+        # pathological state (>520 s for a program that compiles in
+        # ~45 s warm — observed repeatedly 2026-08-20/21 night), an
+        # immediate second attempt just burns the budget the
+        # end-of-run retry needs; the killed attempt's compile seeds
+        # the server cache, which is what makes the LAST retry land
+        if budget >= 180:
             head = _run_leg("--headline", budget)
-            if head.get("tpu_rate"):
-                break
-            _stamp("headline leg produced no rate")
-            budget = min(_remaining() - 300, 520)
+            if not head.get("tpu_rate"):
+                _stamp("headline leg produced no rate (retry runs last)")
+        else:
+            _stamp(f"headline attempt skipped (budget {budget:.0f}s)")
     tpu_rate = head.get("tpu_rate")
     # a failed headline (cold/degraded compile server: both attempts of
     # 2026-08-20 evening overran 520 s on a program that compiles in
@@ -997,6 +1019,21 @@ def main():
     # remains (the killed attempts' compiles may be server-cached)
     _PARTIAL.update(tpu_rate=tpu_rate, speed_of_light=head.get("speed_of_light"),
                     stage="config-b")
+
+    # DEGRADED-SERVER path: with no headline rate, the multi-program
+    # TPU legs (config-b's cold build alone measured 677 s) would only
+    # starve the one number that can still land — the headline retry on
+    # the cache its killed attempt just seeded. Run the CPU baseline
+    # (no relay) and throw the whole remaining budget at the retry;
+    # anything left after that flows into the normal sequence below.
+    cb: dict = {}
+    if not tpu_rate and not fallback and _remaining() > 150:
+        cb = _run_leg("--cpu-baseline", budget=max(min(_remaining() - 400, 240), 60),
+                      env_extra=_CPU_ENV, tpu=False)
+        _PARTIAL.update(cpu_rate=cb.get("cpu_rate"))
+        head = _run_leg("--headline", max(min(_remaining() - 60, 600), 120))
+        tpu_rate = head.get("tpu_rate")
+        _PARTIAL.update(tpu_rate=tpu_rate, speed_of_light=head.get("speed_of_light"))
 
     # config (b) runs IMMEDIATELY after the headline (round-3 lesson:
     # it starved behind the CPU baseline + stage breakdown and the
@@ -1029,9 +1066,10 @@ def main():
     _PARTIAL.update(streamed_rate=sl.get("streamed_rate"), stage="cpu-baseline")
 
     # CPU baseline: forced-CPU subprocess, cannot wedge the relay
+    # (skipped when the degraded-server path above already measured it)
     if fallback:
         cb = {"cpu_rate": bench_cpu_baseline(*build_program())}
-    else:
+    elif not cb.get("cpu_rate"):
         cb = _run_leg("--cpu-baseline", budget=max(min(_remaining() - 60, 240), 60),
                       env_extra=_CPU_ENV, tpu=False)
     cpu_rate = cb.get("cpu_rate")
@@ -1046,12 +1084,18 @@ def main():
         _stamp(f"skipping stage breakdown (budget {budget:.0f}s)")
     _PARTIAL.update(stage_breakdown=st.get("stage_breakdown"), stage="assemble")
 
-    # last-chance headline retry: runs AFTER every other leg so a
-    # degraded compile server costs the headline only when it could not
-    # have landed anyway; killed attempts may have seeded the server
-    # cache, making this retry cheap
-    if not tpu_rate and not fallback and _remaining() > 150:
-        head = _run_leg("--headline", max(_remaining() - 45, 120))
+    # last-chance headline retry. The 420 s floor can push past the
+    # soft deadline — that is safe by construction: the watchdog has
+    # already printed the partial-result JSON at the deadline, so a
+    # later, better final line only improves what the driver reads
+    # (and an external kill still leaves the watchdog line as output).
+    # Observed 2026-08-21: killed attempts do NOT reliably seed the
+    # compile-server cache — only an UNINTERRUPTED attempt long enough
+    # for the compile lands in the degraded state.
+    if not tpu_rate and not fallback:
+        _PARTIAL["grace"] = True  # hold the watchdog's hard exit
+        head = _run_leg("--headline", max(_remaining() - 45, 420))
+        _PARTIAL["grace"] = False
         tpu_rate = head.get("tpu_rate")
         _PARTIAL.update(tpu_rate=tpu_rate, speed_of_light=head.get("speed_of_light"))
 
